@@ -1,0 +1,268 @@
+"""Spark extraction operators over the interleaved text+media docs table.
+
+Design (SURVEY.md §7.0): the relational shell stays declarative (Catalyst
+sees scans/filters/joins/aggregations); the per-document sequential kernel
+runs inside Arrow-batched ``mapInPandas`` — documents are a few hundred
+lines, so parallelism lives across documents. No per-row Python UDFs, no
+RDDs, no driver-side loops:
+
+* ``docs_dataframe`` synthesizes the corpus DISTRIBUTIVELY
+  (``spark.range(n)`` -> per-partition generation) — at 10^10-doc scale the
+  driver never materializes a row.
+* ``extract_records`` emits one row per doc: the full nested record as JSON
+  plus typed hot columns, lineage rows and per-category call counts — one
+  parse pass fans out to the record/lineage/metrics planes via cheap
+  ``explode`` projections instead of re-parsing.
+* ``spans_view`` is the span-sequence passthrough used by the per-row
+  invariant test (kind, text, media_ref, order) — BASELINE.json:15.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import fixtures
+
+SPAN_STRUCT = T.StructType([
+    T.StructField("kind", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("offset", T.IntegerType()),
+])
+
+DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("spans", T.ArrayType(SPAN_STRUCT)),
+])
+
+LINEAGE_STRUCT = T.StructType([
+    T.StructField("category", T.StringType()),
+    T.StructField("start_idx", T.IntegerType()),
+    T.StructField("end_idx", T.IntegerType()),
+    T.StructField("origin", T.StringType()),
+    T.StructField("parsed", T.StringType()),
+])
+
+MANAGER_STRUCT = T.StructType([
+    T.StructField("title", T.StringType()),
+    T.StructField("firstName", T.StringType()),
+    T.StructField("lastName", T.StringType()),
+    T.StructField("cityAcc", T.StringType()),
+    T.StructField("funct", T.StringType()),
+    T.StructField("bemerkung", T.StringType()),
+])
+
+ORGANBEZUG_STRUCT = T.StructType([
+    T.StructField("jahr", T.StringType()),
+    T.StructField("organ", T.StringType()),
+    T.StructField("bezuege", T.StringType()),
+    T.StructField("bemerkung", T.StringType()),
+])
+
+AKTIONAER_STRUCT = T.StructType([
+    T.StructField("name", T.StringType()),
+    T.StructField("ort", T.StringType()),
+    T.StructField("anteil", T.StringType()),
+])
+
+KURS_STRUCT = T.StructType([
+    T.StructField("jahr", T.StringType()),
+    T.StructField("hoechst", T.StringType()),
+    T.StructField("tiefst", T.StringType()),
+    T.StructField("ultimo", T.StringType()),
+    T.StructField("kommentar", T.StringType()),
+])
+
+RECORDS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("wkn", T.StringType()),
+    T.StructField("isin", T.StringType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("established_year", T.IntegerType()),
+    T.StructField("city", T.StringType()),
+    T.StructField("zip", T.StringType()),
+    T.StructField("street", T.StringType()),
+    T.StructField("emails", T.ArrayType(T.StringType())),
+    T.StructField("activity_description", T.StringType()),
+    T.StructField("aufsichtsrat", T.ArrayType(MANAGER_STRUCT)),
+    T.StructField("vorstand", T.ArrayType(MANAGER_STRUCT)),
+    T.StructField("organbezuege", T.ArrayType(ORGANBEZUG_STRUCT)),
+    T.StructField("aktionaer", T.ArrayType(AKTIONAER_STRUCT)),
+    T.StructField("grundkapital_betrag", T.StringType()),
+    T.StructField("kurse", T.ArrayType(KURS_STRUCT)),
+    T.StructField("n_categories", T.IntegerType()),
+    T.StructField("n_media_spans", T.IntegerType()),
+    T.StructField("record_json", T.StringType()),
+    T.StructField("lineage", T.ArrayType(LINEAGE_STRUCT)),
+    T.StructField("call_counts", T.MapType(T.StringType(), T.IntegerType())),
+    T.StructField("error", T.StringType()),
+])
+
+
+# ---------------------------------------------------------------------------
+# distributed corpus synthesis
+# ---------------------------------------------------------------------------
+
+
+def docs_dataframe(spark: SparkSession, n_docs: int,
+                   partitions: int | None = None) -> DataFrame:
+    """Synthesize the docs table distributively: ``spark.range`` provides the
+    doc indices, each partition renders its own documents (no driver-side
+    corpus). Deterministic regardless of partitioning."""
+    partitions = partitions or max(2, min(64, n_docs // 64 or 2))
+    base = spark.range(0, n_docs, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rows.append({
+                    "doc_id": fixtures.doc_id_for(i),
+                    "spans": fixtures.html_to_spans(fixtures.synth_html(i, n_docs)),
+                })
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return base.mapInPandas(gen, DOCS_SCHEMA)
+
+
+def spans_view(docs: DataFrame) -> DataFrame:
+    """Per-row span sequence (kind, text, media_ref, order) — the invariant
+    surface. ``posexplode`` keeps the in-array order as ``seq``."""
+    return docs.select(
+        "doc_id",
+        F.posexplode("spans").alias("seq", "span"),
+    ).select(
+        "doc_id", "seq",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# extraction operator
+# ---------------------------------------------------------------------------
+
+
+def _flatten_profile(doc_id: str, spans: list[dict]) -> dict:
+    from ..kernel import parse_document
+    from ..fixtures import spans_to_text
+
+    n_media = sum(1 for s in spans if s["kind"] == "media")
+    text = spans_to_text(spans)
+    try:
+        rec, lineage, counts = parse_document(text)
+        err = "; ".join(rec.get("_errors", [])) or None
+    except Exception as exc:  # never fail the job on one doc (S7)
+        return {"doc_id": doc_id, "n_media_spans": n_media,
+                "error": f"{type(exc).__name__}: {exc}", "record_json": None}
+
+    sitz = (rec.get("Sitz") or [{}])[0]
+    wkn = next((e.get("wkn") for e in rec.get("all_wkn_entry", []) if e.get("wkn")), None)
+    isin = next((e.get("isin") for e in rec.get("all_wkn_entry", []) if e.get("isin")), None)
+
+    def managers(key):
+        src = rec.get(key) or []
+        if src and isinstance(src[0], list):  # reference nests vorstand pushes
+            src = [m for grp in src for m in grp]
+        return [{f.name: m.get(f.name) for f in MANAGER_STRUCT.fields}
+                for m in src] or None
+
+    organ = [e for grp in (rec.get("organbezuege") or []) for e in grp]
+    organ = [{f.name: e.get(f.name) for f in ORGANBEZUG_STRUCT.fields}
+             for e in organ] or None
+
+    akt = rec.get("aktionaer") or (rec.get("gesellschafter") or {}).get("aktionaere") or []
+    akt = [{f.name: a.get(f.name) for f in AKTIONAER_STRUCT.fields}
+           for a in akt] or None
+
+    kurse = []
+    for key, block in (rec.get("boersenbewertung") or {}).items():
+        for k in (block or {}).get("kurse", []):
+            kurse.append({f.name: k.get(f.name) for f in KURS_STRUCT.fields})
+
+    return {
+        "doc_id": doc_id,
+        "name": rec.get("name"),
+        "wkn": wkn,
+        "isin": isin,
+        "status": rec.get("status"),
+        "established_year": rec.get("established_year"),
+        "city": sitz.get("city"),
+        "zip": sitz.get("zip"),
+        "street": sitz.get("street"),
+        "emails": sitz.get("email"),
+        "activity_description": rec.get("activity_description"),
+        "aufsichtsrat": managers("aufsichtsrat"),
+        "vorstand": managers("vorstand"),
+        "organbezuege": organ,
+        "aktionaer": akt,
+        "grundkapital_betrag": (rec.get("grundkapital") or {}).get("betrag"),
+        "kurse": kurse or None,
+        "n_categories": len(counts),
+        "n_media_spans": n_media,
+        "record_json": json.dumps(rec, ensure_ascii=False, default=str),
+        "lineage": lineage,
+        "call_counts": counts,
+        "error": err,
+    }
+
+
+def extract_records(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, spans) -> one typed row per document (full record as
+    JSON + hot columns + lineage + metrics). Arrow-batched; the kernel is
+    imported inside the UDF so only the closure ships, not parsed state."""
+
+    cols = [f.name for f in RECORDS_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _flatten_profile(doc_id, list(spans))
+                for doc_id, spans in zip(pdf["doc_id"], pdf["spans"])
+            ]
+            out = pd.DataFrame(rows)
+            for c in cols:
+                if c not in out.columns:
+                    out[c] = None
+            yield out[cols]
+
+    return docs.mapInPandas(run, RECORDS_SCHEMA)
+
+
+def lineage_table(records: DataFrame) -> DataFrame:
+    """Checkfile plane (S6): one row per (doc, category call)."""
+    return records.select(
+        "doc_id", F.explode("lineage").alias("entry")
+    ).select("doc_id", "entry.category", "entry.start_idx", "entry.end_idx",
+             "entry.origin", "entry.parsed")
+
+
+def metrics_table(records: DataFrame) -> DataFrame:
+    """Call-count plane (A1): groupBy(doc, category).count equivalent,
+    computed from the per-doc map without re-shuffling the raw docs."""
+    return records.select(
+        "doc_id", F.explode("call_counts").alias("category", "call_count"))
+
+
+def fulltext_view(docs: DataFrame) -> DataFrame:
+    """D2 as pure Catalyst expressions (no Python): strip head, <br> -> ' ',
+    drop all tags — whole-stage-codegen friendly."""
+    joined = F.array_join(
+        F.transform(F.filter("spans", lambda s: s.kind == F.lit("text")),
+                    lambda s: s.text), "\n")
+    stripped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(joined, r"(?i)<head>[\s\S]*</head>", ""),
+            "<br>", " "),
+        "<[^>]+>", "")
+    return docs.select("doc_id", stripped.alias("fulltext"))
