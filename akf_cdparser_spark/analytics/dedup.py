@@ -1,0 +1,193 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale notes (the 100 TB contract):
+* exact dedup is a hash-groupBy on a 16-byte key — shuffle carries only
+  (hash, doc_id), never the text;
+* MinHash/LSH turns the quadratic pair problem into an equi-join on band
+  keys (shuffle on band_key, AQE handles skewed bands);
+* candidate verification re-joins the shingle sets ONLY for candidate
+  pairs (a semi-join against the candidate list prunes the scan);
+* all hash functions are md5-derived so every engine (and the DuckDB
+  oracle) reproduces them bit-for-bit — no JVM-specific hashing in results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+DEFAULT_MINHASH_K = 8
+DEFAULT_BANDS = 4
+
+
+def _norm_text() -> "F.Column":
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by md5 of normalized text: every doc tagged with its
+    duplicate-group size and whether it is the canonical (min doc_id)
+    member. Shuffle key = 16-byte hash, not the document."""
+    hashed = docs.select("doc_id", F.md5(_norm_text()).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return (hashed
+            .withColumn("group_size", F.count("*").over(w))
+            .withColumn("canonical_doc_id", F.min("doc_id").over(w))
+            .withColumn("is_canonical",
+                        F.col("doc_id") == F.col("canonical_doc_id")))
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct token n-gram shingles per document (posexplode + window
+    join-free construction via transform over token array)."""
+    toks = tokens_col()
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (docs
+            .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+            .filter(F.length("shingle") > 0))
+
+
+def minhash_signatures(docs: DataFrame, k: int = DEFAULT_MINHASH_K,
+                       n: int = 3) -> DataFrame:
+    """MinHash: h_i(shingle) = md5(i || shingle); signature_i = min over the
+    doc's shingles. Output long form (doc_id, h, minhash) — band grouping
+    composes on top. Engine-portable (md5)."""
+    sh = shingles(docs, n)
+    hashes = sh.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("h"),
+        "shingle",
+    ).select(
+        "doc_id", "h",
+        F.md5(F.concat(F.col("h").cast("string"), F.lit("|"),
+                       F.col("shingle"))).alias("hv"),
+    )
+    return hashes.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
+
+
+def lsh_band_keys(docs: DataFrame, k: int = DEFAULT_MINHASH_K,
+                  bands: int = DEFAULT_BANDS, n: int = 3) -> DataFrame:
+    """LSH banding: concatenate rows-per-band minhashes -> band_key.
+    Documents sharing any (band, band_key) are near-dup candidates."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(docs, k, n)
+    return (sig
+            .withColumn("band", (F.col("h") / rows_per_band).cast("int"))
+            .groupBy("doc_id", "band")
+            .agg(F.md5(F.concat_ws(",", F.sort_array(
+                F.collect_list(F.col("minhash"))))).alias("band_key")))
+
+
+def minhash_candidates(docs: DataFrame, k: int = DEFAULT_MINHASH_K,
+                       bands: int = DEFAULT_BANDS, n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs via band-key self-equi-join (a < b keeps
+    each pair once), then EXACT Jaccard verification over shingle sets —
+    LSH is a prefilter, the verdict is exact (same discipline as the crawl
+    bloom filter: approximate structures never decide membership)."""
+    keys = lsh_band_keys(docs, k, bands, n)
+    a = keys.alias("a")
+    b = keys.alias("b")
+    cand = (a.join(b, ["band", "band_key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (cand
+             .join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+             .join(sh.alias("sb"),
+                   (F.col("doc_b") == F.col("sb.doc_id"))
+                   & (F.col("sa.shingle") == F.col("sb.shingle")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_common")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n_sh", "n_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n_sh", "n_b"), "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(F.col("n_common")
+                            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                            6).alias("jaccard")))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs above a threshold, candidate-
+    pruned through shared shingles (never a full cross join)."""
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (sh.alias("x").join(sh.alias("y"), "shingle")
+             .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+             .groupBy(F.col("x.doc_id").alias("doc_a"),
+                      F.col("y.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_common")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n_sh", "n_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n_sh", "n_b"), "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_common")
+                                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                                6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash: per token, a 32-bit md5-derived hash votes ±1 on each bit;
+    the sign vector is the document's simhash. Pure relational form:
+    explode(tokens) x explode(bits) -> conditional sum -> bit re-assembly.
+    Engine-portable (md5 + integer ops only)."""
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    th = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long").alias("th"),
+    )
+    bit = F.explode(F.array(*[F.lit(b) for b in range(bits)])).alias("bit")
+    # shiftright/shiftleft take literal bit counts only — use 2^bit math,
+    # exact for 32-bit hashes in double precision
+    shifted = F.floor(F.col("th") / F.pow(F.lit(2.0), F.col("bit"))).cast("long")
+    votes = th.select("doc_id", "th", bit).select(
+        "doc_id", "bit",
+        (F.when(shifted % 2 == 1, 1).otherwise(-1)).alias("vote"))
+    bitvals = (votes.groupBy("doc_id", "bit")
+               .agg(F.sum("vote").alias("v"))
+               .select("doc_id", "bit",
+                       F.when(F.col("v") > 0,
+                              F.pow(F.lit(2.0), F.col("bit")).cast("long"))
+                       .otherwise(0).alias("bitval")))
+    return bitvals.groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, candidate-bucketed on
+    16-bit halves (a pair within distance d<=3 shares at least one half)."""
+    sh = simhash(docs)
+    halves = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(
+            F.concat(F.lit("lo:"), (F.col("simhash") % (1 << 16)).cast("string")),
+            F.concat(F.lit("hi:"), F.shiftright("simhash", 16).cast("string")),
+        )).alias("bucket"))
+    cand = (halves.alias("a").join(halves.alias("b"), "bucket")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    return (cand
+            .withColumn("hamming", F.bit_count(
+                F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The container has no image/audio libraries, so the decode step is STUBBED —
+``decode_image`` raises NotImplementedError unless ``fake=True`` selects the
+deterministic fake decoder. Everything Spark-side is real and tested: the
+schema, the Arrow batch shape through ``mapInPandas``, the partition-size
+control (media blobs dominate partition bytes — repartition by blob size
+budget before the UDF), and the metadata projection that lets Catalyst
+prune the binary column when only metadata is queried.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("kind", T.StringType()),        # image | audio | video
+    T.StructField("content", T.BinaryType()),     # opaque payload
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("mime", T.StringType()),
+    ])),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("sha256", T.StringType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("features", T.ArrayType(T.FloatType())),
+])
+
+
+def synth_media(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table derived from the docs table's media
+    spans (the <img src=...> refs) — payload bytes are a reproducible
+    function of the ref string."""
+    refs = (docs.select("doc_id", F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "media")
+            .select("doc_id", F.col("s.media_ref").alias("media_ref")))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                seed = hashlib.sha256(ref.encode()).digest()
+                payload = (seed * 64)[:2048]
+                rows.append({
+                    "media_ref": ref, "doc_id": doc_id, "kind": "image",
+                    "content": payload,
+                    "meta": {"width": 64 + seed[0], "height": 64 + seed[1],
+                             "n_bytes": len(payload), "mime": "image/bmp"},
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return refs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_image(content: bytes, fake: bool = False) -> list[float]:
+    """STUB: real image decode needs PIL/opencv (not in this container).
+    ``fake=True`` produces a deterministic 8-dim feature from the bytes so
+    the Spark plumbing is testable end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an image library not present in this "
+            "environment; pass fake=True for the deterministic stub")
+    digest = hashlib.sha256(content or b"").digest()
+    return [b / 255.0 for b in digest[:8]]
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column. Real
+    decode plugs into ``decode_image``; batch shape and schema are the
+    production contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, doc_id, content in zip(pdf["media_ref"], pdf["doc_id"],
+                                            pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                rows.append({
+                    "media_ref": ref, "doc_id": doc_id,
+                    "sha256": hashlib.sha256(blob).hexdigest(),
+                    "n_bytes": len(blob),
+                    "features": decode_image(blob, fake=fake),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    # binary payloads dominate partition bytes: rebalance on blob size
+    # before the UDF so Arrow batches stay bounded.
+    sized = media.repartition(max(media.rdd.getNumPartitions(), 4))
+    return sized.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def metadata_only(media: DataFrame) -> DataFrame:
+    """Metadata projection — selecting only ``meta``/ids lets Catalyst prune
+    the binary column at the scan (verify via .explain ReadSchema)."""
+    return media.select("doc_id", "media_ref", "kind", "meta.width",
+                        "meta.height", "meta.n_bytes", "meta.mime")

@@ -157,13 +157,14 @@ def _flatten_profile(doc_id: str, spans: list[dict]) -> dict:
     from ..kernel import parse_document
     from ..fixtures import spans_to_text
 
-    n_media = sum(1 for s in spans if s["kind"] == "media")
-    text = spans_to_text(spans)
     try:
+        n_media = sum(1 for s in spans if s["kind"] == "media")
+        text = spans_to_text(
+            [{**s, "text": s.get("text") or ""} for s in spans])
         rec, lineage, counts = parse_document(text)
         err = "; ".join(rec.get("_errors", [])) or None
     except Exception as exc:  # never fail the job on one doc (S7)
-        return {"doc_id": doc_id, "n_media_spans": n_media,
+        return {"doc_id": doc_id, "n_media_spans": 0,
                 "error": f"{type(exc).__name__}: {exc}", "record_json": None}
 
     sitz = (rec.get("Sitz") or [{}])[0]

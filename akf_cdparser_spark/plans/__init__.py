@@ -1,0 +1,1 @@
+"""Relational query plans + the driver-facing query/oracle registry."""

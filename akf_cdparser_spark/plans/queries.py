@@ -1,0 +1,693 @@
+"""Query/oracle registry — the driver correctness gate.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with an ANSI/DuckDB SQL twin over the same parquet tables (pre-registered
+views: region nation customer supplier part orders lineitem events
+documents embeddings). Column names and value semantics match exactly —
+aggregates are rounded identically on both sides, hashes are md5-derived so
+both engines reproduce them bit-for-bit, timestamps are emitted as epoch
+seconds (Spark session runs UTC).
+
+Queries without an oracle (extraction over the synthetic spans corpus, LSH
+ANN) return None SQL — the driver records a weaker rows-only check; their
+deep validation lives in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..analytics import dedup, similarity, text
+from ..operators import extract as X
+from .. import fixtures
+
+EXTRACT_N_DOCS = 40
+EMB_QUERY_IDS = [0, 7, 42, 99, 123]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational shell (joins / aggs / windows the frontier logic is built from)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1999-12-31").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)              AS sum_qty,
+       round(sum(l_extendedprice), 2)         AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4)              AS avg_qty,
+       round(avg(l_discount), 4)              AS avg_disc,
+       count(*)                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_top_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy("c_custkey", "c_name")
+           .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("revenue")))
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10)
+
+
+Q02_SQL = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def q03_order_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+Q03_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+"""
+
+
+def q04_region_rollup(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name", "n_name")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal")))
+
+
+Q04_SQL = """
+SELECT r_name, n_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q05_parts_stats(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (p.groupBy("p_brand")
+            .agg(F.count("*").alias("n_parts"),
+                 F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+                 F.max("p_size").alias("max_size")))
+
+
+Q05_SQL = """
+SELECT p_brand, count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price,
+       max(p_size) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
+def q06_revenue_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+                  & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+                  & (F.col("l_quantity") < 25))
+    return f.agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_rows"))
+
+
+Q06_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25
+"""
+
+
+def q07_topk_orders_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                F.asc("o_orderkey"))
+    return (o.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("totalprice"), "rk"))
+
+
+Q07_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders)
+WHERE rk <= 3
+"""
+
+
+def q08_running_total(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return o.select("o_custkey", "o_orderkey",
+                    F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"))
+
+
+Q08_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders WHERE o_custkey % 50 = 0
+"""
+
+
+def q09_sessionize(spark, sf_dir):
+    """E17 sessionization: a >30-min gap opens a new session."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact sub-second gap arithmetic (matches duckdb epoch() doubles);
+    # session TZ is UTC so the NTZ->LTZ cast is identity
+    micros = F.unix_micros(F.col("ts").cast("timestamp_ltz")) / 1e6
+    gap = micros - F.lag(micros).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min(F.unix_timestamp("ts")).alias("t_start"),
+                 F.max(F.unix_timestamp("ts")).alias("t_end")))
+
+
+Q09_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, count(*) AS n_events,
+       CAST(floor(min(epoch(ts))) AS BIGINT) AS t_start,
+       CAST(floor(max(epoch(ts))) AS BIGINT) AS t_end
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q10_lag_delta(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select("user_id", "event_id",
+                    F.round(F.col("value") - F.lag("value").over(w), 2)
+                    .alias("delta"))
+
+
+Q10_SQL = """
+SELECT user_id, event_id,
+       round(value - lag(value) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id), 2) AS delta
+FROM events WHERE user_id < 10
+"""
+
+
+def q11_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+Q11_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q12_range_join(spark, sf_dir):
+    """T5-style range attachment: lineitems shipped within 30 days of their
+    order date, counted per order status."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(o, (F.col("l_orderkey") == F.col("o_orderkey"))
+                & (F.col("l_shipdate") >= F.col("o_orderdate"))
+                & (F.col("l_shipdate") <= F.date_add(F.col("o_orderdate"), 30)))
+    return (j.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_lineitems"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price")))
+
+
+Q12_SQL = """
+SELECT o_orderstatus, count(*) AS n_lineitems,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderstatus
+"""
+
+
+def q13_event_pivot(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    agg = [F.round(F.sum(F.when(F.col("event_type") == t, F.col("value"))), 2)
+           .alias(f"sum_{t}") for t in ("click", "view", "purchase")]
+    return e.groupBy("user_id").agg(*agg)
+
+
+Q13_SQL = """
+SELECT user_id,
+       round(sum(value) FILTER (WHERE event_type = 'click'), 2)    AS sum_click,
+       round(sum(value) FILTER (WHERE event_type = 'view'), 2)     AS sum_view,
+       round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS sum_purchase
+FROM events GROUP BY user_id
+"""
+
+
+def q14_rollup(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")))
+    return j.rollup("r_name", "n_name").agg(F.count("*").alias("n"))
+
+
+Q14_SQL = """
+SELECT r_name, n_name, count(*) AS n
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q15_events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+                      "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+Q15_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# text / training-data ops over documents
+# ---------------------------------------------------------------------------
+
+
+def q20_token_count(spark, sf_dir):
+    return text.token_count(_t(spark, sf_dir, "documents"))
+
+
+Q20_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       length(text) AS n_chars_measured
+FROM documents
+"""
+
+_DE = text.DE_STOPWORDS
+_EN = text.EN_STOPWORDS
+
+
+def _sql_hits(words):
+    terms = " + ".join(
+        "(length(p) - length(replace(p, ' {w} ', ''))) / {d}".format(w=w, d=len(w) + 2)
+        for w in words)
+    return f"CAST(({terms}) AS BIGINT)"
+
+
+def q21_quality(spark, sf_dir):
+    return text.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+Q21_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars_measured,
+       n_tokens,
+       round(n_punct / greatest(length(text), 1), 6) AS punct_ratio,
+       round({hits} / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       round(length(text) / greatest(n_tokens, 1), 4) AS avg_token_len,
+       (n_tokens >= 5 AND n_punct / greatest(length(text), 1) < 0.3) AS quality_ok
+FROM base
+""".format(hits=_sql_hits(_DE + _EN))
+
+
+def q22_langid(spark, sf_dir):
+    return text.language_id(_t(spark, sf_dir, "documents"))
+
+
+Q22_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents),
+hits AS (
+  SELECT doc_id, lang, {de} AS de_hits, {en} AS en_hits FROM base)
+SELECT doc_id, lang, de_hits, en_hits,
+       CASE WHEN de_hits > en_hits THEN 'de'
+            WHEN en_hits > de_hits THEN 'en'
+            ELSE 'und' END AS lang_guess
+FROM hits
+""".format(de=_sql_hits(_DE), en=_sql_hits(_EN))
+
+
+def q23_fingerprint(spark, sf_dir):
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+Q23_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents)
+SELECT doc_id, fingerprint,
+       CAST(concat('0x', substr(fingerprint, 1, 15)) AS BIGINT) AS fingerprint64
+FROM fp
+"""
+
+
+def q24_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+Q24_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents)
+SELECT doc_id, fingerprint,
+       count(*) OVER (PARTITION BY fingerprint) AS group_size,
+       min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_doc_id,
+       doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical
+FROM fp
+"""
+
+_SHINGLE_SQL = r"""
+  toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM toks, UNNEST(range(1, greatest(len(t) - 3, 0) + 2)) AS u(i)
+    WHERE length(array_to_string(t[i:i+2], ' ')) > 0)
+"""
+
+
+def q25_minhash_bands(spark, sf_dir):
+    return dedup.lsh_band_keys(_t(spark, sf_dir, "documents"))
+
+
+Q25_SQL = r"""
+WITH {shingles},
+hashes AS (
+  SELECT doc_id, h, md5(CAST(h AS VARCHAR) || '|' || shingle) AS hv
+  FROM sh, UNNEST(range(0, 8)) AS hh(h)),
+sig AS (
+  SELECT doc_id, h, min(hv) AS minhash FROM hashes GROUP BY doc_id, h)
+SELECT doc_id, CAST(h // 2 AS INT) AS band,
+       md5(array_to_string(list_sort(list(minhash)), ',')) AS band_key
+FROM sig GROUP BY doc_id, band
+""".format(shingles=_SHINGLE_SQL)
+
+
+def q26_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+Q26_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+th AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS th
+  FROM toks),
+votes AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN (th >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM th, UNNEST(range(0, 32)) AS b(bit)),
+bitvals AS (
+  SELECT doc_id, bit,
+         CASE WHEN sum(vote) > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END AS bitval
+  FROM votes GROUP BY doc_id, bit)
+SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+FROM bitvals GROUP BY doc_id
+"""
+
+
+def q27_embedding_topk(spark, sf_dir):
+    return similarity.cosine_topk_bruteforce(
+        _t(spark, sf_dir, "embeddings"), EMB_QUERY_IDS, k=5)
+
+
+Q27_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb), 4) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+""".format(ids=",".join(str(i) for i in EMB_QUERY_IDS))
+
+
+def q28_lse_histogram(spark, sf_dir):
+    return text.lse_histogram(_t(spark, sf_dir, "documents"))
+
+
+Q28_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+pos AS (
+  SELECT doc_id, t[i] AS token, i - 1 AS pos, len(t) AS n_tokens
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+classed AS (
+  SELECT least(CAST(floor(pos * 10 / greatest(n_tokens, 1)) AS INT), 9) AS sector,
+         CASE WHEN regexp_full_match(token, '\d+([.,]\d+)?') THEN 'number'
+              WHEN regexp_full_match(token, '\(.*\)') THEN 'inBrackets'
+              WHEN regexp_full_match(token, '[A-Za-zÄÖÜäöüß\-]+') THEN 'word'
+              ELSE 'specialcharacter' END AS token_class
+  FROM pos)
+SELECT sector, token_class, count(*) AS occurrences
+FROM classed GROUP BY sector, token_class
+"""
+
+
+# ---------------------------------------------------------------------------
+# extraction over the synthetic spans corpus (oracle = closed-form arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def _records(spark, n_docs=EXTRACT_N_DOCS):
+    return X.extract_records(X.docs_dataframe(spark, n_docs))
+
+
+def q30_extract_profile(spark, sf_dir):
+    return _records(spark).select("doc_id", "name", "wkn", "status",
+                                  "established_year", "city")
+
+
+_STEMS_SQL = "['" + "','".join(fixtures._COMPANY_STEMS) + "']"
+_CITIES_SQL = "['" + "','".join(fixtures._CITIES) + "']"
+
+Q30_SQL = f"""
+SELECT printf('%d/%04d', 1999 + (i % 7), i) AS doc_id,
+       {_STEMS_SQL}[(i % 26) + 1] ||
+         CASE WHEN i % 3 = 0 THEN ' International AG' ELSE ' AG' END AS name,
+       CAST(500000 + (i * 37) % 400000 AS VARCHAR) AS wkn,
+       CASE WHEN i % 17 = 0 THEN 'Insolvenz' ELSE 'aktiv' END AS status,
+       CAST(1870 + (i * 11) % 130 AS INT) AS established_year,
+       {_CITIES_SQL}[(i % 12) + 1] AS city
+FROM UNNEST(range(0, {EXTRACT_N_DOCS})) AS t(i)
+"""
+
+_FIRST_SQL = "['" + "','".join(fixtures._FIRST) + "']"
+_LAST_SQL = "['" + "','".join(fixtures._LAST) + "']"
+_TITLES_SQL = "['Dr.','Prof. Dr.','WP','']"
+
+
+def q31_extract_aufsichtsrat(spark, sf_dir):
+    recs = _records(spark)
+    return (recs.select("doc_id", F.posexplode("aufsichtsrat").alias("k", "m"))
+            .select("doc_id", "k",
+                    F.coalesce(F.col("m.title"), F.lit("")).alias("title"),
+                    F.col("m.firstName").alias("first_name"),
+                    F.col("m.lastName").alias("last_name"),
+                    F.coalesce(F.col("m.funct"), F.lit("")).alias("funct"),
+                    F.col("m.cityAcc").alias("city")))
+
+
+Q31_SQL = f"""
+SELECT printf('%d/%04d', 1999 + (i % 7), i) AS doc_id,
+       k,
+       {_TITLES_SQL}[((i + k) % 4) + 1] AS title,
+       {_FIRST_SQL}[((i * 3 + k) % 8) + 1] AS first_name,
+       {_LAST_SQL}[((i * 5 + k * 2) % 8) + 1] AS last_name,
+       CASE WHEN k = 0 THEN 'Vors.' WHEN k = 1 THEN 'stellv. Vors.'
+            ELSE '' END AS funct,
+       {_CITIES_SQL}[((i + k * 3) % 12) + 1] AS city
+FROM UNNEST(range(0, {EXTRACT_N_DOCS})) AS t(i),
+     UNNEST(range(0, 3)) AS u(k)
+"""
+
+
+def q32_extract_organbezuege(spark, sf_dir):
+    recs = _records(spark)
+    return (recs.select("doc_id", F.explode("organbezuege").alias("o"))
+            .select("doc_id", F.col("o.jahr").alias("jahr"),
+                    F.col("o.organ").alias("organ"),
+                    F.col("o.bezuege").alias("bezuege")))
+
+
+Q32_SQL = f"""
+WITH base AS (
+  SELECT i, printf('%d/%04d', 1999 + (i % 7), i) AS doc_id,
+         CAST(1999 + (i % 7) AS VARCHAR) AS jahr
+  FROM UNNEST(range(0, {EXTRACT_N_DOCS})) AS t(i))
+SELECT doc_id, jahr, 'Vorstand' AS organ,
+       'TEUR ' || CAST(100 + i % 900 AS VARCHAR) AS bezuege FROM base
+UNION ALL
+SELECT doc_id, jahr, 'Aufsichtsrat' AS organ,
+       'TEUR ' || CAST(10 + i % 90 AS VARCHAR) AS bezuege FROM base
+"""
+
+
+def q33_spans_stats(spark, sf_dir):
+    docs = X.docs_dataframe(spark, EXTRACT_N_DOCS)
+    sv = X.spans_view(docs)
+    return (sv.groupBy("doc_id")
+            .agg(F.count("*").alias("n_spans"),
+                 F.sum(F.when(F.col("kind") == "media", 1).otherwise(0))
+                 .alias("n_media"),
+                 F.max("offset").alias("max_offset")))
+
+
+def q34_extract_kurse(spark, sf_dir):
+    recs = _records(spark)
+    return (recs.select("doc_id", F.explode("kurse").alias("k"))
+            .select("doc_id", F.col("k.jahr").alias("jahr"),
+                    F.col("k.hoechst").alias("hoechst"),
+                    F.col("k.tiefst").alias("tiefst"),
+                    F.col("k.ultimo").alias("ultimo")))
+
+
+Q34_SQL = f"""
+WITH base AS (
+  SELECT i, printf('%d/%04d', 1999 + (i % 7), i) AS doc_id,
+         1999 + (i % 7) AS y
+  FROM UNNEST(range(0, {EXTRACT_N_DOCS})) AS t(i))
+SELECT doc_id, CAST(y AS VARCHAR) AS jahr,
+       printf('%d,%02d', 10 + i % 80, i % 100) AS hoechst,
+       printf('%d,%02d', 1 + i % 9, i % 100) AS tiefst,
+       printf('%d,%02d', 2 + i % 9, i % 100) AS ultimo
+FROM base
+UNION ALL
+SELECT doc_id, CAST(y + 1 AS VARCHAR) AS jahr,
+       printf('%d,%02d', 5 + i % 40, (i * 3) % 100) AS hoechst,
+       printf('%d,%02d', 1 + i % 5, (i * 7) % 100) AS tiefst,
+       printf('%d,%02d', 2 + i % 5, (i * 9) % 100) AS ultimo
+FROM base
+"""
+
+
+def q35_lineage_counts(spark, sf_dir):
+    recs = _records(spark)
+    return (X.metrics_table(recs)
+            .groupBy("category")
+            .agg(F.sum("call_count").alias("total_calls"),
+                 F.count("*").alias("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q02_top_customers": (q02_top_customers, Q02_SQL),
+    "q03_order_priority": (q03_order_priority, Q03_SQL),
+    "q04_region_rollup": (q04_region_rollup, Q04_SQL),
+    "q05_parts_stats": (q05_parts_stats, Q05_SQL),
+    "q06_revenue_filter": (q06_revenue_filter, Q06_SQL),
+    "q07_topk_orders_per_customer": (q07_topk_orders_per_customer, Q07_SQL),
+    "q08_running_total": (q08_running_total, Q08_SQL),
+    "q09_sessionize": (q09_sessionize, Q09_SQL),
+    "q10_lag_delta": (q10_lag_delta, Q10_SQL),
+    "q11_customers_without_orders": (q11_customers_without_orders, Q11_SQL),
+    "q12_range_join": (q12_range_join, Q12_SQL),
+    "q13_event_pivot": (q13_event_pivot, Q13_SQL),
+    "q14_rollup": (q14_rollup, Q14_SQL),
+    "q15_events_hourly": (q15_events_hourly, Q15_SQL),
+    "q20_token_count": (q20_token_count, Q20_SQL),
+    "q21_quality": (q21_quality, Q21_SQL),
+    "q22_langid": (q22_langid, Q22_SQL),
+    "q23_fingerprint": (q23_fingerprint, Q23_SQL),
+    "q24_dedup_exact": (q24_dedup_exact, Q24_SQL),
+    "q25_minhash_bands": (q25_minhash_bands, Q25_SQL),
+    "q26_simhash": (q26_simhash, Q26_SQL),
+    "q27_embedding_topk": (q27_embedding_topk, Q27_SQL),
+    "q28_lse_histogram": (q28_lse_histogram, Q28_SQL),
+    "q30_extract_profile": (q30_extract_profile, Q30_SQL),
+    "q31_extract_aufsichtsrat": (q31_extract_aufsichtsrat, Q31_SQL),
+    "q32_extract_organbezuege": (q32_extract_organbezuege, Q32_SQL),
+    "q33_spans_stats": (q33_spans_stats, None),
+    "q34_extract_kurse": (q34_extract_kurse, Q34_SQL),
+    "q35_lineage_counts": (q35_lineage_counts, None),
+}

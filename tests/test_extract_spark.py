@@ -1,0 +1,111 @@
+"""Spark-layer tests: spans-table synthesis, the span-sequence invariant
+(BASELINE.json:15 — kind, text, media_ref, order), distributed extraction,
+lineage/metrics planes, multimodal plumbing."""
+
+from pyspark.sql import functions as F
+
+from akf_cdparser_spark import fixtures
+from akf_cdparser_spark.analytics import multimodal
+from akf_cdparser_spark.operators import extract as X
+
+N = 24
+
+
+def test_span_sequence_invariant(spark):
+    """The engine's spans view must reproduce the synthesis-rule sequence
+    (kind, text, media_ref, order) exactly, per row, independent of
+    partitioning."""
+    docs = X.docs_dataframe(spark, N, partitions=5)
+    got = (X.spans_view(docs)
+           .orderBy("doc_id", "seq")
+           .collect())
+    by_doc: dict[str, list] = {}
+    for row in got:
+        by_doc.setdefault(row.doc_id, []).append(row)
+    for i in range(N):
+        doc_id = fixtures.doc_id_for(i)
+        expected = fixtures.html_to_spans(fixtures.synth_html(i, N))
+        actual = by_doc[doc_id]
+        assert len(actual) == len(expected)
+        for exp, act in zip(expected, actual):
+            assert (act.kind, act.text, act.media_ref, act.offset) == (
+                exp["kind"], exp["text"], exp["media_ref"], exp["offset"])
+
+
+def test_extraction_matches_local_kernel(spark):
+    """Distributed extraction == single-process kernel on the same doc."""
+    import json
+
+    from akf_cdparser_spark.kernel import parse_document
+
+    docs = X.docs_dataframe(spark, N, partitions=4)
+    recs = {r["doc_id"]: r for r in
+            X.extract_records(docs).select("doc_id", "record_json").collect()}
+    for i in (0, 7, 17):
+        local, _, _ = parse_document(fixtures.synth_html(i, N))
+        dist = json.loads(recs[fixtures.doc_id_for(i)]["record_json"])
+        assert json.dumps(local, sort_keys=True, ensure_ascii=False, default=str) \
+            == json.dumps(dist, sort_keys=True, ensure_ascii=False, default=str)
+
+
+def test_partitioning_invariance(spark):
+    """Same corpus content regardless of parallelism (2 vs 16 partitions)."""
+    a = (X.extract_records(X.docs_dataframe(spark, N, partitions=2))
+         .select("doc_id", "name", "wkn").orderBy("doc_id").collect())
+    b = (X.extract_records(X.docs_dataframe(spark, N, partitions=16))
+         .select("doc_id", "name", "wkn").orderBy("doc_id").collect())
+    assert a == b
+
+
+def test_lineage_and_metrics_planes(spark):
+    docs = X.docs_dataframe(spark, N)
+    recs = X.extract_records(docs).cache()
+    lin = X.lineage_table(recs)
+    met = X.metrics_table(recs)
+    assert lin.filter(F.col("category") == "Sitz").count() == N
+    per_doc = met.groupBy("doc_id").agg(F.sum("call_count").alias("n")).collect()
+    assert all(r.n >= 10 for r in per_doc)
+    recs.unpersist()
+
+
+def test_errors_never_fail_job(spark):
+    """A malformed doc yields an error row, not a job failure (S7)."""
+    rows = [("bad/0001", [{"kind": "text", "text": None, "media_ref": "",
+                           "offset": 0}])]
+    docs = spark.createDataFrame(rows, X.DOCS_SCHEMA)
+    out = X.extract_records(docs).collect()
+    assert len(out) == 1  # row exists whatever happened
+
+
+def test_multimodal_plumbing(spark):
+    docs = X.docs_dataframe(spark, N)
+    media = multimodal.synth_media(spark, docs).cache()
+    assert media.count() == N  # one chart per doc
+    feats = multimodal.extract_features(media, fake=True).collect()
+    assert all(len(f.features) == 8 for f in feats)
+    assert all(f.n_bytes == 2048 for f in feats)
+    # metadata-only projection prunes the binary column at the scan
+    meta = multimodal.metadata_only(media)
+    assert "content" not in meta.columns
+    # deterministic features: same ref -> same sha
+    by_ref = {f.media_ref: f.sha256 for f in feats}
+    feats2 = multimodal.extract_features(media, fake=True).collect()
+    assert {f.media_ref: f.sha256 for f in feats2} == by_ref
+    media.unpersist()
+
+
+def test_decode_stub_raises_without_fake():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx", fake=False)
+
+
+def test_fulltext_matches_kernel(spark):
+    from akf_cdparser_spark.kernel.document import build_fulltext
+
+    docs = X.docs_dataframe(spark, 4)
+    got = {r.doc_id: r.fulltext for r in X.fulltext_view(docs).collect()}
+    for i in range(4):
+        assert got[fixtures.doc_id_for(i)] == build_fulltext(
+            fixtures.synth_html(i, 4))
