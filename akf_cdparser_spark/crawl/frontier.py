@@ -1,0 +1,308 @@
+"""Generation-synchronous crawl frontier engine (BASELINE.json north_rule).
+
+Scheduling semantics (shared, by construction, with the sequential oracle in
+``oracle.py`` — crawl order and seen set must match EXACTLY at any
+parallelism):
+
+* the frontier holds (url, url_hash, host, next_fetch_time, depth); a URL's
+  ``next_fetch_time`` is the generation in which it was discovered
+  (politeness clock in ticks, not wall time — deterministic);
+* each generation: dedupe candidates by url_hash (min next_fetch_time / depth),
+  drop already-seen (bloom prefilter -> exact left_anti), robots-gate,
+  then per host schedule at most ``host_budget`` URLs in
+  (next_fetch_time, url_hash, url) order;
+* the global crawl order within a generation is (next_fetch_time, url_hash,
+  url) — ordering is DEFINED BY DATA, never by task scheduling;
+* scheduled docs are parsed (the §2 extraction kernel); out-links are the
+  extracted Beteiligungen company names resolved through the CD page-index
+  dictionary (broadcast);
+* disallowed URLs enter the seen set (decision made) without a fetch-log row;
+* every generation commits frontier/seen/fetch_log/bloom-shards + metrics to
+  the state store — resume reads the latest committed generation.
+
+Physical plan per the north rule: the politeness queue is a SALTED
+repartition-by-host-hash + sortWithinPartitions two-phase top-k (hot CD
+volumes split across ``n_salts`` slices, then a tiny per-host re-rank), and
+the global sequence is assigned by range-partitioned sort + per-partition
+offsets — no single-partition window anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import fixtures
+from ..operators import extract as X
+from . import bloom
+from .canonicalize import canonicalize_udf, host_of, url_hash64
+from .robots import apply_robots
+from .storage import StateStore
+
+FRONTIER_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("url_hash", T.LongType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("next_fetch_time", T.LongType()),
+    T.StructField("depth", T.IntegerType()),
+])
+
+SEEN_SCHEMA = T.StructType([
+    T.StructField("url_hash", T.LongType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("generation", T.IntegerType()),
+])
+
+
+def _with_identity(df: DataFrame) -> DataFrame:
+    canon = canonicalize_udf(F.col("url"))
+    return (df.withColumn("url", canon)
+            .withColumn("url_hash", url_hash64("url"))
+            .withColumn("host", host_of("url")))
+
+
+def seeds_frontier(spark: SparkSession, seeds: list[dict]) -> DataFrame:
+    df = spark.createDataFrame(
+        [(s["url"],) for s in seeds], T.StructType([T.StructField("url", T.StringType())]))
+    return (_with_identity(df)
+            .withColumn("next_fetch_time", F.lit(0).cast("long"))
+            .withColumn("depth", F.lit(0))
+            .select([f.name for f in FRONTIER_SCHEMA.fields]))
+
+
+def global_sequence(df: DataFrame, order_cols: list[str], start: int,
+                    out_col: str = "scheduled_seq") -> DataFrame:
+    """Deterministic global rank without a single-partition window:
+    range-partitioned sort, per-partition row_number, driver-side offsets
+    (one tiny count per partition)."""
+    n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
+    ordered = (df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+               .withColumn("_pid", F.spark_partition_id()))
+    counts = {r["_pid"]: r["n"] for r in
+              ordered.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    if not counts:
+        return ordered.drop("_pid").withColumn(out_col, F.lit(start))
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return (ordered
+            .withColumn(out_col, omap[F.col("_pid")] + F.row_number().over(w) - 1)
+            .drop("_pid"))
+
+
+def schedule_generation(candidates: DataFrame, host_budget: int,
+                        n_salts: int = 8) -> DataFrame:
+    """Per-host politeness top-k, two-phase: (host, salt) slices first (the
+    salted repartition that splits hot CD volumes), then a per-host re-rank
+    over at most budget*n_salts survivors."""
+    order = [F.asc("next_fetch_time"), F.asc("url_hash"), F.asc("url")]
+    salted = candidates.withColumn(
+        "salt", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int"))
+    w1 = Window.partitionBy("host", "salt").orderBy(*order)
+    survivors = (salted.withColumn("_r1", F.row_number().over(w1))
+                 .filter(F.col("_r1") <= host_budget).drop("_r1"))
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (survivors.withColumn("_r2", F.row_number().over(w2))
+            .filter(F.col("_r2") <= host_budget)
+            .drop("_r2", "salt"))
+
+
+def _name_index(n_docs: int) -> dict[str, str]:
+    """CD page index: company name -> canonical URL (min doc index wins)."""
+    index: dict[str, str] = {}
+    for i in range(n_docs):
+        name = fixtures.company_name(i)
+        if name not in index:
+            index[name] = fixtures.url_for(i)
+    return index
+
+
+def discover_links(parsed: DataFrame, n_docs: int) -> DataFrame:
+    """Out-links from CONTENT: the extracted Beteiligungen names resolved
+    through the broadcast page index."""
+    spark = parsed.sparkSession
+    bc = spark.sparkContext.broadcast(_name_index(n_docs))
+    schema = T.StructType([T.StructField("src_doc_id", T.StringType()),
+                           T.StructField("url", T.StringType())])
+
+    def extract_links(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index = bc.value
+        for pdf in batches:
+            rows = []
+            for doc_id, rec_json in zip(pdf["doc_id"], pdf["record_json"]):
+                if not rec_json:
+                    continue
+                rec = json.loads(rec_json)
+                for group in rec.get("beteiligungen") or []:
+                    for zeile in group.get("zeilen") or []:
+                        if isinstance(zeile, dict):
+                            target = index.get((zeile.get("beteiliger") or "").strip())
+                            if target:
+                                rows.append({"src_doc_id": doc_id, "url": target})
+            yield pd.DataFrame(rows, columns=["src_doc_id", "url"])
+
+    return parsed.select("doc_id", "record_json").mapInPandas(extract_links, schema)
+
+
+def resolve_docs(scheduled: DataFrame, docs: DataFrame) -> DataFrame:
+    """'Fetch': map scheduled URLs to the docs store. URL -> doc_id is the
+    synthesis rule (akf://cdYYYY/NNNN.html <-> YYYY/NNNN)."""
+    with_doc = scheduled.withColumn(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_extract("url", r"cd(\d{4}/\d{4})\.html$", 1), r"^", ""))
+    return with_doc.join(docs, "doc_id", "left")
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, state_dir: str, n_docs: int,
+                 host_budget: int = 4, n_shards: int = 16, n_salts: int = 4):
+        self.spark = spark
+        self.store = StateStore(spark, state_dir)
+        self.n_docs = n_docs
+        self.host_budget = host_budget
+        self.n_shards = n_shards
+        self.n_salts = n_salts
+
+    # -- state access -------------------------------------------------------
+
+    def _empty(self, schema) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    def bootstrap(self, seeds: list[dict], robots_rules: list[dict]) -> None:
+        frontier = seeds_frontier(self.spark, seeds)
+        self.store.write("frontier", frontier, 0)
+        self.store.write("seen", self._empty(SEEN_SCHEMA), 0)
+        self.store.write("robots", self.spark.createDataFrame(
+            robots_rules, "host string, rule string, allow boolean"), 0)
+        self.store.commit(0, ["frontier", "seen", "robots"], {"bootstrap": True})
+
+    def run(self, docs: DataFrame, generations: int) -> dict:
+        """Run ``generations`` crawl generations from the latest checkpoint.
+        Returns summary metrics. Resumable: re-invoking continues."""
+        start_gen = self.store.latest_generation()
+        if start_gen is None:
+            raise RuntimeError("bootstrap() first")
+        robots = self.store.read("robots", 0)
+        totals = {"urls_scheduled": 0, "docs_parsed": 0, "wall_ms": 0}
+        docs = docs.persist()
+        for gen in range(start_gen + 1, start_gen + 1 + generations):
+            t0 = time.time()
+            frontier = self.store.read("frontier", gen - 1)
+            seen = self.store.read("seen", gen - 1)
+            seq_start = self.store.read("fetch_log", gen - 1).count() \
+                if self.store.exists("fetch_log", gen - 1) else 0
+
+            stats = self._generation(gen, frontier, seen, robots, docs, seq_start)
+            stats["wall_ms"] = int((time.time() - t0) * 1000)
+            self.store.commit(gen, ["frontier", "seen", "fetch_log"], stats)
+            totals["urls_scheduled"] += stats["urls_scheduled"]
+            totals["docs_parsed"] += stats["docs_parsed"]
+            totals["wall_ms"] += stats["wall_ms"]
+            if stats["urls_scheduled"] == 0:
+                break
+        docs.unpersist()
+        return totals
+
+    def _generation(self, gen: int, frontier: DataFrame, seen: DataFrame,
+                    robots: DataFrame, docs: DataFrame, seq_start: int) -> dict:
+        # 1. dedupe frontier by identity hash (deterministic reduce)
+        cand = (frontier.groupBy("url_hash")
+                .agg(F.min("url").alias("url"),
+                     F.min("host").alias("host"),
+                     F.min("next_fetch_time").alias("next_fetch_time"),
+                     F.min("depth").alias("depth")))
+
+        # 2. unseen filter: bloom/cuckoo prefilter, exact anti-join resolve
+        if self.store.exists("bloom_shards", gen - 1):
+            shards = self.store.read("bloom_shards", gen - 1)
+            tagged = bloom.prefilter_candidates(cand, shards, self.n_shards)
+            definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            needs_check = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+            resolved = needs_check.join(
+                seen.select("url_hash"), "url_hash", "left_anti")
+            unseen = definitely_new.unionByName(resolved)
+        else:
+            unseen = cand.join(seen.select("url_hash"), "url_hash", "left_anti")
+
+        # 3. robots gate (broadcast prefix rules)
+        gated = apply_robots(unseen, robots)
+        allowed = gated.filter(F.col("allowed")).drop("allowed")
+        disallowed = gated.filter(~F.col("allowed")).drop("allowed")
+
+        # 4. politeness schedule + deterministic global crawl order
+        scheduled = schedule_generation(allowed, self.host_budget, self.n_salts)
+        scheduled = global_sequence(
+            scheduled, ["next_fetch_time", "url_hash", "url"], seq_start)
+        scheduled = scheduled.persist()
+        n_scheduled = scheduled.count()
+
+        # 5. fetch + parse + discover
+        fetched = resolve_docs(scheduled, docs)
+        parsed = X.extract_records(fetched.select("doc_id", "spans")
+                                   .filter(F.col("spans").isNotNull()))
+        parsed = parsed.persist()
+        n_parsed = parsed.count()
+        links = discover_links(parsed, self.n_docs)
+        new_frontier_rows = (_with_identity(links.select("url").distinct())
+                             .withColumn("next_fetch_time", F.lit(gen).cast("long"))
+                             .withColumn("depth", F.lit(gen))
+                             .select([f.name for f in FRONTIER_SCHEMA.fields]))
+
+        # 6. state transition (all joins, no first-writer-wins anywhere)
+        newly_seen = (scheduled.select("url_hash", "url")
+                      .unionByName(disallowed.select("url_hash", "url"))
+                      .withColumn("generation", F.lit(gen)))
+        seen_next = seen.unionByName(newly_seen)
+        scheduled_hashes = scheduled.select("url_hash")
+        frontier_next = (frontier
+                         .join(newly_seen.select("url_hash"), "url_hash", "left_anti")
+                         .unionByName(new_frontier_rows))
+
+        fetch_log_new = (scheduled
+                         .join(fetched.select("url_hash", "doc_id"), "url_hash")
+                         .select("scheduled_seq", "url_hash", "url", "doc_id")
+                         .withColumn("generation", F.lit(gen)))
+        fetch_log_prev = (self.store.read("fetch_log", gen - 1)
+                          if self.store.exists("fetch_log", gen - 1)
+                          else self._empty(fetch_log_new.schema))
+        fetch_log = fetch_log_prev.unionByName(fetch_log_new)
+
+        # 7. lineage + metrics planes
+        lineage = X.lineage_table(parsed).withColumn("generation", F.lit(gen))
+        metrics = (X.metrics_table(parsed)
+                   .groupBy("category")
+                   .agg(F.sum("call_count").alias("call_count"))
+                   .withColumn("generation", F.lit(gen)))
+
+        # 8. commit snapshot (+ refreshed bloom shards over the exact set)
+        self.store.write("seen", seen_next, gen)
+        self.store.write("frontier", frontier_next, gen)
+        self.store.write("fetch_log", fetch_log, gen)
+        self.store.write("lineage", lineage, gen)
+        self.store.write("metrics", metrics, gen)
+        self.store.write("bloom_shards",
+                         bloom.build_shards(self.store.read("seen", gen),
+                                            self.n_shards), gen)
+        scheduled.unpersist()
+        parsed.unpersist()
+        return {"urls_scheduled": n_scheduled, "docs_parsed": n_parsed}
+
+    # -- results -------------------------------------------------------------
+
+    def fetch_log(self) -> DataFrame:
+        gen = self.store.latest_generation()
+        return self.store.read("fetch_log", gen)
+
+    def seen(self) -> DataFrame:
+        gen = self.store.latest_generation()
+        return self.store.read("seen", gen)

@@ -1,0 +1,138 @@
+"""Crawl-engine correctness: exact crawl-order + seen-set match vs the
+sequential oracle, order invariance across parallelism, bloom/cuckoo
+prefilter exactness, robots gating, checkpoint/resume (BASELINE.json:2,14)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from akf_cdparser_spark import fixtures
+from akf_cdparser_spark.crawl import bloom
+from akf_cdparser_spark.crawl.canonicalize import canonicalize_url, hash64_py
+from akf_cdparser_spark.crawl.frontier import CrawlEngine
+from akf_cdparser_spark.crawl.oracle import crawl_oracle
+from akf_cdparser_spark.operators import extract as X
+
+N_DOCS = 120
+SEEDS = fixtures.seed_urls(6, N_DOCS)
+ROBOTS = fixtures.robots_rules(N_DOCS)
+HOST_BUDGET = 3
+GENERATIONS = 4
+
+
+def _run_engine(spark, tmp_path, n_salts=4):
+    engine = CrawlEngine(spark, str(tmp_path), N_DOCS,
+                         host_budget=HOST_BUDGET, n_salts=n_salts)
+    engine.bootstrap(SEEDS, ROBOTS)
+    docs = X.docs_dataframe(spark, N_DOCS, partitions=8)
+    totals = engine.run(docs, GENERATIONS)
+    log = sorted(
+        (r.scheduled_seq, r.url_hash, r.url, r.doc_id, r.generation)
+        for r in engine.fetch_log().collect())
+    seen = {r.url_hash: r.url for r in engine.seen().collect()}
+    return totals, log, seen
+
+
+@pytest.fixture(scope="module")
+def oracle_result():
+    return crawl_oracle(N_DOCS, SEEDS, ROBOTS, HOST_BUDGET, GENERATIONS)
+
+
+@pytest.fixture(scope="module")
+def engine_result(spark, tmp_path_factory):
+    return _run_engine(spark, tmp_path_factory.mktemp("crawl_a"))
+
+
+def test_crawl_order_exact_match(engine_result, oracle_result):
+    _, log, _ = engine_result
+    expected = [(seq, h, url, doc_id, gen)
+                for seq, h, url, doc_id, gen in oracle_result["fetch_log"]]
+    assert [(r[0], r[1], r[2], r[3], r[4]) for r in log] == expected
+
+
+def test_seen_set_exact_match(engine_result, oracle_result):
+    _, _, seen = engine_result
+    assert seen == oracle_result["seen"]
+
+
+def test_throughput_counters(engine_result, oracle_result):
+    totals, log, _ = engine_result
+    assert totals["urls_scheduled"] == len(oracle_result["fetch_log"]) == len(log)
+    assert totals["docs_parsed"] > 0
+
+
+def test_order_invariant_across_parallelism(spark, tmp_path_factory,
+                                            engine_result):
+    """Same fetch_log with a different salt count and shuffle layout —
+    ordering is defined by data, not by task scheduling."""
+    _, log_a, seen_a = engine_result
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        _, log_b, seen_b = _run_engine(
+            spark, tmp_path_factory.mktemp("crawl_b"), n_salts=7)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert log_a == log_b
+    assert seen_a == seen_b
+
+
+def test_resume_from_checkpoint(spark, tmp_path_factory, oracle_result):
+    """2 generations, then resume for 2 more == 4 straight generations."""
+    path = tmp_path_factory.mktemp("crawl_resume")
+    engine = CrawlEngine(spark, str(path), N_DOCS, host_budget=HOST_BUDGET)
+    engine.bootstrap(SEEDS, ROBOTS)
+    docs = X.docs_dataframe(spark, N_DOCS, partitions=8)
+    engine.run(docs, 2)
+    engine2 = CrawlEngine(spark, str(path), N_DOCS, host_budget=HOST_BUDGET)
+    engine2.run(docs, 2)
+    log = sorted((r.scheduled_seq, r.url_hash, r.url, r.doc_id, r.generation)
+                 for r in engine2.fetch_log().collect())
+    assert [(r[0], r[1], r[2], r[3], r[4]) for r in log] == \
+        oracle_result["fetch_log"]
+
+
+def test_robots_disallowed_never_fetched(engine_result):
+    _, log, seen = engine_result
+    fetched_urls = {r[2] for r in log}
+    for url in fetched_urls:
+        from akf_cdparser_spark.crawl.robots import robots_allowed_py
+        assert robots_allowed_py(url, ROBOTS), url
+    # disallowed URLs land in seen (decision made) but never in the log
+    disallowed_in_seen = [u for u in seen.values()
+                          if not __import__(
+                              "akf_cdparser_spark.crawl.robots",
+                              fromlist=["robots_allowed_py"]
+                          ).robots_allowed_py(u, ROBOTS)]
+    for u in disallowed_in_seen:
+        assert u not in fetched_urls
+
+
+def test_bloom_prefilter_never_false_negative(spark):
+    """Bloom/cuckoo may say 'maybe' for unseen URLs, never 'no' for seen."""
+    hashes = [(hash64_py(fixtures.url_for(i)),) for i in range(400)]
+    seen = spark.createDataFrame(hashes, "url_hash long")
+    shards = bloom.build_shards(seen, n_shards=8)
+    cand = spark.createDataFrame(
+        [(hash64_py(fixtures.url_for(i)),) for i in range(800)],
+        "url_hash long")
+    tagged = bloom.prefilter_candidates(cand, shards, n_shards=8)
+    rows = {r.url_hash: r.maybe_seen for r in tagged.collect()}
+    for i in range(400):
+        assert rows[hash64_py(fixtures.url_for(i))] is True  # no false negatives
+
+
+def test_cuckoo_spill_on_hot_shard():
+    """A dense shard is rebuilt as a cuckoo filter; membership stays exact
+    for inserted items."""
+    rng = np.arange(1, 5001, dtype=np.int64) * 2_654_435_761 % (1 << 60)
+    blob = bloom._build_cuckoo(rng)
+    table = np.frombuffer(blob, dtype=np.uint16).reshape(-1, 4)
+    hits = bloom._cuckoo_contains(table, rng)
+    assert hits.mean() > 0.995  # partial-walk cuckoo: near-exact membership
+
+
+def test_canonicalize_rules():
+    assert canonicalize_url("HTTP://Example.COM:80//a/./b/../c/?b=2&a=1#frag") \
+        == "http://example.com/a/c?a=1&b=2"
+    assert canonicalize_url("https://x.de:443/path/") == "https://x.de/path"
+    assert canonicalize_url("akf://cd2005/0003.html") == "akf://cd2005/0003.html"
