@@ -77,26 +77,29 @@ def seeds_frontier(spark: SparkSession, seeds: list[dict]) -> DataFrame:
 
 
 def global_sequence(df: DataFrame, order_cols: list[str], start: int,
-                    out_col: str = "scheduled_seq") -> DataFrame:
+                    out_col: str = "scheduled_seq") -> tuple[DataFrame, int]:
     """Deterministic global rank without a single-partition window:
     range-partitioned sort, per-partition row_number, driver-side offsets
-    (one tiny count per partition)."""
+    (one tiny count per partition). Returns (df, n_rows) — the count comes
+    free from the offsets pass."""
     n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
     ordered = (df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
                .withColumn("_pid", F.spark_partition_id()))
+    ordered = ordered.persist()
     counts = {r["_pid"]: r["n"] for r in
               ordered.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
     if not counts:
-        return ordered.drop("_pid").withColumn(out_col, F.lit(start))
+        return ordered.drop("_pid").withColumn(out_col, F.lit(start)), 0
     offsets, acc = {}, start
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
     omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
-    return (ordered
-            .withColumn(out_col, omap[F.col("_pid")] + F.row_number().over(w) - 1)
-            .drop("_pid"))
+    out = (ordered
+           .withColumn(out_col, omap[F.col("_pid")] + F.row_number().over(w) - 1)
+           .drop("_pid"))
+    return out, acc - start
 
 
 def schedule_generation(candidates: DataFrame, host_budget: int,
@@ -165,18 +168,30 @@ def resolve_docs(scheduled: DataFrame, docs: DataFrame) -> DataFrame:
 
 class CrawlEngine:
     def __init__(self, spark: SparkSession, state_dir: str, n_docs: int,
-                 host_budget: int = 4, n_shards: int = 16, n_salts: int = 4):
+                 host_budget: int = 4, n_shards: int = 16, n_salts: int = 4,
+                 bloom_rebuild_every: int = 2):
         self.spark = spark
         self.store = StateStore(spark, state_dir)
         self.n_docs = n_docs
         self.host_budget = host_budget
         self.n_shards = n_shards
         self.n_salts = n_salts
+        # stale shards are safe: bloom is a prefilter, exactness comes from
+        # the left_anti against the exact seen set — rebuilding every K
+        # generations only trades a few extra "maybe" probes for K-1 fewer
+        # rebuild jobs per cycle
+        self.bloom_rebuild_every = max(1, bloom_rebuild_every)
 
     # -- state access -------------------------------------------------------
 
     def _empty(self, schema) -> DataFrame:
         return self.spark.createDataFrame([], schema)
+
+    def _read_seen(self) -> DataFrame:
+        """Union of all committed per-generation seen deltas (append-only)."""
+        import os
+        root = os.path.join(self.store.root, "seen")
+        return self.spark.read.schema(SEEN_SCHEMA).parquet(root)
 
     def bootstrap(self, seeds: list[dict], robots_rules: list[dict]) -> None:
         frontier = seeds_frontier(self.spark, seeds)
@@ -198,11 +213,11 @@ class CrawlEngine:
         for gen in range(start_gen + 1, start_gen + 1 + generations):
             t0 = time.time()
             frontier = self.store.read("frontier", gen - 1)
-            seen = self.store.read("seen", gen - 1)
-            seq_start = self.store.read("fetch_log", gen - 1).count() \
-                if self.store.exists("fetch_log", gen - 1) else 0
+            seen = self._read_seen()
+            seq_start = int(self.store.latest_stats().get("seq_end", 0))
 
             stats = self._generation(gen, frontier, seen, robots, docs, seq_start)
+            stats["seq_end"] = seq_start + stats["urls_scheduled"]
             stats["wall_ms"] = int((time.time() - t0) * 1000)
             self.store.commit(gen, ["frontier", "seen", "fetch_log"], stats)
             totals["urls_scheduled"] += stats["urls_scheduled"]
@@ -223,28 +238,37 @@ class CrawlEngine:
                      F.min("depth").alias("depth")))
 
         # 2. unseen filter: bloom/cuckoo prefilter, exact anti-join resolve
-        if self.store.exists("bloom_shards", gen - 1):
-            shards = self.store.read("bloom_shards", gen - 1)
+        shard_gen = next((g for g in range(gen - 1, 0, -1)
+                          if self.store.exists("bloom_shards", g)), None)
+        if shard_gen is not None:
+            shards = self.store.read("bloom_shards", shard_gen)
             tagged = bloom.prefilter_candidates(cand, shards, self.n_shards)
             definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
             needs_check = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+            # shards may be a few generations stale: a 'definitely unseen'
+            # verdict only covers the set as of shard_gen — still anti-join
+            # the (small) deltas seen since then, or a recently-seen URL
+            # would be re-scheduled
+            recent = seen.filter(F.col("generation") > shard_gen)
+            definitely_new = definitely_new.join(
+                recent.select("url_hash"), "url_hash", "left_anti")
             resolved = needs_check.join(
                 seen.select("url_hash"), "url_hash", "left_anti")
             unseen = definitely_new.unionByName(resolved)
         else:
             unseen = cand.join(seen.select("url_hash"), "url_hash", "left_anti")
 
-        # 3. robots gate (broadcast prefix rules)
-        gated = apply_robots(unseen, robots)
+        # 3. robots gate (broadcast prefix rules); persisted — the gated set
+        # feeds scheduling AND two state writes, don't recompute the chain
+        gated = apply_robots(unseen, robots).persist()
         allowed = gated.filter(F.col("allowed")).drop("allowed")
         disallowed = gated.filter(~F.col("allowed")).drop("allowed")
 
         # 4. politeness schedule + deterministic global crawl order
         scheduled = schedule_generation(allowed, self.host_budget, self.n_salts)
-        scheduled = global_sequence(
+        scheduled, n_scheduled = global_sequence(
             scheduled, ["next_fetch_time", "url_hash", "url"], seq_start)
         scheduled = scheduled.persist()
-        n_scheduled = scheduled.count()
 
         # 5. fetch + parse + discover
         fetched = resolve_docs(scheduled, docs)
@@ -258,24 +282,21 @@ class CrawlEngine:
                              .withColumn("depth", F.lit(gen))
                              .select([f.name for f in FRONTIER_SCHEMA.fields]))
 
-        # 6. state transition (all joins, no first-writer-wins anywhere)
+        # 6. state transition (all joins, no first-writer-wins anywhere);
+        # seen is APPEND-ONLY: only this generation's delta is written
         newly_seen = (scheduled.select("url_hash", "url")
                       .unionByName(disallowed.select("url_hash", "url"))
-                      .withColumn("generation", F.lit(gen)))
-        seen_next = seen.unionByName(newly_seen)
-        scheduled_hashes = scheduled.select("url_hash")
+                      .withColumn("generation", F.lit(gen))).persist()
         frontier_next = (frontier
                          .join(newly_seen.select("url_hash"), "url_hash", "left_anti")
                          .unionByName(new_frontier_rows))
 
+        # incremental log: only this generation's delta is written; readers
+        # union the per-generation partitions (never rewrite a growing log)
         fetch_log_new = (scheduled
                          .join(fetched.select("url_hash", "doc_id"), "url_hash")
                          .select("scheduled_seq", "url_hash", "url", "doc_id")
                          .withColumn("generation", F.lit(gen)))
-        fetch_log_prev = (self.store.read("fetch_log", gen - 1)
-                          if self.store.exists("fetch_log", gen - 1)
-                          else self._empty(fetch_log_new.schema))
-        fetch_log = fetch_log_prev.unionByName(fetch_log_new)
 
         # 7. lineage + metrics planes
         lineage = X.lineage_table(parsed).withColumn("generation", F.lit(gen))
@@ -284,15 +305,18 @@ class CrawlEngine:
                    .agg(F.sum("call_count").alias("call_count"))
                    .withColumn("generation", F.lit(gen)))
 
-        # 8. commit snapshot (+ refreshed bloom shards over the exact set)
-        self.store.write("seen", seen_next, gen)
+        # 8. commit snapshot (+ periodically refreshed bloom shards)
+        self.store.write("seen", newly_seen, gen)
         self.store.write("frontier", frontier_next, gen)
-        self.store.write("fetch_log", fetch_log, gen)
+        self.store.write("fetch_log", fetch_log_new, gen)
         self.store.write("lineage", lineage, gen)
         self.store.write("metrics", metrics, gen)
-        self.store.write("bloom_shards",
-                         bloom.build_shards(self.store.read("seen", gen),
-                                            self.n_shards), gen)
+        if gen % self.bloom_rebuild_every == 0:
+            self.store.write("bloom_shards",
+                             bloom.build_shards(self._read_seen(),
+                                                self.n_shards), gen)
+        gated.unpersist()
+        newly_seen.unpersist()
         scheduled.unpersist()
         parsed.unpersist()
         return {"urls_scheduled": n_scheduled, "docs_parsed": n_parsed}
@@ -300,9 +324,10 @@ class CrawlEngine:
     # -- results -------------------------------------------------------------
 
     def fetch_log(self) -> DataFrame:
-        gen = self.store.latest_generation()
-        return self.store.read("fetch_log", gen)
+        """Union of all committed per-generation log deltas."""
+        import os
+        root = os.path.join(self.store.root, "fetch_log")
+        return self.spark.read.parquet(root)
 
     def seen(self) -> DataFrame:
-        gen = self.store.latest_generation()
-        return self.store.read("seen", gen)
+        return self._read_seen()

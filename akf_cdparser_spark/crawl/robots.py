@@ -16,21 +16,28 @@ from .canonicalize import host_of
 def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     """candidates(url, host, ...) x robots(host, rule, allow) -> candidates
     with ``allowed`` per longest-prefix rule; hosts with no rules default to
-    allowed."""
+    allowed.
+
+    Window-free plan: rules are aggregated per host into an array, broadcast,
+    and the longest matching prefix is picked with a single JVM-side
+    ``aggregate`` over that (tiny) array — one broadcast join, no shuffle,
+    no per-URL row_number."""
     path = F.regexp_replace(F.col("url"), r"^[a-z0-9+.\-]+://[^/]*", "")
-    cand = candidates.withColumn("_path", path)
-    r = robots.select(F.col("host").alias("_rhost"), "rule", "allow")
-    joined = cand.join(F.broadcast(r),
-                       (F.col("host") == F.col("_rhost"))
-                       & F.col("_path").startswith(F.col("rule")), "left")
-    # longest matching rule per URL wins; no match -> allowed
-    from pyspark.sql import Window
-    w = (Window.partitionBy(*[F.col(c) for c in candidates.columns])
-         .orderBy(F.desc(F.length("rule"))))
-    ranked = joined.withColumn("_rn", F.row_number().over(w))
-    return (ranked.filter(F.col("_rn") == 1)
-            .withColumn("allowed", F.coalesce(F.col("allow"), F.lit(True)))
-            .drop("_rn", "_rhost", "rule", "allow", "_path"))
+    per_host = (robots.groupBy("host")
+                .agg(F.collect_list(F.struct("rule", "allow")).alias("_rules"))
+                .withColumnRenamed("host", "_rhost"))
+    cand = (candidates.withColumn("_path", path)
+            .join(F.broadcast(per_host),
+                  F.col("host") == F.col("_rhost"), "left"))
+    best = F.aggregate(
+        F.coalesce(F.col("_rules"), F.array()),
+        F.struct(F.lit(-1).alias("rlen"), F.lit(True).alias("allow")),
+        lambda acc, r: F.when(
+            F.col("_path").startswith(r.rule) & (F.length(r.rule) > acc.rlen),
+            F.struct(F.length(r.rule).alias("rlen"), r.allow.alias("allow"))
+        ).otherwise(acc))
+    return (cand.withColumn("allowed", best.allow)
+            .drop("_rhost", "_rules", "_path"))
 
 
 def robots_allowed_py(url: str, rules: list[dict]) -> bool:

@@ -46,6 +46,12 @@ class StateStore:
                 if m.get("committed")]
         return max(gens) if gens else None
 
+    def latest_stats(self) -> dict:
+        """Stats of the latest committed snapshot (e.g. cumulative
+        ``seq_end``) — avoids re-counting state tables on resume."""
+        entries = [m for m in self._read_manifest() if m.get("committed")]
+        return entries[-1] if entries else {}
+
     # -- tables --------------------------------------------------------------
 
     def _path(self, table: str, generation: int) -> str:

@@ -44,8 +44,10 @@ _LAST = ["Kubis", "Langer", "Speiser", "Schmidt", "Weber", "Maier", "Vogel", "Br
 
 
 def company_name(i: int) -> str:
+    """Unique per doc index (the numeral makes the CD page index bijective,
+    so the cross-reference graph spans the whole corpus)."""
     stem = _COMPANY_STEMS[i % len(_COMPANY_STEMS)]
-    return f"{stem} {'International ' if i % 3 == 0 else ''}AG"
+    return f"{stem} {i:04d} {'International ' if i % 3 == 0 else ''}AG"
 
 
 def doc_id_for(i: int) -> str:

@@ -549,7 +549,7 @@ _CITIES_SQL = "['" + "','".join(fixtures._CITIES) + "']"
 
 Q30_SQL = f"""
 SELECT printf('%d/%04d', 1999 + (i % 7), i) AS doc_id,
-       {_STEMS_SQL}[(i % 26) + 1] ||
+       {_STEMS_SQL}[(i % 26) + 1] || printf(' %04d', i) ||
          CASE WHEN i % 3 = 0 THEN ' International AG' ELSE ' AG' END AS name,
        CAST(500000 + (i * 37) % 400000 AS VARCHAR) AS wkn,
        CASE WHEN i % 17 = 0 THEN 'Insolvenz' ELSE 'aktiv' END AS status,

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark runner — prints ONE JSON line.
+
+Headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] (default 32): the relational shell, the
+training-data ops (dedup/minhash/ANN/quality), the extraction kernel over
+the synthetic spans corpus, and a crawl-frontier run whose URL-scheduling /
+doc-parsing throughput is the authoritative metric (BASELINE.json:2).
+
+Output: {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ...,
+         "crawl": {"urls_per_sec": ..., "docs_per_sec": ...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def run_bench(sf_dir: str, cpus: str) -> dict:
+    from akf_cdparser_spark.session import get_spark
+    from akf_cdparser_spark.plans.queries import REGISTRY
+    from akf_cdparser_spark.operators import extract as X
+    from akf_cdparser_spark.crawl.frontier import CrawlEngine
+    from akf_cdparser_spark import fixtures
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(8, int(cpus)))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    headline = [
+        "q01_pricing_summary", "q02_top_customers", "q07_topk_orders_per_customer",
+        "q09_sessionize", "q12_range_join", "q13_event_pivot",
+        "q21_quality", "q24_dedup_exact", "q25_minhash_bands",
+        "q26_simhash", "q27_embedding_topk", "q28_lse_histogram",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # extraction throughput over the synthetic spans corpus
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1500"))
+    t0 = time.time()
+    X.extract_records(X.docs_dataframe(spark, n_docs)) \
+        .write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    timings["extract_records"] = round(dt, 3)
+    extract_docs_per_sec = round(n_docs / dt, 1)
+
+    # crawl frontier throughput (urls scheduled + docs parsed per second)
+    crawl_docs = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_DOCS", "1200"))
+    with tempfile.TemporaryDirectory() as state_dir:
+        engine = CrawlEngine(spark, state_dir, crawl_docs, host_budget=40,
+                             n_shards=16, n_salts=4)
+        engine.bootstrap(fixtures.seed_urls(max(50, crawl_docs // 10), crawl_docs),
+                         fixtures.robots_rules(crawl_docs))
+        docs = X.docs_dataframe(spark, crawl_docs)
+        t0 = time.time()
+        totals = engine.run(docs, generations=3)
+        crawl_wall = time.time() - t0
+    timings["crawl_3gen"] = round(crawl_wall, 3)
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline suite wall time (relational+dedup+ANN+extraction"
+                  "+crawl) on local[" + cpus + "]",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus),
+        "extract_docs_per_sec": extract_docs_per_sec,
+        "crawl": {
+            "urls_scheduled": totals["urls_scheduled"],
+            "docs_parsed": totals["docs_parsed"],
+            "urls_per_sec": round(totals["urls_scheduled"] / crawl_wall, 1),
+            "docs_per_sec": round(totals["docs_parsed"] / crawl_wall, 1),
+        },
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
