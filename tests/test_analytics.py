@@ -1,0 +1,85 @@
+"""Behavioral tests for the training-data ops: dedup (exact / MinHash-LSH /
+SimHash / n-gram Jaccard) on a corpus with PLANTED duplicates, and ANN
+recall vs the brute-force baseline. (Value-level parity with DuckDB is
+covered by tests/test_oracle_parity.py.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from akf_cdparser_spark.analytics import dedup, similarity
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep dark forest where nobody ever goes at night")
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        ("d00", BASE),
+        ("d01", BASE),                                  # exact dup of d00
+        ("d02", BASE.replace("quick", "speedy")),       # near dup of d00
+        ("d03", BASE.replace("dog and then", "cat that later")),  # near dup
+        ("d04", "completely different words about spark and parquet tables "
+                "partitions shuffles joins aggregations windows and codegen"),
+        ("d05", "yet another unrelated document mentioning bloom filters "
+                "cuckoo hashing politeness budgets and crawl frontiers"),
+        ("d06", "  the   quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest where nobody ever "
+                "goes at night "),                      # whitespace variant
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_dedup_groups(planted):
+    rows = {r.doc_id: r for r in dedup.exact_dedup(planted).collect()}
+    # d00/d01/d06 normalize to the same fingerprint
+    assert rows["d00"].group_size == 3
+    assert rows["d01"].canonical_doc_id == "d00"
+    assert rows["d06"].is_canonical is False
+    assert rows["d04"].group_size == 1
+
+
+def test_minhash_lsh_finds_near_dups(planted):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dedup.minhash_candidates(planted).collect()}
+    assert pairs[("d00", "d01")] == 1.0
+    near = [p for p in pairs if set(p) & {"d02", "d03"}]
+    assert near, "near duplicates must surface as LSH candidates"
+    assert ("d00", "d04") not in pairs
+
+
+def test_ngram_jaccard_threshold(planted):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(planted, threshold=0.5).collect()}
+    assert pairs[("d00", "d01")] == 1.0
+    assert ("d00", "d02") in pairs  # one-token edit keeps most shingles
+    assert all(not ({"d04", "d05"} <= set(p)) for p in pairs)
+
+
+def test_simhash_near_dups(planted):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(planted).collect()}
+    assert sh["d00"] == sh["d01"] == sh["d06"]  # identical token multisets
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.simhash_near_dups(planted, max_hamming=6).collect()}
+    assert pairs[("d00", "d01")] == 0
+    assert all(not ({"d00", "d04"} <= set(p)) for p in pairs)
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").head()[0])
+    qids = [int(r.vec_id) for r in emb.select("vec_id").orderBy("vec_id").limit(3).collect()]
+    exact = {(r.query_id, r.vec_id)
+             for r in similarity.cosine_topk_bruteforce(emb, qids, k=5).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in similarity.cosine_topk_lsh(emb, qids, dim, k=5,
+                                                  n_planes=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3  # 4-plane LSH on small corpus: coarse but useful
+
+
+def test_embedding_near_dups_are_symmetric_free(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = similarity.embedding_near_dups(emb, threshold=0.9,
+                                           n_planes=4).collect()
+    assert all(r.vec_a < r.vec_b for r in pairs)

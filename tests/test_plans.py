@@ -1,0 +1,68 @@
+"""Physical-plan quality gates: the optimizations SURVEY §4 promises must
+actually appear in the plans — filter pushdown to the parquet scan, column
+pruning, map-side partial aggregation, broadcast joins for dimensions,
+top-k without a global sort, binary-column pruning, whole-stage codegen."""
+
+import re
+
+import pytest
+
+from akf_cdparser_spark.analytics import multimodal
+from akf_cdparser_spark.operators import extract as X
+from akf_cdparser_spark.plans.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+def test_q01_scan_quality(spark):
+    p = _plan(spark, REGISTRY["q01_pricing_summary"][0](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    assert p.count("HashAggregate") >= 2          # partial + final
+    assert "l_tax" not in p                        # column pruning
+    # whole-stage codegen spans: AQE finalizes the physical plan only at
+    # execution, so run the query and inspect the executed plan's * markers
+    df = REGISTRY["q01_pricing_summary"][0](spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed  # codegen stage ids like *(1), *(2)
+
+
+def test_q02_broadcast_and_topk(spark):
+    p = _plan(spark, REGISTRY["q02_top_customers"][0](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p            # top-k, no global sort
+
+
+def test_q04_dimension_broadcasts(spark):
+    p = _plan(spark, REGISTRY["q04_region_rollup"][0](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_q20_column_pruning(spark):
+    p = _plan(spark, REGISTRY["q20_token_count"][0](spark, SF))
+    m = re.search(r"ReadSchema: (.*)", p)
+    assert m and "lang" not in m.group(1) and "source" not in m.group(1)
+
+
+def test_q27_query_side_broadcast(spark):
+    p = _plan(spark, REGISTRY["q27_embedding_topk"][0](spark, SF))
+    assert "Broadcast" in p
+
+
+def test_multimodal_binary_pruned(spark):
+    docs = X.docs_dataframe(spark, 8)
+    media = multimodal.synth_media(spark, docs)
+    p = _plan(spark, multimodal.metadata_only(media))
+    out = re.search(r"Output.*", p)
+    assert out and "content" not in out.group(0)
+
+
+def test_q06_filters_pushed(spark):
+    p = _plan(spark, REGISTRY["q06_revenue_filter"][0](spark, SF))
+    assert "PushedFilters: [IsNotNull" in p

@@ -1,0 +1,67 @@
+"""Structured Streaming smoke: streaming extraction over a docs directory,
+watermarked windows, stateful sessionization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from akf_cdparser_spark.operators import extract as X
+from akf_cdparser_spark.streaming import pipeline
+
+
+def test_stream_extract(spark, tmp_path):
+    docs_dir = str(tmp_path / "docs_stream")
+    X.docs_dataframe(spark, 16).write.parquet(docs_dir)
+    q = pipeline.stream_extract(spark, docs_dir, query_name="t_stream_extract")
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM t_stream_extract")
+        assert out.count() == 16
+        assert out.filter(F.col("name").isNull()).count() == 0
+    finally:
+        q.stop()
+
+
+def test_windowed_counts_batch_streaming_agree(spark, tmp_path):
+    """The same windowed aggregation gives the same answer on a batch frame
+    and on a stream over the same files (complete mode)."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = pipeline.windowed_event_counts(events)
+    expected = {(r.window_start, r.event_type): (r.n, r.sum_value)
+                for r in batch.collect()}
+
+    stream_src = (spark.readStream.schema(events.schema)
+                  .parquet("/root/testdata/sf0.001"))
+    agg = pipeline.windowed_event_counts(stream_src)
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName("t_windows").start())
+    try:
+        q.processAllAvailable()
+        got = {(r.window_start, r.event_type): (r.n, r.sum_value)
+               for r in spark.sql("SELECT * FROM t_windows").collect()}
+        assert got == expected
+    finally:
+        q.stop()
+
+
+def test_sessionize_stream_state(spark, tmp_path):
+    """Stateful operator accumulates per-user state across micro-batches."""
+    src_dir = str(tmp_path / "evt")
+    events = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+              .filter(F.col("user_id") < 5)
+              .select("user_id", "value"))
+    events.write.parquet(src_dir)
+    stream = (spark.readStream.schema(events.schema).parquet(src_dir))
+    q = (pipeline.sessionize_stream(stream)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("t_sessions")
+         .trigger(availableNow=True).start())
+    try:
+        assert q.awaitTermination(120)
+        rows = {r.user_id: (r.n_events, r.sum_value)
+                for r in spark.sql("SELECT * FROM t_sessions").collect()}
+        expected = {r.user_id: r.n for r in
+                    events.groupBy("user_id")
+                    .agg(F.count("*").alias("n")).collect()}
+        assert {u: n for u, (n, _s) in rows.items()} == expected
+    finally:
+        q.stop()
