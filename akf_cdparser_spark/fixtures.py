@@ -194,6 +194,75 @@ def synth_html(i: int, n_docs: int) -> str:
         f'<td align="RIGHT" valign="TOP">{2 + i % 5},{(i * 9) % 100:02d}</td></tr>',
         "</table>",
     ]
+    # category-subset variants (FIXTURES.md: the corpus mixes multi-exchange
+    # blocks, dividend tables, dynamic-pivot tables across docs)
+    if i % 2 == 0:
+        lines += [
+            "<b>Dividenden/Ausschüttung</b><br>",
+            '<table cellpadding="0" cellspacing="0" border="0" width="100%">',
+            "<tr>",
+            "<td></td>",
+            f'<td align="RIGHT" width="15%"><b>{year0}</b></td>',
+            f'<td align="RIGHT" width="15%"><b>{year0 + 1}</b></td></tr>',
+            "<tr>",
+            "<td>Dividende</td>",
+            f'<td align="RIGHT">EUR {i % 4}</td>',
+            f'<td align="RIGHT">EUR {(i + 1) % 4}</td></tr>',
+            "<tr>",
+            "<td>Bonus</td>",
+            '<td align="RIGHT">-</td>',
+            '<td align="RIGHT">-</td></tr>',
+            "</table>",
+        ]
+    if i % 3 == 0:
+        lines += [
+            "<center><b>Kennzahlen</b></center><br>",
+            '<table width="100%">',
+            "  <tr>",
+            "<td><b>Konzern</b></td>",
+            f'  <td align="right" width="15%"><b>{year0}</b></td>',
+            f'  <td align="right" width="15%"><b>{year0 + 1}</b></td>',
+            "  </tr>",
+            "  <tr>",
+            "<td>Investitionen (Mio EUR)</td>",
+            f'  <td align="right" width="15%">{i % 9},{i % 10}</td>',
+            f'  <td align="right" width="15%">{(i + 3) % 9},{i % 10}</td>',
+            "  </tr>",
+            "  <tr>",
+            "<td>Eigenkapitalquote (%)</td>",
+            f'  <td align="right" width="15%">{20 + i % 60},{i % 10}</td>',
+            f'  <td align="right" width="15%">{20 + (i + 7) % 60},{i % 10}</td>',
+            "  </tr>",
+            "</table>",
+            "i) gemäß IAS<br>",
+        ]
+    if i % 4 == 0:
+        lines += [
+            "<br><center><b>Aus den Bilanzen (in TEUR)</b></center><br>",
+            '<table width="100%"><tr>  <td width="40%"><b></b></td>  '
+            f'<td align="RIGHT" width="15%"><b>{year0}</b></td>  '
+            f'<td align="RIGHT" width="15%"><b>{year0 + 1}</b></td></tr></table>',
+            '<table width="100%">',
+            '  <tr>  <td width="40%"><b>Aktiva</b></td>  '
+            '<td align="RIGHT" width="15%"><b></b></td>  '
+            '<td align="RIGHT" width="15%"><b></b></td>  </tr>',
+            f'  <tr>  <td width="40%">Anlagevermögen</td>  '
+            f'<td align="RIGHT" width="15%">{1000 + i}</td>  '
+            f'<td align="RIGHT" width="15%">{1100 + i}</td>  </tr>',
+            f'  <tr>  <td width="40%">Vorräte</td>  '
+            f'<td align="RIGHT" width="15%">{500 + i}</td>  '
+            f'<td align="RIGHT" width="15%">{600 + i}</td>  </tr>',
+            "</table>",
+        ]
+    if i % 5 == 0:
+        # second exchange listing (multi-exchange docs -> boersenbewertung2)
+        lines += [
+            f"ISIN: DE000{isin_core}5, Vorzugsaktien<br>",
+            f"Wertpapier-Kenn-Nr.: {wkn + 1}, Vorzugsaktien<br>",
+            "<b>Notiert:</b>",
+            "Freiverkehr Hamburg",
+            "<br>",
+        ]
     lines += [
         "<br><center><h5><table><tr>",
         '<td align="center"><b>Sonstige Angaben</b></td></tr></table></h5></center>',
