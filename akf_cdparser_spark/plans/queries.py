@@ -337,6 +337,140 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q16_cube(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.cube("event_type", (F.col("user_id") % 10).alias("user_bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+Q16_SQL = """
+SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY CUBE (event_type, user_id % 10)
+"""
+
+
+def q17_except_intersect(spark, sf_dir):
+    """Set ops: buyers who never errored (except) and clickers who also
+    purchased (intersect)."""
+    e = _t(spark, sf_dir, "events")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    errorers = e.filter(F.col("event_type") == "error").select("user_id")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id")
+    clean_buyers = buyers.distinct().exceptAll(errorers.distinct()) \
+        .withColumn("cohort", F.lit("clean_buyer"))
+    click_buyers = clickers.intersect(buyers) \
+        .withColumn("cohort", F.lit("click_buyer"))
+    return clean_buyers.unionByName(click_buyers)
+
+
+Q17_SQL = """
+SELECT user_id, 'clean_buyer' AS cohort FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+UNION ALL
+SELECT user_id, 'click_buyer' AS cohort FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+"""
+
+
+def q18_json_props(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.select("event_id",
+                     F.get_json_object("props", "$.k").alias("k"))
+            .filter(F.col("k").isNotNull())
+            .withColumn("k_int", F.col("k").cast("int")))
+
+
+Q18_SQL = """
+SELECT event_id, json_extract_string(props, '$.k') AS k,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl scheduling as a driver-gated query: the politeness queue vs a
+# closed-form SQL oracle over the same synthetic frontier
+# ---------------------------------------------------------------------------
+
+CRAWL_Q_N = 400
+CRAWL_Q_BUDGET = 12
+
+
+def q40_crawl_schedule(spark, sf_dir):
+    """One politeness scheduling round over a synthetic frontier, through
+    the ENGINE's own operators (salted two-phase top-k + range-partitioned
+    global sequencing). Oracle: identical semantics in pure SQL windows."""
+    from ..crawl.canonicalize import host_of, url_hash64
+    from ..crawl.frontier import global_sequence, schedule_generation
+
+    frontier = (spark.range(0, CRAWL_Q_N)
+                .select(F.format_string("akf://cd%d/%04d.html",
+                                        (F.lit(1999) + F.col("id") % 7).cast("int"),
+                                        F.col("id").cast("int")).alias("url"))
+                .withColumn("url_hash", url_hash64("url"))
+                .withColumn("host", host_of("url"))
+                .withColumn("next_fetch_time", (F.col("url_hash") % 3).cast("long"))
+                .withColumn("depth", F.lit(0)))
+    sched = schedule_generation(frontier, CRAWL_Q_BUDGET, n_salts=4)
+    sched, _n = global_sequence(sched, ["next_fetch_time", "url_hash", "url"], 0)
+    return sched.select("scheduled_seq", "url", "host", "url_hash",
+                        "next_fetch_time")
+
+
+Q40_SQL = f"""
+WITH frontier AS (
+  SELECT printf('akf://cd%d/%04d.html', 1999 + (i % 7), i) AS url
+  FROM UNNEST(range(0, {CRAWL_Q_N})) AS t(i)),
+identity AS (
+  SELECT url,
+         CAST(concat('0x', substr(md5(url), 1, 15)) AS BIGINT) AS url_hash,
+         regexp_extract(url, '^([a-z0-9+.\\-]+://[^/]+)', 1) AS host
+  FROM frontier),
+keyed AS (
+  SELECT url, url_hash, host, url_hash % 3 AS next_fetch_time FROM identity),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+             ORDER BY next_fetch_time, url_hash, url) AS rk
+  FROM keyed)
+SELECT row_number() OVER (ORDER BY next_fetch_time, url_hash, url) - 1
+         AS scheduled_seq,
+       url, host, url_hash, next_fetch_time
+FROM ranked WHERE rk <= {CRAWL_Q_BUDGET}
+"""
+
+
+def q41_crawl_seen_antijoin(spark, sf_dir):
+    """Frontier x seen exact anti-join on the portable 64-bit identity hash
+    (the crawl's dedupe primitive), expressed over the driver tables: which
+    order URLs are not yet in the 'seen' sample."""
+    o = _t(spark, sf_dir, "orders")
+    urls = o.select(
+        F.format_string("https://shop.example/order/%d",
+                        F.col("o_orderkey").cast("int")).alias("url"))
+    from ..crawl.canonicalize import url_hash64
+    hashed = urls.withColumn("url_hash", url_hash64("url"))
+    seen = hashed.filter(F.col("url_hash") % 5 == 0).select("url_hash")
+    return (hashed.join(seen, "url_hash", "left_anti")
+            .select("url", "url_hash"))
+
+
+Q41_SQL = """
+WITH hashed AS (
+  SELECT printf('https://shop.example/order/%d', o_orderkey) AS url,
+         CAST(concat('0x', substr(md5(printf('https://shop.example/order/%d',
+              o_orderkey)), 1, 15)) AS BIGINT) AS url_hash
+  FROM orders)
+SELECT url, url_hash FROM hashed
+WHERE url_hash % 5 <> 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # text / training-data ops over documents
 # ---------------------------------------------------------------------------
@@ -675,6 +809,9 @@ REGISTRY: dict[str, tuple] = {
     "q13_event_pivot": (q13_event_pivot, Q13_SQL),
     "q14_rollup": (q14_rollup, Q14_SQL),
     "q15_events_hourly": (q15_events_hourly, Q15_SQL),
+    "q16_cube": (q16_cube, Q16_SQL),
+    "q17_except_intersect": (q17_except_intersect, Q17_SQL),
+    "q18_json_props": (q18_json_props, Q18_SQL),
     "q20_token_count": (q20_token_count, Q20_SQL),
     "q21_quality": (q21_quality, Q21_SQL),
     "q22_langid": (q22_langid, Q22_SQL),
@@ -690,4 +827,6 @@ REGISTRY: dict[str, tuple] = {
     "q33_spans_stats": (q33_spans_stats, None),
     "q34_extract_kurse": (q34_extract_kurse, Q34_SQL),
     "q35_lineage_counts": (q35_lineage_counts, None),
+    "q40_crawl_schedule": (q40_crawl_schedule, Q40_SQL),
+    "q41_crawl_seen_antijoin": (q41_crawl_seen_antijoin, Q41_SQL),
 }

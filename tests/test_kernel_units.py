@@ -234,3 +234,44 @@ def test_paren_scanner_total(s):
     groups = textops.get_parenthesis_content(s, fill_parenthesis=True)
     for g in groups:
         assert g.startswith("(") and g.endswith(")")
+
+
+# ---------------------------------------------------------------------------
+# E2 Sitz edge branches (Postfach, large-customer PLZ, typed seats)
+# ---------------------------------------------------------------------------
+
+def test_sitz_postfach_and_plz():
+    # the PLZ branch discards every address part BEFORE the PLZ line
+    # (reference parity: lib/parser.js:288 slices past it), so the
+    # large-customer line leads and street/Postfach follow it
+    rec = DocumentParser().parse("\n".join([
+        "<html>", "<head>", "</head>", "<body>", "",
+        "<br><center><h5><table><tr>",
+        '<td align="center"><b>Sitz</b></td></tr></table></h5></center>',
+        "Großkunden-PLZ 68161 Mannheim<br>",
+        "Industriestr. 7, 68163 Mannheim<br>",
+        "Postfach 10 02 55, 68002 Mannheim<br>",
+        "Telefon:",
+        "(0621) 1-0<br>",
+        "<br><center><h5><table><tr>",
+        "</body>", "</html>"]))
+    sitz = rec["Sitz"][0]
+    assert sitz["lcustomerzip"] == "68161"
+    assert sitz["lcustomercity"] == "Mannheim"
+    assert sitz["zip"] == "68163"
+    assert sitz["city"] == "Mannheim"
+    assert sitz["POBox"] == "10 02 55"
+    assert sitz["zipPOBox"] == "68002"
+    assert sitz["phone"] == "(0621) 1-0"
+
+
+def test_sitz_city_only_block():
+    rec = DocumentParser().parse("\n".join([
+        "<html>", "<head>", "</head>", "<body>", "",
+        "<br><center><h5><table><tr>",
+        '<td align="center"><b>Sitz</b></td></tr></table></h5></center>',
+        "Heidelberg<br>",
+        "<br><center><h5><table><tr>",
+        "</body>", "</html>"]))
+    assert rec["Sitz"][0]["city"] == "Heidelberg"
+    assert "street" not in rec["Sitz"][0]
