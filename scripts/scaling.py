@@ -33,7 +33,7 @@ from akf_cdparser_spark import fixtures
 
 spark = get_spark(app_name=f"scal{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=max(4, int(cpus)))
-parts = int(cpus) * 8
+parts = int(cpus)  # one balanced wave: minimal per-task overhead
 
 def fused(batches):
     from akf_cdparser_spark.kernel import parse_document
@@ -52,7 +52,7 @@ schema = "doc_id string, name string, n_cat int"
 base.limit(200).mapInPandas(fused, schema).count()  # warm JIT/workers
 
 best = None
-for _rep in range(2):
+for _rep in range(3):
     t0 = time.time()
     base.mapInPandas(fused, schema).write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
