@@ -90,12 +90,46 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+@lru_cache(maxsize=8)
+def _gram_index(entries: tuple[str, ...]):
+    """2-gram candidate index over a (length-desc sorted) dictionary: a line
+    can only contain entry ``e`` if the line's character 2-grams include
+    ``e[:2]`` — so the scan touches ~tens of candidates instead of all
+    entries, with identical results (exactness covered by
+    tests/test_kernel_units.py::test_dict_fast_path_equals_reference)."""
+    index: dict[str, list[int]] = {}
+    always: list[int] = []
+    for pos, e in enumerate(entries):
+        if len(e) >= 2:
+            index.setdefault(e[:2], []).append(pos)
+        elif e:
+            index.setdefault(e, []).append(pos)
+        else:
+            always.append(pos)  # '' matches everything in the reference
+    return index, always
+
+
+def _candidate_positions(filtered: str, entries: tuple[str, ...]) -> list[int]:
+    index, always = _gram_index(entries)
+    grams = {filtered[i:i + 2] for i in range(len(filtered) - 1)}
+    grams.update(filtered)
+    out: set[int] = set(always)
+    for g in grams:
+        hits = index.get(g)
+        if hits:
+            out.update(hits)
+    return sorted(out)
+
+
 def check_dict_content(data: str, entries: tuple[str, ...], matching: str = "normal") -> DictHit:
     """Scan every dictionary entry (already longest-first) against ``data``.
 
     Normal path (lib/dictionaryHandler.js:183-206): accumulate each entry
     found as a substring — unless the hit is immediately followed by a letter
     (guard via the ``¦`` sentinel) — and strip it from the working string.
+    The entry loop is candidate-pruned by a 2-gram index (most lines contain
+    no dictionary entry at all); after each hit the candidate tail is
+    recomputed because stripping can join characters into new matches.
 
     ldist path (lib/dictionaryHandler.js:207-250): best normalized prefix
     Levenshtein match below threshold wins.
@@ -107,13 +141,24 @@ def check_dict_content(data: str, entries: tuple[str, ...], matching: str = "nor
     if matching == "normal":
         accu = ""
         remaining = data
-        for entry in entries:
-            filtered = _RE_FH_EXCEPTION.sub("", remaining)
+        filtered = _RE_FH_EXCEPTION.sub("", remaining)
+        cand = _candidate_positions(filtered, entries)
+        ptr = 0
+        while ptr < len(cand):
+            pos = cand[ptr]
+            ptr += 1
+            entry = entries[pos]
             if entry in filtered:
                 candidate = remaining.replace(entry, "¦", 1).replace("()", "")
                 if not textops.char_followed_by_letter(candidate):
                     accu = accu + " " + entry
                     remaining = candidate.replace("¦", "", 1)
+                    filtered = _RE_FH_EXCEPTION.sub("", remaining)
+                    # later entries see the stripped string — rebuild the
+                    # not-yet-visited candidate tail against it
+                    tail = [p for p in _candidate_positions(filtered, entries)
+                            if p > pos]
+                    cand = cand[:ptr] + sorted(set(cand[ptr:]) | set(tail))
         if accu:
             result["is_hit"] = True
             result["data_without"] = remaining.strip()

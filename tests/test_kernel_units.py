@@ -275,3 +275,47 @@ def test_sitz_city_only_block():
         "</body>", "</html>"]))
     assert rec["Sitz"][0]["city"] == "Heidelberg"
     assert "street" not in rec["Sitz"][0]
+
+
+def _dict_reference_scan(data, entries):
+    """Verbatim reference semantics (lib/dictionaryHandler.js:183-206):
+    full entry loop, no candidate pruning — differential oracle for the
+    2-gram fast path."""
+    import re
+    fh = re.compile(r"\((FH)\)")
+    accu, remaining = "", data
+    for entry in entries:
+        filtered = fh.sub("", remaining)
+        if entry in filtered:
+            cand = remaining.replace(entry, "¦", 1).replace("()", "")
+            if not textops.char_followed_by_letter(cand):
+                accu = accu + " " + entry
+                remaining = cand.replace("¦", "", 1)
+    return accu, remaining
+
+
+def test_dict_fast_path_equals_reference():
+    titles, functs = dicts.load_dictionaries()
+    samples = [
+        "Dr. Dietmar Kubis (Vors.)", "WP Klaus Langer", "Dreikirchen",
+        "Prof. Dr. jur. Dr. rer. pol. Anna Weber", "Vertrieb  Finanzen",
+        "Dipl.-Ing. (FH) Max Muster", " Jena-Wogau", "", "a(FH)b",
+        "Siegfried Eichinger (Vertrieb  Finanzen  allg. Verwaltung)",
+        "stellv. Vors. und Vorsitzender", "Marketing und Vertrieb, Ulm",
+    ]
+    for entries in (titles, functs):
+        for s in samples:
+            exp_accu, exp_rem = _dict_reference_scan(s, entries)
+            got = dicts.check_dict_content(s, entries)
+            assert got["found"] == exp_accu, (s, got["found"], exp_accu)
+            if exp_accu:  # data_without is only set on a hit (reference too)
+                assert got["data_without"] == exp_rem.strip(), s
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(alphabet="ABD abcdeforsVv.()-ü", max_size=60))
+def test_dict_fast_path_equals_reference_fuzz(s):
+    titles, _ = dicts.load_dictionaries()
+    exp_accu, _exp_rem = _dict_reference_scan(s, titles)
+    got = dicts.check_dict_content(s, titles)
+    assert got["found"] == exp_accu
