@@ -162,7 +162,7 @@ def resolve_docs(scheduled: DataFrame, docs: DataFrame) -> DataFrame:
     with_doc = scheduled.withColumn(
         "doc_id",
         F.regexp_replace(
-            F.regexp_extract("url", r"cd(\d{4}/\d{4})\.html$", 1), r"^", ""))
+            F.regexp_extract("url", r"cd(\d{4}/\d+)\.html$", 1), r"^", ""))
     return with_doc.join(docs, "doc_id", "left")
 
 

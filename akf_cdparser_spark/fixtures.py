@@ -318,7 +318,7 @@ def url_for(i: int) -> str:
 
 
 def doc_index_from_url(url: str) -> int | None:
-    m = re.search(r"/(\d{4})\.html$", url)
+    m = re.search(r"/(\d+)\.html$", url)
     return int(m.group(1)) if m else None
 
 

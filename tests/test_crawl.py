@@ -136,3 +136,11 @@ def test_canonicalize_rules():
         == "http://example.com/a/c?a=1&b=2"
     assert canonicalize_url("https://x.de:443/path/") == "https://x.de/path"
     assert canonicalize_url("akf://cd2005/0003.html") == "akf://cd2005/0003.html"
+
+
+def test_url_doc_roundtrip_beyond_9999():
+    """Doc ids grow past 4 digits at scale; URL<->doc_id mapping must stay
+    bijective (regression: \\d{4} regexes silently truncated 5-digit ids)."""
+    for i in (0, 42, 9999, 10000, 123456):
+        url = fixtures.url_for(i)
+        assert fixtures.doc_index_from_url(url) == i
