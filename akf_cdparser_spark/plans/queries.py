@@ -337,6 +337,51 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q19_asof_join(spark, sf_dir):
+    """As-of join (custom operator via cogrouped merge_asof): each click
+    event joined to the user's latest prior-or-simultaneous purchase.
+    Right side pre-aggregated per (user, ts) so ties are unambiguous."""
+    from ..analytics.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    # join on exact integer microseconds (timestamp columns returned from
+    # pandas workers convert lossily across the NTZ boundary)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "event_id", ts_us))
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", ts_us, "value")
+                 .groupBy("user_id", "ts_us")
+                 .agg(F.max("value").alias("purchase_value")))
+    joined = asof_join(clicks, purchases, on="ts_us", by="user_id",
+                       right_value_cols=["purchase_value"])
+    return joined.select(
+        "user_id", "event_id",
+        F.floor(F.col("ts_us") / 1_000_000).cast("long").alias("click_epoch"),
+        F.floor(F.col("ts_us_right") / 1_000_000).cast("long")
+        .alias("purchase_epoch"),
+        F.round("purchase_value_right", 2).alias("purchase_value"))
+
+
+Q19_SQL = """
+WITH clicks AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = 'click' AND user_id < 30),
+purchases AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS purchase_value
+  FROM events
+  WHERE event_type = 'purchase' AND user_id < 30
+  GROUP BY user_id, epoch_us(ts))
+SELECT c.user_id, c.event_id,
+       CAST(floor(c.ts_us / 1000000) AS BIGINT) AS click_epoch,
+       CAST(floor(p.ts_us / 1000000) AS BIGINT) AS purchase_epoch,
+       round(p.purchase_value, 2) AS purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+"""
+
+
 def q16_cube(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (e.cube("event_type", (F.col("user_id") % 10).alias("user_bucket"))
@@ -812,6 +857,7 @@ REGISTRY: dict[str, tuple] = {
     "q16_cube": (q16_cube, Q16_SQL),
     "q17_except_intersect": (q17_except_intersect, Q17_SQL),
     "q18_json_props": (q18_json_props, Q18_SQL),
+    "q19_asof_join": (q19_asof_join, Q19_SQL),
     "q20_token_count": (q20_token_count, Q20_SQL),
     "q21_quality": (q21_quality, Q21_SQL),
     "q22_langid": (q22_langid, Q22_SQL),
