@@ -169,7 +169,8 @@ def resolve_docs(scheduled: DataFrame, docs: DataFrame) -> DataFrame:
 class CrawlEngine:
     def __init__(self, spark: SparkSession, state_dir: str, n_docs: int,
                  host_budget: int = 4, n_shards: int = 16, n_salts: int = 4,
-                 bloom_rebuild_every: int = 2):
+                 bloom_rebuild_every: int = 2,
+                 shuffle_partitions: int | None = None):
         self.spark = spark
         self.store = StateStore(spark, state_dir)
         self.n_docs = n_docs
@@ -181,6 +182,10 @@ class CrawlEngine:
         # generations only trades a few extra "maybe" probes for K-1 fewer
         # rebuild jobs per cycle
         self.bloom_rebuild_every = max(1, bloom_rebuild_every)
+        # scheduling frames are small relative to cluster width — a capped
+        # shuffle width avoids paying task overhead on near-empty partitions
+        # (at the 10^10 design point, size this to generation row counts)
+        self.shuffle_partitions = shuffle_partitions
 
     # -- state access -------------------------------------------------------
 
@@ -207,6 +212,10 @@ class CrawlEngine:
         start_gen = self.store.latest_generation()
         if start_gen is None:
             raise RuntimeError("bootstrap() first")
+        prev_shuffle = self.spark.conf.get("spark.sql.shuffle.partitions")
+        if self.shuffle_partitions:
+            self.spark.conf.set("spark.sql.shuffle.partitions",
+                                str(self.shuffle_partitions))
         robots = self.store.read("robots", 0)
         totals = {"urls_scheduled": 0, "docs_parsed": 0, "wall_ms": 0}
         docs = docs.persist()
@@ -226,6 +235,8 @@ class CrawlEngine:
             if stats["urls_scheduled"] == 0:
                 break
         docs.unpersist()
+        if self.shuffle_partitions:
+            self.spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         return totals
 
     def _generation(self, gen: int, frontier: DataFrame, seen: DataFrame,

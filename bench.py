@@ -54,10 +54,17 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     timings["extract_records"] = round(dt, 3)
     extract_docs_per_sec = round(n_docs / dt, 1)
 
-    # crawl frontier throughput (urls scheduled + docs parsed per second)
-    crawl_docs = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_DOCS", "1200"))
+    # crawl frontier throughput (urls scheduled + docs parsed per second);
+    # generation size must dominate the fixed per-generation costs for the
+    # throughput number to reflect engine capability
+    crawl_docs = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_DOCS", "8000"))
+    # the crawl loop's scheduling frames are small: excess shuffle
+    # partitions only add task overhead (the parse stage parallelizes via
+    # the docs partitioning, not the shuffle width)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     with tempfile.TemporaryDirectory() as state_dir:
-        engine = CrawlEngine(spark, state_dir, crawl_docs, host_budget=40,
+        engine = CrawlEngine(spark, state_dir, crawl_docs,
+                             host_budget=max(40, crawl_docs // 14),
                              n_shards=16, n_salts=4)
         engine.bootstrap(fixtures.seed_urls(max(50, crawl_docs // 10), crawl_docs),
                          fixtures.robots_rules(crawl_docs))
