@@ -119,6 +119,12 @@ def synth_html(i: int, n_docs: int) -> str:
         f"<br><b>Organbezüge:\xa0</b>{year0}: Vorstand TEUR {100 + i % 900}; "
         f"Aufsichtsrat TEUR {10 + i % 90}<br>",
     ]
+    if i % 8 == 3:
+        lines += [
+            "<br><center><h5><table><tr>",
+            '<td align="center"><b>Leitung Kommunikation</b></td></tr></table></h5></center>',
+            f"{_FIRST[(i + 1) % 8]} {_LAST[(i + 2) % 8]} Telefon: 0{i % 97}-11<br>",
+        ]
     # shareholders
     lines += [
         "<br><center><h5><table><tr>",
@@ -164,6 +170,18 @@ def synth_html(i: int, n_docs: int) -> str:
         "<br>Stimmrecht: Je Stückaktie = 1 Stimme</td></tr>",
         "</table>",
     ]
+    if i % 6 == 1:
+        lines += [
+            '<table width="100%" cellpadding="0" cellspacing="0" border="0">',
+            "<tr>",
+            '<td width="50%" align="LEFT" valign="TOP"><b>Genehmigtes Kapital</b></td>',
+            f'<td width="50%" align="RIGHT" valign="TOP"><b>EUR {1 + i % 5} 000 000,00</b></td>',
+            "</tr>",
+            "<tr>",
+            f'<td align="LEFT" valign="TOP" colspan="2">Gem. HV vom {1 + i % 27}.0{1 + i % 9}.{2000 + i % 6} '
+            "<br>gegen Bar- oder Sacheinlagen</td></tr>",
+            "</table>",
+        ]
     # market section with media span + price table (two bands for i%2==0)
     lines += [
         "<br><center><h5><table><tr>",
