@@ -153,18 +153,14 @@ def spans_view(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _flatten_profile(doc_id: str, spans: list[dict]) -> dict:
+def _parse_profile(doc_id: str, text: str, n_media: int) -> dict:
     from ..kernel import parse_document
-    from ..fixtures import spans_to_text
 
     try:
-        n_media = sum(1 for s in spans if s["kind"] == "media")
-        text = spans_to_text(
-            [{**s, "text": s.get("text") or ""} for s in spans])
-        rec, lineage, counts = parse_document(text)
+        rec, lineage, counts = parse_document(text or "")
         err = "; ".join(rec.get("_errors", [])) or None
     except Exception as exc:  # never fail the job on one doc (S7)
-        return {"doc_id": doc_id, "n_media_spans": 0,
+        return {"doc_id": doc_id, "n_media_spans": n_media,
                 "error": f"{type(exc).__name__}: {exc}", "record_json": None}
 
     sitz = (rec.get("Sitz") or [{}])[0]
@@ -220,16 +216,30 @@ def _flatten_profile(doc_id: str, spans: list[dict]) -> dict:
 
 def extract_records(docs: DataFrame) -> DataFrame:
     """docs(doc_id, spans) -> one typed row per document (full record as
-    JSON + hot columns + lineage + metrics). Arrow-batched; the kernel is
-    imported inside the UDF so only the closure ships, not parsed state."""
+    JSON + hot columns + lineage + metrics).
+
+    The spans -> lines reassembly happens JVM-side (filter/sort/join inside
+    codegen) so only two flat columns cross the Arrow boundary — shipping
+    the nested span structs to Python costs ~2x the parse itself. The sort
+    mirrors kernel/fixtures.spans_to_text: text spans by offset, stable."""
 
     cols = [f.name for f in RECORDS_SCHEMA.fields]
+    text_expr = F.expr(
+        "array_join(transform(array_sort("
+        "  filter(spans, s -> s.kind = 'text'),"
+        "  (a, b) -> case when a.offset < b.offset then -1 "
+        "            when a.offset > b.offset then 1 else 0 end"
+        "), s -> coalesce(s.text, '')), '\n')")
+    n_media_expr = F.size(F.filter("spans", lambda s: s.kind == F.lit("media")))
+    slim = docs.select("doc_id", text_expr.alias("doc_text"),
+                       n_media_expr.alias("n_media"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                _flatten_profile(doc_id, list(spans))
-                for doc_id, spans in zip(pdf["doc_id"], pdf["spans"])
+                _parse_profile(doc_id, text, int(n_media))
+                for doc_id, text, n_media in zip(pdf["doc_id"], pdf["doc_text"],
+                                                 pdf["n_media"])
             ]
             out = pd.DataFrame(rows)
             for c in cols:
@@ -237,7 +247,7 @@ def extract_records(docs: DataFrame) -> DataFrame:
                     out[c] = None
             yield out[cols]
 
-    return docs.mapInPandas(run, RECORDS_SCHEMA)
+    return slim.mapInPandas(run, RECORDS_SCHEMA)
 
 
 def lineage_table(records: DataFrame) -> DataFrame:
