@@ -27,6 +27,10 @@ EMB_QUERY_IDS = [0, 7, 42, 99, 123]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # epoch projections (q09/q15/q19) must read NTZ timestamps as UTC to
+    # match the DuckDB oracle regardless of the caller session's timezone
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
