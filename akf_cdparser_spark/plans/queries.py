@@ -234,7 +234,7 @@ WITH flagged AS (
          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged)
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        CAST(floor(min(epoch(ts))) AS BIGINT) AS t_start,
        CAST(floor(max(epoch(ts))) AS BIGINT) AS t_end
 FROM sess GROUP BY user_id, session_id
