@@ -50,12 +50,16 @@ def cosine_topk_bruteforce(embeddings: DataFrame, query_ids: list[int],
 
 
 def _hyperplane(dim: int, plane_id: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane: component j of plane p is
-    derived from a fixed integer mix (no RNG — reproducible everywhere)."""
+    """Deterministic pseudo-random hyperplane: component j of plane p comes
+    from an md5 mix (no RNG state — reproducible everywhere). A plain
+    linear-congruential ramp is NOT good enough here: consecutive planes
+    end up correlated and every LSH band induces the same partition."""
+    import hashlib
+
     comps = []
     for j in range(dim):
-        v = (plane_id * 1_000_003 + j * 7919 + 12345) % 2_000_000
-        comps.append((v / 1_000_000.0) - 1.0)
+        h = hashlib.md5(f"{plane_id}:{j}".encode()).hexdigest()
+        comps.append((int(h[:8], 16) / float(0x7FFFFFFF)) - 1.0)
     return comps
 
 
@@ -91,13 +95,80 @@ def cosine_topk_lsh(embeddings: DataFrame, query_ids: list[int], dim: int,
             .select("query_id", "vec_id", "cosine", "rank"))
 
 
+def lsh_banded_bucket_keys(embeddings: DataFrame, dim: int, n_bands: int = 4,
+                           planes_per_band: int = 4) -> DataFrame:
+    """OR-AND LSH: ``n_bands`` independent sign signatures per vector, one
+    row per (vec, band). Candidates = any shared (band, bucket) — the same
+    banding trick as MinHash LSH, tunable recall at equi-join cost."""
+    bands = []
+    for b in range(n_bands):
+        sig = None
+        for p in range(planes_per_band):
+            plane = F.array(*[F.lit(c) for c in
+                              _hyperplane(dim, b * planes_per_band + p)])
+            bit = (F.when(_dot(F.col("embedding"), plane) >= 0, F.lit("1"))
+                   .otherwise(F.lit("0")))
+            sig = bit if sig is None else F.concat(sig, bit)
+        bands.append(F.struct(F.lit(b).alias("band"), sig.alias("bucket")))
+    return (embeddings
+            .select("vec_id", "embedding",
+                    F.explode(F.array(*bands)).alias("bb"))
+            .select("vec_id", "embedding", F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket")))
+
+
+def cosine_topk_lsh_banded(embeddings: DataFrame, query_ids: list[int],
+                           dim: int, k: int = 5, n_bands: int = 4,
+                           planes_per_band: int = 4,
+                           round_to: int = 4) -> DataFrame:
+    """ANN with banded LSH: candidates share at least one band bucket with
+    the query; exact cosine ranks the candidates. Equi-join on
+    (band, bucket) — never a cross product."""
+    keyed = lsh_banded_bucket_keys(embeddings, dim, n_bands, planes_per_band)
+    queries = (keyed.filter(F.col("vec_id").isin(query_ids))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb"), "band", "bucket"))
+    cands = (keyed.join(F.broadcast(queries), ["band", "bucket"])
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "q_emb", "vec_id", "embedding")
+             .dropDuplicates(["query_id", "vec_id"]))
+    scored = cands.withColumn(
+        "cosine", F.round(_dot("q_emb", "embedding")
+                          / (_norm("q_emb") * _norm("embedding")), round_to))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def ann_recall_vs_bruteforce(embeddings: DataFrame, query_ids: list[int],
+                             k: int = 5, n_bands: int = 8,
+                             planes_per_band: int = 3,
+                             dim: int = 64) -> DataFrame:
+    """Continuous gate for the ANN scale path: per-query recall@k of the
+    banded-LSH top-k against the brute-force oracle. ``dim`` is a plan-time
+    constant (pass it from config; no driver action inside the operator)."""
+    brute = (cosine_topk_bruteforce(embeddings, query_ids, k)
+             .select("query_id", "vec_id"))
+    ann = (cosine_topk_lsh_banded(embeddings, query_ids, dim, k,
+                                  n_bands, planes_per_band)
+           .select("query_id", F.col("vec_id").alias("ann_vec_id")))
+    hits = brute.join(ann, (brute.query_id == ann.query_id)
+                      & (brute.vec_id == ann.ann_vec_id), "left_semi")
+    return (brute.groupBy("query_id").agg(F.count("*").alias("n_true"))
+            .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+                  "query_id", "left")
+            .select("query_id",
+                    F.round(F.coalesce(F.col("n_hit"), F.lit(0))
+                            / F.col("n_true"), 4).alias("recall")))
+
+
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.97,
-                        dim: int | None = None, n_planes: int = 6,
+                        dim: int = 64, n_planes: int = 6,
                         round_to: int = 4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs must share
-    a sign bucket, then exact cosine filters at ``threshold``."""
-    if dim is None:
-        dim = len(embeddings.select("embedding").head()[0])
+    a sign bucket, then exact cosine filters at ``threshold``. ``dim`` is a
+    required plan-time constant (no driver action inside the operator)."""
     keyed = lsh_bucket_keys(embeddings, dim, n_planes)
     pairs = (keyed.alias("a").join(keyed.alias("b"), "bucket")
              .filter(F.col("a.vec_id") < F.col("b.vec_id"))

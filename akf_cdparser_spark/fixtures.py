@@ -103,6 +103,16 @@ def synth_html(i: int, n_docs: int) -> str:
         "e-mail:",
         f"info@firma{i}.de<br>",
         "<!-- weitere Sitze -->",
+    ]
+    if i % 9 == 4:
+        # multi-Sitz: a second typed seat block (ref lib/parser.js:262-381)
+        lines += [
+            "<br>",
+            "<b>Zweigniederlassung</b><br>",
+            f"Nebenstr. {1 + (i * 3) % 50}, {60000 + (i * 7) % 9000} "
+            f"{_CITIES[(i + 5) % len(_CITIES)]}<br>",
+        ]
+    lines += [
         "<br><center><h5><table><tr>",
         '<td align="center"><b>Tätigkeitsgebiet/Gründung</b></td></tr></table></h5></center>',
         f"{_ACTIVITIES[i % len(_ACTIVITIES)]}.<br>",
@@ -119,6 +129,26 @@ def synth_html(i: int, n_docs: int) -> str:
         f"<br><b>Organbezüge:\xa0</b>{year0}: Vorstand TEUR {100 + i % 900}; "
         f"Aufsichtsrat TEUR {10 + i % 90}<br>",
     ]
+    if i % 11 == 5:
+        # standalone Anteilseigner category (ref lib/parser.js:1046-1089).
+        # Leading <br> line: the Organbezüge handler's resume index skips
+        # the line directly after it (reference cursor parity).
+        lines += [
+            "<br>",
+            "<b>Anteilseigner:</b>",
+            f"Bund, {30 + i % 40}%<br>Land Bayern, {15 + i % 30}%",
+            "<br>",
+        ]
+    if i % 8 == 5:
+        # Public Relations block (ref lib/parser.js:895-943); leading <br>
+        # for the same cursor-skip reason as Anteilseigner above
+        lines += [
+            "<br>",
+            "<b>Public Relations:</b>",
+            f"{_FIRST[(i + 2) % 8]} {_LAST[(i + 3) % 8]};  "
+            f"Telefon: (071{i % 90:02d}) 22-0",
+            "<br>",
+        ]
     if i % 8 == 3:
         lines += [
             "<br><center><h5><table><tr>",
@@ -182,6 +212,73 @@ def synth_html(i: int, n_docs: int) -> str:
             "<br>gegen Bar- oder Sacheinlagen</td></tr>",
             "</table>",
         ]
+    if i % 6 == 3:
+        # bedingtes Kapital (ref lib/parser_tables.js:361-480)
+        lines += [
+            '<table width="100%" cellpadding="0" cellspacing="0" border="0">',
+            "<tr>",
+            '<td width="50%" align="LEFT" valign="TOP"><b>Bedingtes Kapital</b></td>',
+            f'<td width="50%" align="RIGHT" valign="TOP"><b>EUR {1 + i % 4} 500 000,00</b></td>',
+            "</tr>",
+            "<tr>",
+            '<td align="LEFT" valign="TOP" colspan="2">Wandelschuldverschreibungen '
+            f"gem. HV vom {1 + i % 27}.0{1 + i % 9}.{2000 + i % 6}</td></tr>",
+            "</table>",
+        ]
+    if i % 12 == 7:
+        # besondere Bezugsrechte (ref lib/parser_tables.js:493-602)
+        lines += [
+            '<table width="100%" cellpadding="0" cellspacing="0" border="0">',
+            "<tr>",
+            '<td width="30%" align="LEFT" valign="TOP"><b>Besondere Bezugsrechte</b></td>',
+            "<td></td>",
+            "</tr>",
+            "<tr>",
+            f'<td align="LEFT" valign="TOP">{2000 + i % 6}</td>',
+            '<td align="LEFT" valign="TOP">Belegschaftsaktien zum Vorzugskurs</td></tr>',
+            "</table>",
+        ]
+    if i % 12 == 11:
+        # Ermächtigung Aktienerwerb (ref lib/parser_tables.js:614-690)
+        lines += [
+            '<table width="100%" cellpadding="0" cellspacing="0" border="0">',
+            "<tr>",
+            '<td width="100%" align="LEFT" valign="TOP"><b>Ermächtigung Aktienerwerb</b></td>',
+            "</tr>",
+            "<tr>",
+            f'<td align="LEFT" valign="TOP">Die HV vom {1 + i % 27}.0{1 + i % 9}.'
+            f"{2000 + i % 6} ermächtigt zum Erwerb eigener Aktien</td></tr>",
+            "</table>",
+        ]
+    if i % 15 == 8:
+        # Entwicklung des Genußkapitals (ref lib/parser_tables.js:113-148)
+        lines += [
+            '<table width="100%" cellpadding="0" cellspacing="0" border="0">',
+            "<tr>",
+            '<td width="30%" align="LEFT" valign="TOP"><b>Entwicklung des Genußkapitals</b></td>',
+            "<td></td>",
+            "</tr>",
+            "<tr>",
+            f'<td align="LEFT" valign="TOP">{year0}</td>',
+            f'<td align="LEFT" valign="TOP">Ausgabe von Genußscheinen über DM {1 + i % 3} 000 000</td></tr>',
+            "</table>",
+        ]
+    if i % 12 == 6:
+        # own Kapitalangaben section -> ausgegebenes Kapital
+        # (ref lib/parser_tables.js:982-1080)
+        lines += [
+            "<br><center><h5><table><tr>",
+            '<td align="center"><b>Kapitalangaben</b></td></tr></table></h5></center>',
+            '<table width="100%" cellpadding="0" cellspacing="0" border="0">',
+            "<tr>",
+            '<td width="50%" align="LEFT" valign="TOP"><b>Ausgegebenes Kapital</b></td>',
+            f'<td width="50%" align="RIGHT" valign="TOP">EUR {3 + i % 6} 200 000,00</td>',
+            "</tr>",
+            "<tr>",
+            f'<td align="LEFT" valign="TOP" colspan="2">Stückelung: {3 + i % 6} 200 000 '
+            "Stückaktien o.N.</td></tr>",
+            "</table>",
+        ]
     # market section with media span + price table (two bands for i%2==0)
     lines += [
         "<br><center><h5><table><tr>",
@@ -212,6 +309,17 @@ def synth_html(i: int, n_docs: int) -> str:
         f'<td align="RIGHT" valign="TOP">{2 + i % 5},{(i * 9) % 100:02d}</td></tr>',
         "</table>",
     ]
+    if i % 5 == 0:
+        # second exchange listing (multi-exchange docs -> boersenbewertung2);
+        # placed directly after the price table so the E22 occurrence counter
+        # actually fires a second time (lib/callCounter.js:52-54)
+        lines += [
+            f"ISIN: DE000{isin_core}5, Vorzugsaktien<br>",
+            f"Wertpapier-Kenn-Nr.: {wkn + 1}, Vorzugsaktien<br>",
+            "<b>Notiert:</b>",
+            "Freiverkehr Hamburg",
+            "<br>",
+        ]
     # category-subset variants (FIXTURES.md: the corpus mixes multi-exchange
     # blocks, dividend tables, dynamic-pivot tables across docs)
     if i % 2 == 0:
@@ -232,6 +340,35 @@ def synth_html(i: int, n_docs: int) -> str:
             '<td align="RIGHT">-</td></tr>',
             "</table>",
         ]
+        if i % 8 == 2:
+            # Ergebnisabführung with MISSING table-start repair path: the
+            # headline sits inside the already-open table, forcing the
+            # backward scan (ref lib/parser_additions.js:37-110)
+            lines += [
+                '<table width="100%" cellpadding="0" cellspacing="0" border="0">',
+                "<tr>",
+                '<td width="40%" align="LEFT"><b>Ergebnisabführung</b></td>',
+                f'<td align="RIGHT">{year0}</td>',
+                f'<td align="RIGHT">{year0 + 1}</td></tr>',
+                "<tr>",
+                "<td></td>",
+                f'<td align="RIGHT">TEUR {300 + i}</td>',
+                f'<td align="RIGHT">TEUR {310 + i}</td></tr>',
+                "</table>",
+            ]
+        else:
+            # Ergebnisabführung, regular shape (ref lib/parser_tables.js:1298-1356)
+            lines += [
+                "<b>Ergebnisabführung</b><br>",
+                '<table width="100%" cellpadding="0" cellspacing="0" border="0">',
+                "<tr>",
+                f'<td width="40%" align="LEFT">{year0}</td>',
+                f'<td align="RIGHT">TEUR {300 + i}</td></tr>',
+                "<tr>",
+                f'<td width="40%" align="LEFT">{year0 + 1}</td>',
+                f'<td align="RIGHT">TEUR {310 + i}</td></tr>',
+                "</table>",
+            ]
     if i % 3 == 0:
         lines += [
             "<center><b>Kennzahlen</b></center><br>",
@@ -272,14 +409,21 @@ def synth_html(i: int, n_docs: int) -> str:
             f'<td align="RIGHT" width="15%">{600 + i}</td>  </tr>',
             "</table>",
         ]
-    if i % 5 == 0:
-        # second exchange listing (multi-exchange docs -> boersenbewertung2)
+    if i % 4 == 2:
+        # P&L pivot (E28, ref lib/parser_tables.js:2319-2566)
         lines += [
-            f"ISIN: DE000{isin_core}5, Vorzugsaktien<br>",
-            f"Wertpapier-Kenn-Nr.: {wkn + 1}, Vorzugsaktien<br>",
-            "<b>Notiert:</b>",
-            "Freiverkehr Hamburg",
-            "<br>",
+            "<br><center><b>Aus den Gewinn- und Verlustrechnungen (in TEUR)</b></center><br>",
+            '<table width="100%">',
+            '  <tr>  <td width="40%"><b></b></td>  '
+            f'<td align="RIGHT" width="15%"><b>{year0}</b></td>  '
+            f'<td align="RIGHT" width="15%"><b>{year0 + 1}</b></td>  </tr>',
+            f'  <tr>  <td width="40%">Umsatzerlöse</td>  '
+            f'<td align="RIGHT" width="15%">{5000 + i}</td>  '
+            f'<td align="RIGHT" width="15%">{5100 + i}</td>  </tr>',
+            f'  <tr>  <td width="40%">Jahresergebnis</td>  '
+            f'<td align="RIGHT" width="15%">{200 + i}</td>  '
+            f'<td align="RIGHT" width="15%">{220 + i}</td>  </tr>',
+            "</table>",
         ]
     lines += [
         "<br><center><h5><table><tr>",

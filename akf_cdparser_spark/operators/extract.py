@@ -79,6 +79,76 @@ KURS_STRUCT = T.StructType([
     T.StructField("kommentar", T.StringType()),
 ])
 
+DIVIDENDE_STRUCT = T.StructType([
+    T.StructField("jahr", T.StringType()),
+    T.StructField("dividende", T.StringType()),
+    T.StructField("bonus", T.StringType()),
+    T.StructField("sonderausschuettung", T.StringType()),
+    T.StructField("steuerguthaben", T.StringType()),
+    T.StructField("divscheinnr", T.StringType()),
+    T.StructField("extag", T.StringType()),
+    T.StructField("kupon_nr", T.StringType()),
+])
+
+# long-format rows for the dynamic pivots (data-dependent field names become
+# a `name` column — MapType keys relationalized; SURVEY.md §1.2)
+KENNZAHL_ROW = T.StructType([
+    T.StructField("kopfzeile", T.StringType()),
+    T.StructField("jahr", T.StringType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("value", T.StringType()),
+])
+
+BILANZ_ROW = T.StructType([
+    T.StructField("gruppe", T.StringType()),
+    T.StructField("jahr", T.StringType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("value", T.StringType()),
+    T.StructField("waehrung", T.StringType()),
+])
+
+GUV_ROW = T.StructType([
+    T.StructField("jahr", T.StringType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("value", T.StringType()),
+    T.StructField("waehrung", T.StringType()),
+])
+
+KAPITAL_ROW = T.StructType([
+    T.StructField("komponente", T.StringType()),
+    T.StructField("jahr", T.StringType()),
+    T.StructField("art", T.StringType()),
+    T.StructField("betrag", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+BB_HEAD_STRUCT = T.StructType([
+    T.StructField("callnumber", T.IntegerType()),
+    T.StructField("wkn", T.StringType()),
+    T.StructField("wkn_art", T.StringType()),
+    T.StructField("isin", T.StringType()),
+    T.StructField("isin_art", T.StringType()),
+])
+
+ERGEBNIS_STRUCT = T.StructType([
+    T.StructField("jahr", T.StringType()),
+    T.StructField("betrag", T.StringType()),
+])
+
+EIGNER_STRUCT = T.StructType([
+    T.StructField("eigner", T.StringType()),
+    T.StructField("anteil", T.StringType()),
+    T.StructField("bemerkung", T.StringType()),
+])
+
+SITZ_STRUCT = T.StructType([
+    T.StructField("typ", T.StringType()),
+    T.StructField("street", T.StringType()),
+    T.StructField("street_number", T.StringType()),
+    T.StructField("zip", T.StringType()),
+    T.StructField("city", T.StringType()),
+])
+
 RECORDS_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
     T.StructField("name", T.StringType()),
@@ -97,6 +167,17 @@ RECORDS_SCHEMA = T.StructType([
     T.StructField("aktionaer", T.ArrayType(AKTIONAER_STRUCT)),
     T.StructField("grundkapital_betrag", T.StringType()),
     T.StructField("kurse", T.ArrayType(KURS_STRUCT)),
+    T.StructField("dividenden", T.ArrayType(DIVIDENDE_STRUCT)),
+    T.StructField("kennzahlen_rows", T.ArrayType(KENNZAHL_ROW)),
+    T.StructField("bilanzen_rows", T.ArrayType(BILANZ_ROW)),
+    T.StructField("guv_rows", T.ArrayType(GUV_ROW)),
+    T.StructField("kapital_rows", T.ArrayType(KAPITAL_ROW)),
+    T.StructField("bb_heads", T.ArrayType(BB_HEAD_STRUCT)),
+    T.StructField("ergebnisabfuehrung", T.ArrayType(ERGEBNIS_STRUCT)),
+    T.StructField("anteilseigner", T.ArrayType(EIGNER_STRUCT)),
+    T.StructField("sitz_all", T.ArrayType(SITZ_STRUCT)),
+    T.StructField("unparsed_chars", T.IntegerType()),
+    T.StructField("fulltext_chars", T.IntegerType()),
     T.StructField("n_categories", T.IntegerType()),
     T.StructField("n_media_spans", T.IntegerType()),
     T.StructField("record_json", T.StringType()),
@@ -187,7 +268,15 @@ def _parse_profile(doc_id: str, text: str, n_media: int) -> dict:
         for k in (block or {}).get("kurse", []):
             kurse.append({f.name: k.get(f.name) for f in KURS_STRUCT.fields})
 
+    typed = _typed_projections(rec)
+
+    from ..kernel import coverage
+    unparsed_chars, fulltext_chars = coverage.coverage_stats(rec)
+
     return {
+        **typed,
+        "unparsed_chars": unparsed_chars,
+        "fulltext_chars": fulltext_chars,
         "doc_id": doc_id,
         "name": rec.get("name"),
         "wkn": wkn,
@@ -211,6 +300,124 @@ def _parse_profile(doc_id: str, text: str, n_media: int) -> dict:
         "lineage": lineage,
         "call_counts": counts,
         "error": err,
+    }
+
+
+def _fill(struct: T.StructType, row: dict) -> dict:
+    return {f.name: row.get(f.name) for f in struct.fields}
+
+
+def _typed_projections(rec: dict) -> dict:
+    """Relationalize the nested record planes into long-format typed arrays
+    (kennzahlen/bilanzen MapType keys become `name` rows) so every table
+    extractor is driver-oracle-checkable."""
+    dividenden, kenn_rows, bb_heads, ergebnis = [], [], [], []
+    for key, block in (rec.get("boersenbewertung") or {}).items():
+        block = block or {}
+        try:
+            cn = int(key.replace("boersenbewertung", "") or 1)
+        except ValueError:
+            cn = 1
+        for d in block.get("dividenden", []):
+            dividenden.append(_fill(DIVIDENDE_STRUCT, d))
+        for kopf, rows in (block.get("kennzahlen") or {}).items():
+            for r in rows:
+                jahr = r.get("jahr")
+                for n, v in r.items():
+                    if n != "jahr":
+                        kenn_rows.append({"kopfzeile": kopf, "jahr": jahr,
+                                          "name": n, "value": v})
+        wkns = block.get("wkns") or []
+        isins = block.get("isins") or []
+        if wkns or isins:
+            w0 = wkns[0] if wkns else {}
+            i0 = isins[0] if isins else {}
+            bb_heads.append({"callnumber": cn,
+                             "wkn": w0.get("nummer"),
+                             "wkn_art": w0.get("aktienart"),
+                             "isin": i0.get("nummer"),
+                             "isin_art": i0.get("aktienart")})
+        for e in block.get("ergebnisabfuehrung", []):
+            ergebnis.append({"jahr": e.get("jahr"), "betrag": e.get("betrag")})
+
+    bil_rows = []
+    for blk in rec.get("ausBilanzen") or []:
+        w = blk.get("waehrung")
+        for gruppe, rows in (blk.get("ausBilanzen") or {}).items():
+            for r in rows:
+                jahr = r.get("jahr")
+                for n, v in r.items():
+                    if n not in ("jahr", "columnId"):
+                        bil_rows.append({"gruppe": gruppe, "jahr": jahr,
+                                         "name": n, "value": v, "waehrung": w})
+
+    guv_rows = []
+    for blk in rec.get("ausGewinnUndVerlust") or []:
+        w = blk.get("waehrung")
+        for r in blk.get("ausGewinnUndVerlustRechnung") or []:
+            jahr = r.get("jahr")
+            for n, v in r.items():
+                if n not in ("jahr", "columnId"):
+                    guv_rows.append({"jahr": jahr, "name": n, "value": v,
+                                     "waehrung": w})
+
+    krows = []
+
+    def krow(komponente, jahr=None, art=None, betrag=None, text=None):
+        krows.append({"komponente": komponente, "jahr": jahr, "art": art,
+                      "betrag": betrag, "text": text})
+
+    for grp in rec.get("kapitalEntwicklung") or []:
+        for e in grp.get("eintraege") or []:
+            krow("kapitalEntwicklung", grp.get("jahr"), e.get("art"),
+                 e.get("betrag"), e.get("text"))
+    gk = rec.get("grundkapital")
+    if gk:
+        bems = [t for grp in (gk.get("bemerkungen") or []) for t in grp]
+        krow("grundkapital", betrag=gk.get("betrag"),
+             text="; ".join(bems) or None)
+    for st in rec.get("stückelung") or []:
+        krow("stueckelung", text=st)
+    for sr in rec.get("stimmrecht") or []:
+        krow("stimmrecht", text=sr)
+    g = rec.get("genehmigtesKapital")
+    if g:
+        krow("genehmigtesKapital", betrag=g.get("betrag"),
+             text=g.get("bemerkung"))
+    b = rec.get("bedingtesKapital")
+    if b:
+        krow("bedingtesKapital", betrag=b.get("betrag"),
+             text="; ".join(e.get("bemerkung", "")
+                            for e in b.get("eintraege") or []) or None)
+    for e in rec.get("besBezugsrechte") or []:
+        krow("besBezugsrechte", jahr=e.get("jahr"),
+             text="; ".join(e.get("bemerkungen") or []) or None)
+    erm = rec.get("ermächtigungAktienerwerb")
+    if erm:
+        krow("ermaechtigungAktienerwerb",
+             text="; ".join(erm.get("text") or []) or None)
+    for e in rec.get("entwicklungDesGenusKapitals") or []:
+        krow("entwicklungGenusKapital", jahr=e.get("jahr"), text=e.get("text"))
+    for e in (rec.get("ausgegebenesKapital") or {}).get("eintraege") or []:
+        krow("ausgegebenesKapital", art=e.get("notiz"), betrag=e.get("betrag"),
+             text=e.get("stueckelung"))
+
+    eigner = [_fill(EIGNER_STRUCT, e) for e in rec.get("anteilsEigner") or []]
+    sitz_all = [{"typ": s.get("type"), "street": s.get("street"),
+                 "street_number": s.get("street_number"),
+                 "zip": s.get("zip"), "city": s.get("city")}
+                for s in rec.get("Sitz") or []]
+
+    return {
+        "dividenden": dividenden or None,
+        "kennzahlen_rows": kenn_rows or None,
+        "bilanzen_rows": bil_rows or None,
+        "guv_rows": guv_rows or None,
+        "kapital_rows": krows or None,
+        "bb_heads": bb_heads or None,
+        "ergebnisabfuehrung": ergebnis or None,
+        "anteilseigner": eigner or None,
+        "sitz_all": sitz_all or None,
     }
 
 

@@ -839,6 +839,305 @@ def q35_lineage_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# table-extractor oracles (E21-E28 family; closed-form over the synthetic
+# corpus arithmetic in fixtures.synth_html)
+# ---------------------------------------------------------------------------
+
+_DOCID_SQL = "printf('%d/%04d', 1999 + (i % 7), i)"
+_RANGE_SQL = f"FROM UNNEST(range(0, {EXTRACT_N_DOCS})) AS t(i)"
+
+
+def q36_extract_dividenden(spark, sf_dir):
+    """E24 dividend pivot (ref lib/parser_tables.js:1093-1258)."""
+    recs = _records(spark)
+    return (recs.select("doc_id", F.explode("dividenden").alias("d"))
+            .select("doc_id", F.col("d.jahr").alias("jahr"),
+                    F.col("d.dividende").alias("dividende"),
+                    F.col("d.bonus").alias("bonus")))
+
+
+Q36_SQL = f"""
+WITH base AS (
+  SELECT i, {_DOCID_SQL} AS doc_id, 1999 + (i % 7) AS y
+  {_RANGE_SQL} WHERE i % 2 = 0)
+SELECT doc_id, CAST(y AS VARCHAR) AS jahr,
+       'eur ' || CAST(i % 4 AS VARCHAR) AS dividende, '-' AS bonus FROM base
+UNION ALL
+SELECT doc_id, CAST(y + 1 AS VARCHAR) AS jahr,
+       'eur ' || CAST((i + 1) % 4 AS VARCHAR) AS dividende, '-' AS bonus FROM base
+"""
+
+
+def q37_extract_kennzahlen(spark, sf_dir):
+    """E26 dynamic kennzahlen pivot (ref lib/parser_tables.js:1368-1712);
+    the MapType keys are relationalized to (kopfzeile, jahr, name, value)."""
+    recs = _records(spark)
+    return (recs.select("doc_id", F.explode("kennzahlen_rows").alias("k"))
+            .select("doc_id", F.col("k.kopfzeile").alias("kopfzeile"),
+                    F.col("k.jahr").alias("jahr"),
+                    F.col("k.name").alias("name"),
+                    F.col("k.value").alias("value")))
+
+
+Q37_SQL = f"""
+WITH base AS (
+  SELECT i, {_DOCID_SQL} AS doc_id, 1999 + (i % 7) AS y
+  {_RANGE_SQL} WHERE i % 3 = 0)
+SELECT doc_id, 'Konzern' AS kopfzeile, CAST(y AS VARCHAR) AS jahr,
+       'Investitionen (Mio EUR)' AS name,
+       printf('%d,%d', i % 9, i % 10) AS value FROM base
+UNION ALL
+SELECT doc_id, 'Konzern', CAST(y AS VARCHAR),
+       'Eigenkapitalquote (%)', printf('%d,%d', 20 + i % 60, i % 10) FROM base
+UNION ALL
+SELECT doc_id, 'Konzern', CAST(y + 1 AS VARCHAR),
+       'Investitionen (Mio EUR)', printf('%d,%d', (i + 3) % 9, i % 10) FROM base
+UNION ALL
+SELECT doc_id, 'Konzern', CAST(y + 1 AS VARCHAR),
+       'Eigenkapitalquote (%)', printf('%d,%d', 20 + (i + 7) % 60, i % 10) FROM base
+"""
+
+
+def q38_extract_bilanzen(spark, sf_dir):
+    """E27 balance-sheet pivot (ref lib/parser_tables.js:1855-2318)."""
+    recs = _records(spark)
+    return (recs.select("doc_id", F.explode("bilanzen_rows").alias("b"))
+            .select("doc_id", F.col("b.gruppe").alias("gruppe"),
+                    F.col("b.jahr").alias("jahr"),
+                    F.col("b.name").alias("name"),
+                    F.col("b.value").alias("value"),
+                    F.col("b.waehrung").alias("waehrung")))
+
+
+Q38_SQL = f"""
+WITH base AS (
+  SELECT i, {_DOCID_SQL} AS doc_id, 1999 + (i % 7) AS y
+  {_RANGE_SQL} WHERE i % 4 = 0)
+SELECT doc_id, 'Aktiva' AS gruppe, CAST(y AS VARCHAR) AS jahr,
+       'anlagevermögen' AS name, CAST(1000 + i AS VARCHAR) AS value,
+       'in TEUR' AS waehrung FROM base
+UNION ALL
+SELECT doc_id, 'Aktiva', CAST(y AS VARCHAR), 'vorräte',
+       CAST(500 + i AS VARCHAR), 'in TEUR' FROM base
+UNION ALL
+SELECT doc_id, 'Aktiva', CAST(y + 1 AS VARCHAR), 'anlagevermögen',
+       CAST(1100 + i AS VARCHAR), 'in TEUR' FROM base
+UNION ALL
+SELECT doc_id, 'Aktiva', CAST(y + 1 AS VARCHAR), 'vorräte',
+       CAST(600 + i AS VARCHAR), 'in TEUR' FROM base
+"""
+
+
+def q39_extract_guv(spark, sf_dir):
+    """E28 P&L pivot (ref lib/parser_tables.js:2319-2566)."""
+    recs = _records(spark)
+    return (recs.select("doc_id", F.explode("guv_rows").alias("g"))
+            .select("doc_id", F.col("g.jahr").alias("jahr"),
+                    F.col("g.name").alias("name"),
+                    F.col("g.value").alias("value"),
+                    F.col("g.waehrung").alias("waehrung")))
+
+
+Q39_SQL = f"""
+WITH base AS (
+  SELECT i, {_DOCID_SQL} AS doc_id, 1999 + (i % 7) AS y
+  {_RANGE_SQL} WHERE i % 4 = 2)
+SELECT doc_id, CAST(y AS VARCHAR) AS jahr, 'umsatz' AS name,
+       CAST(5000 + i AS VARCHAR) AS value, 'in TEUR' AS waehrung FROM base
+UNION ALL
+SELECT doc_id, CAST(y AS VARCHAR), 'jahresergebnis',
+       CAST(200 + i AS VARCHAR), 'in TEUR' FROM base
+UNION ALL
+SELECT doc_id, CAST(y + 1 AS VARCHAR), 'umsatz',
+       CAST(5100 + i AS VARCHAR), 'in TEUR' FROM base
+UNION ALL
+SELECT doc_id, CAST(y + 1 AS VARCHAR), 'jahresergebnis',
+       CAST(220 + i AS VARCHAR), 'in TEUR' FROM base
+"""
+
+
+def q42_extract_kapital(spark, sf_dir):
+    """E21 kapital family, long format (ref lib/parser_tables.js:113-1080)."""
+    recs = _records(spark)
+    return (recs.select("doc_id", F.explode("kapital_rows").alias("k"))
+            .select("doc_id", F.col("k.komponente").alias("komponente"),
+                    F.col("k.jahr").alias("jahr"),
+                    F.col("k.art").alias("art"),
+                    F.col("k.betrag").alias("betrag"),
+                    F.col("k.text").alias("text")))
+
+
+Q42_SQL = f"""
+WITH base AS (
+  SELECT i, {_DOCID_SQL} AS doc_id, 1999 + (i % 7) AS y
+  {_RANGE_SQL})
+SELECT doc_id, 'kapitalEntwicklung' AS komponente, CAST(y AS VARCHAR) AS jahr,
+       'Gründungskapital' AS art,
+       printf('DM %d 000 000,00', 1 + i % 9) AS betrag, 'der AG' AS text
+FROM base
+UNION ALL
+SELECT doc_id, 'grundkapital', NULL, NULL,
+       printf('EUR %d 000 000,00', 2 + i % 8), 'Inhaber-Stammaktien' FROM base
+UNION ALL
+SELECT doc_id, 'stueckelung', NULL, NULL, NULL,
+       printf('%d 000 000 Stückaktien o.N.', 2 + i % 8) FROM base
+UNION ALL
+SELECT doc_id, 'stimmrecht', NULL, NULL, NULL,
+       ' Je Stückaktie = 1 Stimme' FROM base
+UNION ALL
+SELECT doc_id, 'genehmigtesKapital', NULL, NULL,
+       printf('EUR %d 000 000,00', 1 + i % 5),
+       printf('Gem. HV vom %d.0%d.%d gegen Bar- oder Sacheinlagen',
+              1 + i % 27, 1 + i % 9, 2000 + i % 6)
+FROM base WHERE i % 6 = 1
+UNION ALL
+SELECT doc_id, 'bedingtesKapital', NULL, NULL,
+       printf('EUR %d 500 000,00', 1 + i % 4),
+       printf('Wandelschuldverschreibungen gem. HV vom %d.0%d.%d',
+              1 + i % 27, 1 + i % 9, 2000 + i % 6)
+FROM base WHERE i % 6 = 3
+UNION ALL
+SELECT doc_id, 'besBezugsrechte', CAST(2000 + i % 6 AS VARCHAR), NULL, NULL,
+       'Belegschaftsaktien zum Vorzugskurs' FROM base WHERE i % 12 = 7
+UNION ALL
+SELECT doc_id, 'ermaechtigungAktienerwerb', NULL, NULL, NULL,
+       printf('Die HV vom %d.0%d.%d ermächtigt zum Erwerb eigener Aktien',
+              1 + i % 27, 1 + i % 9, 2000 + i % 6)
+FROM base WHERE i % 12 = 11
+UNION ALL
+SELECT doc_id, 'entwicklungGenusKapital', CAST(y AS VARCHAR), NULL, NULL,
+       printf('Ausgabe von Genußscheinen über DM %d 000 000', 1 + i % 3)
+FROM base WHERE i % 15 = 8
+UNION ALL
+SELECT doc_id, 'ausgegebenesKapital', NULL, 'Ausgegebenes Kapital',
+       printf('EUR %d 200 000,00', 3 + i % 6), NULL FROM base WHERE i % 12 = 6
+UNION ALL
+SELECT doc_id, 'ausgegebenesKapital', NULL, NULL, NULL,
+       printf('%d 200 000 Stückaktien o.N.', 3 + i % 6) FROM base WHERE i % 12 = 6
+"""
+
+
+def q43_extract_bb_head(spark, sf_dir):
+    """E22 exchange-listing head with per-doc occurrence keying
+    (ref lib/parser_boersenbewertung.js:19-147, lib/callCounter.js:52-54)."""
+    recs = _records(spark)
+    return (recs.select("doc_id", F.explode("bb_heads").alias("h"))
+            .select("doc_id", F.col("h.callnumber").alias("callnumber"),
+                    F.col("h.wkn").alias("wkn"),
+                    F.col("h.wkn_art").alias("wkn_art"),
+                    F.col("h.isin").alias("isin"),
+                    F.col("h.isin_art").alias("isin_art")))
+
+
+Q43_SQL = f"""
+WITH base AS (
+  SELECT i, {_DOCID_SQL} AS doc_id,
+         500000 + (i * 37) % 400000 AS wkn
+  {_RANGE_SQL})
+SELECT doc_id, CAST(1 AS INT) AS callnumber, CAST(wkn AS VARCHAR) AS wkn,
+       ' Inhaber-Stammaktien' AS wkn_art,
+       printf('DE000%06d5', wkn) AS isin,
+       'Inhaber-Stammaktien' AS isin_art
+FROM base
+UNION ALL
+SELECT doc_id, CAST(2 AS INT), CAST(wkn + 1 AS VARCHAR), ' Vorzugsaktien',
+       printf('DE000%06d5', wkn), 'Vorzugsaktien'
+FROM base WHERE i % 5 = 0
+"""
+
+
+def q44_extract_ergebnisabfuehrung(spark, sf_dir):
+    """E25 incl. the recursive table-start repair path
+    (ref lib/parser_additions.js:37-110, lib/parser_tables.js:1298-1356)."""
+    recs = _records(spark)
+    return (recs.select("doc_id", F.explode("ergebnisabfuehrung").alias("e"))
+            .select("doc_id", F.col("e.jahr").alias("jahr"),
+                    F.col("e.betrag").alias("betrag")))
+
+
+Q44_SQL = f"""
+WITH base AS (
+  SELECT i, {_DOCID_SQL} AS doc_id, 1999 + (i % 7) AS y
+  {_RANGE_SQL} WHERE i % 2 = 0)
+SELECT doc_id, CAST(y AS VARCHAR) AS jahr,
+       'TEUR ' || CAST(300 + i AS VARCHAR) AS betrag FROM base
+UNION ALL
+SELECT doc_id, CAST(y + 1 AS VARCHAR),
+       'TEUR ' || CAST(310 + i AS VARCHAR) FROM base
+"""
+
+
+def q45_extract_anteilseigner(spark, sf_dir):
+    """E13 standalone Anteilseigner
+    (ref lib/parser_aktionaer_eigner_beteiligungen.js:142-195)."""
+    recs = _records(spark)
+    return (recs.select("doc_id", F.explode("anteilseigner").alias("a"))
+            .select("doc_id", F.col("a.eigner").alias("eigner"),
+                    F.col("a.anteil").alias("anteil")))
+
+
+Q45_SQL = f"""
+WITH base AS (
+  SELECT i, {_DOCID_SQL} AS doc_id {_RANGE_SQL} WHERE i % 11 = 5)
+SELECT doc_id, 'Bund' AS eigner,
+       CAST(30 + i % 40 AS VARCHAR) || '%' AS anteil FROM base
+UNION ALL
+SELECT doc_id, 'Land Bayern', CAST(15 + i % 30 AS VARCHAR) || '%' FROM base
+"""
+
+
+def q46_extract_sitz(spark, sf_dir):
+    """E2 multi-seat address extraction (ref lib/parser.js:228-381,
+    incl. the '<!-- weitere Sitze -->' second typed seat)."""
+    recs = _records(spark)
+    return (recs.select("doc_id", F.posexplode("sitz_all").alias("seat", "s"))
+            .select("doc_id", "seat", F.col("s.typ").alias("typ"),
+                    F.col("s.street").alias("street"),
+                    F.col("s.street_number").alias("street_number"),
+                    F.col("s.zip").alias("zip"),
+                    F.col("s.city").alias("city")))
+
+
+Q46_SQL = f"""
+WITH base AS (SELECT i, {_DOCID_SQL} AS doc_id {_RANGE_SQL})
+SELECT doc_id, 0 AS seat, 'Sitz' AS typ, 'Hauptstr.' AS street,
+       CAST(1 + i % 99 AS VARCHAR) AS street_number,
+       CAST(70000 + i % 9999 AS VARCHAR) AS zip,
+       {_CITIES_SQL}[(i % 12) + 1] AS city
+FROM base
+UNION ALL
+SELECT doc_id, 1, 'Zweigniederlassung', 'Nebenstr.',
+       CAST(1 + (i * 3) % 50 AS VARCHAR),
+       CAST(60000 + (i * 7) % 9000 AS VARCHAR),
+       {_CITIES_SQL}[((i + 5) % 12) + 1]
+FROM base WHERE i % 9 = 4
+"""
+
+
+def q47_unparsed_coverage(spark, sf_dir):
+    """A4 validator coverage diff (ref lib/validator.js:21-58): share of the
+    cleaned fulltext no extractor consumed. No closed-form SQL oracle (the
+    subtraction depends on every parsed leaf); deep-checked in
+    tests/test_coverage.py, driver records the rows-only gate."""
+    recs = _records(spark)
+    return recs.select(
+        "doc_id", "unparsed_chars", "fulltext_chars",
+        F.round(F.col("unparsed_chars") /
+                F.greatest(F.col("fulltext_chars"), F.lit(1)), 6)
+        .alias("unparsed_ratio"))
+
+
+def q48_ann_recall(spark, sf_dir):
+    """ANN LSH scale path gated against the brute-force oracle: recall@5 per
+    query. Rows-only driver check (LSH bucketing is not SQL-expressible);
+    tests/test_analytics.py asserts mean recall >= 0.8."""
+    from ..analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_recall_vs_bruteforce(emb, EMB_QUERY_IDS, k=5)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -877,6 +1176,17 @@ REGISTRY: dict[str, tuple] = {
     "q33_spans_stats": (q33_spans_stats, None),
     "q34_extract_kurse": (q34_extract_kurse, Q34_SQL),
     "q35_lineage_counts": (q35_lineage_counts, None),
+    "q36_extract_dividenden": (q36_extract_dividenden, Q36_SQL),
+    "q37_extract_kennzahlen": (q37_extract_kennzahlen, Q37_SQL),
+    "q38_extract_bilanzen": (q38_extract_bilanzen, Q38_SQL),
+    "q39_extract_guv": (q39_extract_guv, Q39_SQL),
+    "q42_extract_kapital": (q42_extract_kapital, Q42_SQL),
+    "q43_extract_bb_head": (q43_extract_bb_head, Q43_SQL),
+    "q44_extract_ergebnisabfuehrung": (q44_extract_ergebnisabfuehrung, Q44_SQL),
+    "q45_extract_anteilseigner": (q45_extract_anteilseigner, Q45_SQL),
+    "q46_extract_sitz": (q46_extract_sitz, Q46_SQL),
+    "q47_unparsed_coverage": (q47_unparsed_coverage, None),
+    "q48_ann_recall": (q48_ann_recall, None),
     "q40_crawl_schedule": (q40_crawl_schedule, Q40_SQL),
     "q41_crawl_seen_antijoin": (q41_crawl_seen_antijoin, Q41_SQL),
 }

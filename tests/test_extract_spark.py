@@ -101,6 +101,39 @@ def test_decode_stub_raises_without_fake():
         multimodal.decode_image(b"xx", fake=False)
 
 
+def test_corpus_variants_fire_distributed(spark):
+    """The previously pytest-only kernel paths (multi-Sitz, standalone
+    Anteilseigner, Public Relations, Ergebnisabführung repair, bedingtes /
+    ausgegebenes Kapital, besBezugsrechte, ermAktienerwerb, Genußkapital,
+    GuV) all fire in the distributed e2e path and land in the typed planes."""
+    n = 48
+    recs = X.extract_records(X.docs_dataframe(spark, n, partitions=6)).cache()
+    met = X.metrics_table(recs)
+    counts = {r.category: r.n for r in
+              met.groupBy("category").agg(F.sum("call_count").alias("n")).collect()}
+    assert counts["Anteilseigner"] == len([i for i in range(n) if i % 11 == 5])
+    assert counts["Public Relations"] == len([i for i in range(n) if i % 8 == 5])
+    assert counts["Aus Gewinn und Verlust"] == len([i for i in range(n) if i % 4 == 2])
+    # Ergebnisabführung fires twice on repair-path docs (recursive re-entry)
+    n_repair = len([i for i in range(n) if i % 2 == 0 and i % 8 == 2])
+    n_normal = len([i for i in range(n) if i % 2 == 0 and i % 8 != 2])
+    assert counts["Ergebnisabführung"] == n_normal + 2 * n_repair
+    komp = {r.komponente for r in
+            recs.select(F.explode("kapital_rows").alias("k"))
+            .select(F.col("k.komponente").alias("komponente")).distinct().collect()}
+    assert {"kapitalEntwicklung", "grundkapital", "stueckelung", "stimmrecht",
+            "genehmigtesKapital", "bedingtesKapital", "besBezugsrechte",
+            "ermaechtigungAktienerwerb", "entwicklungGenusKapital",
+            "ausgegebenesKapital"} <= komp
+    seats = recs.select(F.explode("sitz_all").alias("s")).filter(
+        F.col("s.typ") == "Zweigniederlassung").count()
+    assert seats == len([i for i in range(n) if i % 9 == 4])
+    bb2 = recs.select(F.explode("bb_heads").alias("h")).filter(
+        F.col("h.callnumber") == 2).count()
+    assert bb2 == len([i for i in range(n) if i % 5 == 0])
+    recs.unpersist()
+
+
 def test_fulltext_matches_kernel(spark):
     from akf_cdparser_spark.kernel.document import build_fulltext
 
