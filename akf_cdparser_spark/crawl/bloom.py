@@ -3,20 +3,27 @@
 Role (north rule + SURVEY.md §7.2): the bloom/cuckoo shards are a THROUGHPUT
 PREFILTER over the exact Iceberg/parquet seen table — a candidate URL whose
 shard says "definitely unseen" skips the expensive anti-join; a "maybe seen"
-candidate is resolved EXACTLY against the seen table. False positives can
-therefore never drop a URL, and the final seen set is exact by construction.
+candidate is resolved EXACTLY against the seen table. The filters themselves
+are LOSSLESS for inserted items (bloom by construction; cuckoo via an
+overflow list — a displaced fingerprint is never dropped), so a false
+negative can never leak a seen URL back into the schedule.
 
 Layout: ``n_shards`` shards keyed by ``url_hash64 % n_shards``; each shard is
 a numpy bit array built distributively with ``applyInPandas`` (one group per
-shard) and persisted as a binary row (shard_id, bits, n_items, kind). A shard
-whose fill ratio exceeds the churn threshold is rebuilt as a cuckoo filter
-(supports deletion for recrawl invalidation; bucketed 4-way, 16-bit
-fingerprints).
+shard) and persisted as a binary row (shard_id, bits, n_items, kind). A
+shard whose insert-rate churn between rebuilds exceeds
+``CHURN_RATE_THRESHOLD`` is rebuilt as a cuckoo filter (supports deletion
+for recrawl invalidation; bucketed 4-way, 16-bit fingerprints); a dense
+bloom (fill beyond ``FILL_SPILL_THRESHOLD``) spills too.
+
+Scale shape: at the 10^10-URL design point the filter bits NEVER pass
+through the driver — probing cogroups candidates with their shard blob so
+each task loads exactly one shard (``prefilter_candidates``).
 """
 
 from __future__ import annotations
 
-import math
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -32,10 +39,11 @@ SHARD_SCHEMA = T.StructType([
     T.StructField("kind", T.StringType()),      # 'bloom' | 'cuckoo'
 ])
 
-BLOOM_BITS_PER_ITEM = 12     # ~0.3% fp at k=4
+BLOOM_BITS_PER_ITEM = 12      # ~0.3% fp at k=4
 BLOOM_K = 4
-CUCKOO_BUCKETS_POW = 12      # 4096 buckets x 4 slots x uint16
-CHURN_FILL_THRESHOLD = 0.35  # bloom fill ratio that triggers cuckoo spill
+CUCKOO_BUCKETS_POW = 12       # 4096 buckets x 4 slots x uint16
+FILL_SPILL_THRESHOLD = 0.35   # bloom fill ratio safety spill
+CHURN_RATE_THRESHOLD = 0.5    # insert-rate between rebuilds that spills
 
 
 def _bloom_positions(h: np.ndarray, m: int) -> list[np.ndarray]:
@@ -65,11 +73,16 @@ def _cuckoo_fingerprint(h: np.ndarray) -> np.ndarray:
 
 
 def _build_cuckoo(hashes: np.ndarray) -> bytes:
+    """Cuckoo table + overflow list. The 64-kick partial walk can fail to
+    place a fingerprint; the reference invariant (module header) forbids
+    dropping it — failed placements go to a linear overflow list that
+    ``_cuckoo_contains`` always probes."""
     n_buckets = 1 << CUCKOO_BUCKETS_POW
     table = np.zeros((n_buckets, 4), dtype=np.uint16)
     h = hashes.astype(np.uint64)
     fps = _cuckoo_fingerprint(h)
     b1s = (h % n_buckets).astype(np.int64)
+    overflow: list[int] = []
     for fp, b1 in zip(fps, b1s):
         b = int(b1)
         placed = False
@@ -83,26 +96,50 @@ def _build_cuckoo(hashes: np.ndarray) -> bytes:
             # evict slot 0, move on (partial cuckoo walk, deterministic)
             fp, row[0] = row[0], fp
             b = int((b ^ (int(fp) * 0x5BD1E995)) % n_buckets)
-        if not placed:  # extremely unlikely at our shard sizes
-            table[b][0] = fp
-    return table.tobytes()
+        if not placed:  # never drop: spill to the overflow list
+            overflow.append(int(fp))
+    ov = np.asarray(overflow, dtype=np.uint16)
+    return struct.pack("<I", len(ov)) + table.tobytes() + ov.tobytes()
 
 
-def _cuckoo_contains(table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+def _split_cuckoo(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    (n_ov,) = struct.unpack_from("<I", blob, 0)
+    n_buckets = 1 << CUCKOO_BUCKETS_POW
+    table_bytes = n_buckets * 4 * 2
+    table = np.frombuffer(blob, dtype=np.uint16, count=n_buckets * 4,
+                          offset=4).reshape(-1, 4)
+    overflow = np.frombuffer(blob, dtype=np.uint16, count=n_ov,
+                             offset=4 + table_bytes)
+    return table, overflow
+
+
+def _cuckoo_contains(table: np.ndarray, hashes: np.ndarray,
+                     overflow: np.ndarray | None = None) -> np.ndarray:
     n_buckets = table.shape[0]
     h = hashes.astype(np.uint64)
     fps = _cuckoo_fingerprint(h)
     b1 = (h % n_buckets).astype(np.int64)
     b2 = ((b1 ^ (fps.astype(np.int64) * 0x5BD1E995)) % n_buckets).astype(np.int64)
-    in1 = (table[b1] == fps[:, None]).any(axis=1)
-    in2 = (table[b2] == fps[:, None]).any(axis=1)
-    return in1 | in2
+    out = (table[b1] == fps[:, None]).any(axis=1) \
+        | (table[b2] == fps[:, None]).any(axis=1)
+    if overflow is not None and len(overflow):
+        out |= np.isin(fps, overflow)
+    return out
 
 
 def build_shards(seen: DataFrame, n_shards: int = 32,
-                 bits_per_item: int = BLOOM_BITS_PER_ITEM) -> DataFrame:
+                 bits_per_item: int = BLOOM_BITS_PER_ITEM,
+                 prev_counts: dict[int, int] | None = None,
+                 churn_threshold: float = CHURN_RATE_THRESHOLD) -> DataFrame:
     """seen(url_hash bigint) -> one filter row per shard, built with
-    applyInPandas (each shard's hashes land on one task)."""
+    applyInPandas (each shard's hashes land on one task).
+
+    ``prev_counts`` (shard_id -> n_items at the previous rebuild, tiny
+    metadata — NOT the bits) drives the churn spill: a shard whose item
+    count grew by more than ``churn_threshold`` since the last rebuild is
+    materialized as a cuckoo filter so upcoming inserts/deletes are cheap;
+    a bloom passing the fill-ratio safety also spills."""
+    prev_counts = prev_counts or {}
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(key[0])
@@ -110,7 +147,10 @@ def build_shards(seen: DataFrame, n_shards: int = 32,
         n = len(hashes)
         m_bits = max(1024, int(n * bits_per_item))
         fill = (n * BLOOM_K) / m_bits
-        if fill > CHURN_FILL_THRESHOLD:
+        prev = prev_counts.get(shard_id)
+        churned = prev is not None and prev > 0 and \
+            (n - prev) / prev > churn_threshold
+        if churned or fill > FILL_SPILL_THRESHOLD:
             blob, kind = _build_cuckoo(hashes), "cuckoo"
         else:
             blob, kind = _build_bloom(hashes, m_bits), "bloom"
@@ -123,40 +163,45 @@ def build_shards(seen: DataFrame, n_shards: int = 32,
     return keyed.groupBy("shard_id").applyInPandas(build, SHARD_SCHEMA)
 
 
+def shard_counts(shards: DataFrame) -> dict[int, int]:
+    """Tiny metadata projection (shard_id -> n_items) for the churn spill;
+    never touches the blob column (column pruning keeps the scan narrow)."""
+    return {int(r["shard_id"]): int(r["n_items"])
+            for r in shards.select("shard_id", "n_items").collect()}
+
+
 def prefilter_candidates(candidates: DataFrame, shards: DataFrame,
                          n_shards: int = 32) -> DataFrame:
-    """Tag candidate URLs with ``maybe_seen``: shard-local vectorized
-    membership probes inside mapInPandas after a broadcast of the (small)
-    shard blobs. URLs tagged False are DEFINITELY unseen — they skip the
-    exact anti-join entirely; True goes to exact resolution."""
-    shard_rows = {int(r["shard_id"]): (r["kind"], bytes(r["bits"]), int(r["n_items"]))
-                  for r in shards.collect()}
-    spark = candidates.sparkSession
-    bc = spark.sparkContext.broadcast(shard_rows)
-    schema = T.StructType(candidates.schema.fields
-                          + [T.StructField("maybe_seen", T.BooleanType())])
+    """Tag candidate URLs with ``maybe_seen`` WITHOUT moving filter bits
+    through the driver: candidates are cogrouped with their shard blob on
+    ``shard_id`` so each task loads exactly one shard (at 12 bits/item and
+    10^10 URLs the full filter is ~15 GB — driver-broadcasting it would be
+    the scale bottleneck; each shard is ~15 GB / n_shards, local to its
+    task). URLs tagged False are DEFINITELY unseen — they skip the exact
+    anti-join entirely; True goes to exact resolution."""
+    out_fields = [f for f in candidates.schema.fields]
+    schema = T.StructType(out_fields + [T.StructField("maybe_seen", T.BooleanType())])
+    out_cols = [f.name for f in out_fields] + ["maybe_seen"]
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = bc.value
-        for pdf in batches:
-            hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
-            shard_ids = np.mod(hashes, n_shards)
-            maybe = np.ones(len(pdf), dtype=bool)
-            for sid in np.unique(shard_ids):
-                mask = shard_ids == sid
-                entry = local.get(int(sid))
-                if entry is None:
-                    maybe[mask] = False
-                    continue
-                kind, blob, n_items = entry
-                hs = hashes[mask]
-                if kind == "bloom":
-                    m_bits = len(blob) * 8
-                    bits = np.frombuffer(blob, dtype=np.uint8)
-                    maybe[mask] = _bloom_contains(bits, hs, m_bits)
-                else:
-                    table = np.frombuffer(blob, dtype=np.uint16).reshape(-1, 4)
-                    maybe[mask] = _cuckoo_contains(table, hs)
-            yield pdf.assign(maybe_seen=maybe)
+    keyed = candidates.withColumn(
+        "shard_id", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int"))
 
-    return candidates.mapInPandas(probe, schema)
+    def probe(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cand_pdf):
+            return pd.DataFrame(columns=out_cols)
+        if not len(shard_pdf):
+            return cand_pdf.drop(columns=["shard_id"]).assign(maybe_seen=False)
+        kind = shard_pdf["kind"].iloc[0]
+        blob = bytes(shard_pdf["bits"].iloc[0])
+        hashes = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
+        if kind == "bloom":
+            bits = np.frombuffer(blob, dtype=np.uint8)
+            maybe = _bloom_contains(bits, hashes, len(blob) * 8)
+        else:
+            table, overflow = _split_cuckoo(blob)
+            maybe = _cuckoo_contains(table, hashes, overflow)
+        return cand_pdf.drop(columns=["shard_id"]).assign(maybe_seen=maybe)
+
+    return (keyed.groupBy("shard_id")
+            .cogroup(shards.groupBy("shard_id"))
+            .applyInPandas(probe, schema))

@@ -119,26 +119,37 @@ def schedule_generation(candidates: DataFrame, host_budget: int,
             .drop("_r2", "salt"))
 
 
-def _name_index(n_docs: int) -> dict[str, str]:
-    """CD page index: company name -> canonical URL (min doc index wins)."""
-    index: dict[str, str] = {}
-    for i in range(n_docs):
-        name = fixtures.company_name(i)
-        if name not in index:
-            index[name] = fixtures.url_for(i)
-    return index
+def page_index_df(spark: SparkSession, n_docs: int) -> DataFrame:
+    """CD page index as a DATAFRAME, synthesized distributively (no
+    O(n_docs) driver loop — at the 10^10 design point the index itself is
+    big data): company name -> canonical URL, min doc index wins."""
+    partitions = max(2, min(64, n_docs // 4096 or 2))
+    base = spark.range(0, n_docs, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            idx = [int(i) for i in pdf["id"]]
+            yield pd.DataFrame({
+                "name": [fixtures.company_name(i) for i in idx],
+                "url": [fixtures.url_for(i) for i in idx],
+            })
+
+    raw = base.mapInPandas(
+        gen, T.StructType([T.StructField("name", T.StringType()),
+                           T.StructField("url", T.StringType())]))
+    # min-doc-wins dedupe rule (fixtures.url_for is monotone in doc index)
+    return raw.groupBy("name").agg(F.min("url").alias("url"))
 
 
-def discover_links(parsed: DataFrame, n_docs: int) -> DataFrame:
-    """Out-links from CONTENT: the extracted Beteiligungen names resolved
-    through the broadcast page index."""
-    spark = parsed.sparkSession
-    bc = spark.sparkContext.broadcast(_name_index(n_docs))
+def discover_links(parsed: DataFrame, page_index: DataFrame) -> DataFrame:
+    """Out-links from CONTENT: extract the Beteiligungen target names in a
+    vectorized pass, then resolve them with a JOIN against the page-index
+    DataFrame (AQE broadcasts it while small; at scale it shuffles — either
+    way no driver-side materialization)."""
     schema = T.StructType([T.StructField("src_doc_id", T.StringType()),
-                           T.StructField("url", T.StringType())])
+                           T.StructField("name", T.StringType())])
 
-    def extract_links(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        index = bc.value
+    def extract_names(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, rec_json in zip(pdf["doc_id"], pdf["record_json"]):
@@ -148,22 +159,29 @@ def discover_links(parsed: DataFrame, n_docs: int) -> DataFrame:
                 for group in rec.get("beteiligungen") or []:
                     for zeile in group.get("zeilen") or []:
                         if isinstance(zeile, dict):
-                            target = index.get((zeile.get("beteiliger") or "").strip())
-                            if target:
-                                rows.append({"src_doc_id": doc_id, "url": target})
-            yield pd.DataFrame(rows, columns=["src_doc_id", "url"])
+                            name = (zeile.get("beteiliger") or "").strip()
+                            if name:
+                                rows.append({"src_doc_id": doc_id, "name": name})
+            yield pd.DataFrame(rows, columns=["src_doc_id", "name"])
 
-    return parsed.select("doc_id", "record_json").mapInPandas(extract_links, schema)
+    names = parsed.select("doc_id", "record_json").mapInPandas(
+        extract_names, schema)
+    return names.join(page_index, "name").select("src_doc_id", "url")
 
 
-def resolve_docs(scheduled: DataFrame, docs: DataFrame) -> DataFrame:
-    """'Fetch': map scheduled URLs to the docs store. URL -> doc_id is the
-    synthesis rule (akf://cdYYYY/NNNN.html <-> YYYY/NNNN)."""
-    with_doc = scheduled.withColumn(
-        "doc_id",
-        F.regexp_replace(
-            F.regexp_extract("url", r"cd(\d{4}/\d+)\.html$", 1), r"^", ""))
-    return with_doc.join(docs, "doc_id", "left")
+def _doc_id_from_url():
+    return F.regexp_extract("url", r"cd(\d{4}/\d+)\.html$", 1)
+
+
+def resolve_docs(scheduled: DataFrame, docs_slim: DataFrame) -> DataFrame:
+    """'Fetch': map scheduled URLs to the (slimmed) docs store. URL ->
+    doc_id is the synthesis rule (akf://cdYYYY/NNNN.html <-> YYYY/NNNN).
+    The SCHEDULED side broadcasts (a generation's keys are tiny next to the
+    store) so the multi-TB docs side never shuffles — at generation sizes
+    where the key set outgrows broadcast, drop the hint and let AQE pick."""
+    keys = (scheduled.withColumn("doc_id", _doc_id_from_url())
+            .select("url_hash", "doc_id"))
+    return docs_slim.join(F.broadcast(keys), "doc_id")
 
 
 class CrawlEngine:
@@ -183,9 +201,12 @@ class CrawlEngine:
         # rebuild jobs per cycle
         self.bloom_rebuild_every = max(1, bloom_rebuild_every)
         # scheduling frames are small relative to cluster width — a capped
-        # shuffle width avoids paying task overhead on near-empty partitions
-        # (at the 10^10 design point, size this to generation row counts)
+        # shuffle width avoids paying task overhead on near-empty partitions;
+        # None = auto-sized per generation from the last scheduled count
         self.shuffle_partitions = shuffle_partitions
+        # shard_id -> n_items at the last bloom rebuild (tiny metadata,
+        # drives the churn-based cuckoo spill)
+        self._shard_counts: dict[int, int] = {}
 
     # -- state access -------------------------------------------------------
 
@@ -196,7 +217,8 @@ class CrawlEngine:
         """Union of all committed per-generation seen deltas (append-only)."""
         import os
         root = os.path.join(self.store.root, "seen")
-        return self.spark.read.schema(SEEN_SCHEMA).parquet(root)
+        return (self.spark.read.schema(SEEN_SCHEMA).parquet(root)
+                .select([f.name for f in SEEN_SCHEMA.fields]))
 
     def bootstrap(self, seeds: list[dict], robots_rules: list[dict]) -> None:
         frontier = seeds_frontier(self.spark, seeds)
@@ -206,41 +228,80 @@ class CrawlEngine:
             robots_rules, "host string, rule string, allow boolean"), 0)
         self.store.commit(0, ["frontier", "seen", "robots"], {"bootstrap": True})
 
+    def _auto_width(self, last_scheduled: int | None) -> int:
+        """Shuffle width sized to generation row counts, floored at the
+        cluster width: never fewer partitions than cores (the parse stage
+        inherits this width from the scheduling join and must keep every
+        core busy), never so many that tiny frames pay per-task overhead
+        on near-empty partitions."""
+        if self.shuffle_partitions:
+            return self.shuffle_partitions
+        cores = self.spark.sparkContext.defaultParallelism
+        if not last_scheduled:
+            return cores
+        return max(cores, min(4 * cores, last_scheduled // 2000 + cores))
+
     def run(self, docs: DataFrame, generations: int) -> dict:
         """Run ``generations`` crawl generations from the latest checkpoint.
-        Returns summary metrics. Resumable: re-invoking continues."""
+        Returns summary metrics. Resumable: re-invoking continues.
+
+        Scale discipline: frontier + seen live as CACHED DataFrames across
+        generations (write-behind: per-generation deltas/snapshots are
+        committed for durability, but the hot loop never re-reads them);
+        the page index is built once per run; snapshot writes overlap via a
+        thread pool and only the commit barrier waits for them."""
         start_gen = self.store.latest_generation()
         if start_gen is None:
             raise RuntimeError("bootstrap() first")
         prev_shuffle = self.spark.conf.get("spark.sql.shuffle.partitions")
-        if self.shuffle_partitions:
-            self.spark.conf.set("spark.sql.shuffle.partitions",
-                                str(self.shuffle_partitions))
         robots = self.store.read("robots", 0)
         totals = {"urls_scheduled": 0, "docs_parsed": 0, "wall_ms": 0}
-        docs = docs.persist()
-        for gen in range(start_gen + 1, start_gen + 1 + generations):
-            t0 = time.time()
-            frontier = self.store.read("frontier", gen - 1)
-            seen = self._read_seen()
-            seq_start = int(self.store.latest_stats().get("seq_end", 0))
-
-            stats = self._generation(gen, frontier, seen, robots, docs, seq_start)
-            stats["seq_end"] = seq_start + stats["urls_scheduled"]
-            stats["wall_ms"] = int((time.time() - t0) * 1000)
-            self.store.commit(gen, ["frontier", "seen", "fetch_log"], stats)
-            totals["urls_scheduled"] += stats["urls_scheduled"]
-            totals["docs_parsed"] += stats["docs_parsed"]
-            totals["wall_ms"] += stats["wall_ms"]
-            if stats["urls_scheduled"] == 0:
-                break
-        docs.unpersist()
-        if self.shuffle_partitions:
+        # slim the store ONCE: flat (doc_id, doc_text, n_media) columns cache
+        # and join far cheaper than nested span structs (see X.slim_docs)
+        docs = X.slim_docs(docs).persist()
+        index = page_index_df(self.spark, self.n_docs).persist()
+        frontier = self.store.read("frontier", start_gen).persist()
+        seen = self._read_seen().persist()
+        last_sched = self.store.latest_stats().get("urls_scheduled")
+        try:
+            for gen in range(start_gen + 1, start_gen + 1 + generations):
+                t0 = time.time()
+                self.spark.conf.set("spark.sql.shuffle.partitions",
+                                    str(self._auto_width(last_sched)))
+                seq_start = int(self.store.latest_stats().get("seq_end", 0))
+                stats, frontier_next, seen_next = self._generation(
+                    gen, frontier, seen, robots, docs, seq_start, index)
+                stats["seq_end"] = seq_start + stats["urls_scheduled"]
+                stats["wall_ms"] = int((time.time() - t0) * 1000)
+                self.store.commit(gen, ["frontier", "seen", "fetch_log"], stats)
+                totals["urls_scheduled"] += stats["urls_scheduled"]
+                totals["docs_parsed"] += stats["docs_parsed"]
+                totals["wall_ms"] += stats["wall_ms"]
+                last_sched = stats["urls_scheduled"]
+                frontier.unpersist()
+                seen.unpersist()
+                frontier, seen = frontier_next, seen_next
+                if stats["urls_scheduled"] == 0:
+                    break
+        finally:
+            docs.unpersist()
+            index.unpersist()
             self.spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         return totals
 
     def _generation(self, gen: int, frontier: DataFrame, seen: DataFrame,
-                    robots: DataFrame, docs: DataFrame, seq_start: int) -> dict:
+                    robots: DataFrame, docs: DataFrame, seq_start: int,
+                    index: DataFrame) -> tuple[dict, DataFrame, DataFrame]:
+        import os as _os
+        _dbg = _os.environ.get("AKF_CRAWL_DEBUG")
+        _t = time.time()
+
+        def _mark(label):
+            nonlocal _t
+            if _dbg:
+                now = time.time()
+                print(f"    gen{gen} {label}: {now - _t:.2f}s", flush=True)
+                _t = now
         # 1. dedupe frontier by identity hash (deterministic reduce)
         cand = (frontier.groupBy("url_hash")
                 .agg(F.min("url").alias("url"),
@@ -280,14 +341,16 @@ class CrawlEngine:
         scheduled, n_scheduled = global_sequence(
             scheduled, ["next_fetch_time", "url_hash", "url"], seq_start)
         scheduled = scheduled.persist()
+        _mark("schedule+sequence")
 
-        # 5. fetch + parse + discover
+        # 5. fetch + parse + discover (docs side stays put: broadcast keys)
         fetched = resolve_docs(scheduled, docs)
-        parsed = X.extract_records(fetched.select("doc_id", "spans")
-                                   .filter(F.col("spans").isNotNull()))
+        parsed = X.extract_records_slim(
+            fetched.select("doc_id", "doc_text", "n_media"))
         parsed = parsed.persist()
-        n_parsed = parsed.count()
-        links = discover_links(parsed, self.n_docs)
+        n_parsed = parsed.count()  # the one action that materializes parse
+        _mark("parse")
+        links = discover_links(parsed, index)
         new_frontier_rows = (_with_identity(links.select("url").distinct())
                              .withColumn("next_fetch_time", F.lit(gen).cast("long"))
                              .withColumn("depth", F.lit(gen))
@@ -298,39 +361,68 @@ class CrawlEngine:
         newly_seen = (scheduled.select("url_hash", "url")
                       .unionByName(disallowed.select("url_hash", "url"))
                       .withColumn("generation", F.lit(gen))).persist()
-        frontier_next = (frontier
-                         .join(newly_seen.select("url_hash"), "url_hash", "left_anti")
-                         .unionByName(new_frontier_rows))
+        # localCheckpoint TRUNCATES the logical plan: without it the
+        # cross-generation union/join lineage grows exponentially and plan
+        # analysis alone dominates (minutes of TreeNode.treeString CPU by
+        # generation 3). The parquet snapshot written below stays the
+        # durable copy; the checkpoint only backs the hot loop.
+        frontier_next_plan = (frontier
+                              .join(newly_seen.select("url_hash"),
+                                    "url_hash", "left_anti")
+                              .unionByName(new_frontier_rows))
+        seen_next_plan = seen.unionByName(newly_seen)
 
         # incremental log: only this generation's delta is written; readers
-        # union the per-generation partitions (never rewrite a growing log)
+        # union the per-generation partitions (never rewrite a growing log).
+        # doc_id comes straight from the URL synthesis rule — no docs join.
         fetch_log_new = (scheduled
-                         .join(fetched.select("url_hash", "doc_id"), "url_hash")
+                         .withColumn("doc_id", _doc_id_from_url())
                          .select("scheduled_seq", "url_hash", "url", "doc_id")
                          .withColumn("generation", F.lit(gen)))
 
-        # 7. lineage + metrics planes
+        # 7. lineage + metrics planes (from the cached parse — no re-parse)
         lineage = X.lineage_table(parsed).withColumn("generation", F.lit(gen))
         metrics = (X.metrics_table(parsed)
                    .groupBy("category")
                    .agg(F.sum("call_count").alias("call_count"))
                    .withColumn("generation", F.lit(gen)))
 
-        # 8. commit snapshot (+ periodically refreshed bloom shards)
-        self.store.write("seen", newly_seen, gen)
-        self.store.write("frontier", frontier_next, gen)
-        self.store.write("fetch_log", fetch_log_new, gen)
-        self.store.write("lineage", lineage, gen)
-        self.store.write("metrics", metrics, gen)
+        # 8. WRITE-BEHIND snapshot: every job here reads only cached /
+        # deterministic inputs, so checkpoint materialization and the table
+        # writes all overlap on a thread pool; the commit barrier (below)
+        # is the only wait. Cuts the serial fixed-cost chain that throttled
+        # crawl-loop scaling.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=7) as pool:
+            ckpt_frontier = pool.submit(frontier_next_plan.localCheckpoint)
+            ckpt_seen = pool.submit(seen_next_plan.localCheckpoint)
+            futures = [pool.submit(self.store.write, name, df, gen)
+                       for name, df in (("seen", newly_seen),
+                                        ("fetch_log", fetch_log_new),
+                                        ("lineage", lineage),
+                                        ("metrics", metrics))]
+            frontier_next = ckpt_frontier.result()
+            seen_next = ckpt_seen.result()
+            futures.append(pool.submit(
+                self.store.write, "frontier", frontier_next, gen))
+            if gen % self.bloom_rebuild_every == 0:
+                shards = bloom.build_shards(seen_next, self.n_shards,
+                                            prev_counts=self._shard_counts)
+                futures.append(pool.submit(
+                    self.store.write, "bloom_shards", shards, gen))
+            for fut in futures:
+                fut.result()  # surface failures before the commit record
+        _mark("write barrier")
         if gen % self.bloom_rebuild_every == 0:
-            self.store.write("bloom_shards",
-                             bloom.build_shards(self._read_seen(),
-                                                self.n_shards), gen)
+            self._shard_counts = bloom.shard_counts(
+                self.store.read("bloom_shards", gen))
         gated.unpersist()
         newly_seen.unpersist()
         scheduled.unpersist()
         parsed.unpersist()
-        return {"urls_scheduled": n_scheduled, "docs_parsed": n_parsed}
+        return ({"urls_scheduled": n_scheduled, "docs_parsed": n_parsed},
+                frontier_next, seen_next)
 
     # -- results -------------------------------------------------------------
 

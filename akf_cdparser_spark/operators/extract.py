@@ -421,16 +421,14 @@ def _typed_projections(rec: dict) -> dict:
     }
 
 
-def extract_records(docs: DataFrame) -> DataFrame:
-    """docs(doc_id, spans) -> one typed row per document (full record as
-    JSON + hot columns + lineage + metrics).
-
-    The spans -> lines reassembly happens JVM-side (filter/sort/join inside
-    codegen) so only two flat columns cross the Arrow boundary — shipping
-    the nested span structs to Python costs ~2x the parse itself. The sort
+def slim_docs(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, spans) -> (doc_id, doc_text, n_media): the spans -> lines
+    reassembly runs JVM-side (filter/sort/transform inside codegen) so only
+    two flat columns ever cross the Arrow boundary — shipping the nested
+    span structs to Python costs ~2x the parse itself, and shuffling them
+    through a join costs ~3x. Pipelines that join the doc store repeatedly
+    (the crawl loop) should slim ONCE and cache the result. The sort
     mirrors kernel/fixtures.spans_to_text: text spans by offset, stable."""
-
-    cols = [f.name for f in RECORDS_SCHEMA.fields]
     text_expr = F.expr(
         "array_join(transform(array_sort("
         "  filter(spans, s -> s.kind = 'text'),"
@@ -438,8 +436,21 @@ def extract_records(docs: DataFrame) -> DataFrame:
         "            when a.offset > b.offset then 1 else 0 end"
         "), s -> coalesce(s.text, '')), '\n')")
     n_media_expr = F.size(F.filter("spans", lambda s: s.kind == F.lit("media")))
-    slim = docs.select("doc_id", text_expr.alias("doc_text"),
+    return docs.select("doc_id", text_expr.alias("doc_text"),
                        n_media_expr.alias("n_media"))
+
+
+def extract_records(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, spans) -> one typed row per document (full record as
+    JSON + hot columns + lineage + metrics)."""
+    return extract_records_slim(slim_docs(docs))
+
+
+def extract_records_slim(slim: DataFrame) -> DataFrame:
+    """(doc_id, doc_text, n_media) -> extracted records (see
+    ``extract_records``); entry point for callers that pre-slim the store."""
+
+    cols = [f.name for f in RECORDS_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -65,7 +65,10 @@ with tempfile.TemporaryDirectory() as warm_dir:
     warm.bootstrap(fixtures.seed_urls(25, 200), fixtures.robots_rules(200))
     warm.run(X.docs_dataframe(spark, 200, partitions=int(cpus)), 2)
 
-crawl_docs = n_docs // 2
+# crawl over the FULL corpus: per-generation fixed costs (job/shuffle/commit
+# latency, identical at any core count) must be small next to the scalable
+# parse/link work, as they are at the 10^10 design point
+crawl_docs = n_docs
 with tempfile.TemporaryDirectory() as state_dir:
     engine = CrawlEngine(spark, state_dir, crawl_docs,
                          host_budget=max(20, crawl_docs // 14), n_salts=8)

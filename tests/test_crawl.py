@@ -121,14 +121,38 @@ def test_bloom_prefilter_never_false_negative(spark):
         assert rows[hash64_py(fixtures.url_for(i))] is True  # no false negatives
 
 
-def test_cuckoo_spill_on_hot_shard():
-    """A dense shard is rebuilt as a cuckoo filter; membership stays exact
-    for inserted items."""
-    rng = np.arange(1, 5001, dtype=np.int64) * 2_654_435_761 % (1 << 60)
+def test_cuckoo_never_loses_a_fingerprint():
+    """A displaced fingerprint goes to the overflow list, never dropped —
+    membership is EXACT for inserted items (the bloom.py:6-7 invariant:
+    'definitely unseen' may never be wrong for a seen URL)."""
+    rng = np.arange(1, 20001, dtype=np.int64) * 2_654_435_761 % (1 << 60)
     blob = bloom._build_cuckoo(rng)
-    table = np.frombuffer(blob, dtype=np.uint16).reshape(-1, 4)
-    hits = bloom._cuckoo_contains(table, rng)
-    assert hits.mean() > 0.995  # partial-walk cuckoo: near-exact membership
+    table, overflow = bloom._split_cuckoo(blob)
+    hits = bloom._cuckoo_contains(table, rng, overflow)
+    assert hits.all()  # zero false negatives, even past table capacity
+
+
+def test_cuckoo_spill_on_churn():
+    """build_shards spills a shard to cuckoo when its item count grew more
+    than the churn threshold since the previous rebuild."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from akf_cdparser_spark.session import get_spark
+    spark = get_spark(master="local[2]")
+    seen = spark.createDataFrame(
+        [(hash64_py(fixtures.url_for(i)),) for i in range(600)],
+        "url_hash long")
+    calm = bloom.build_shards(seen, n_shards=4, prev_counts={s: 140 for s in range(4)})
+    assert {r.kind for r in calm.select("kind").collect()} == {"bloom"}
+    churned = bloom.build_shards(seen, n_shards=4, prev_counts={s: 50 for s in range(4)})
+    assert {r.kind for r in churned.select("kind").collect()} == {"cuckoo"}
+    # spilled shards still answer membership exactly
+    tagged = bloom.prefilter_candidates(
+        spark.createDataFrame([(hash64_py(fixtures.url_for(i)),)
+                               for i in range(1200)], "url_hash long"),
+        churned, n_shards=4)
+    rows = {r.url_hash: r.maybe_seen for r in tagged.collect()}
+    assert all(rows[hash64_py(fixtures.url_for(i))] for i in range(600))
 
 
 def test_canonicalize_rules():
