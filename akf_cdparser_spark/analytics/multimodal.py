@@ -79,10 +79,16 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
     return [b / 255.0 for b in digest[:8]]
 
 
-def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def extract_features(media: DataFrame, fake: bool = True,
+                     partition_mb: int = 128) -> DataFrame:
     """Arrow-batched feature extraction over the binary column. Real
     decode plugs into ``decode_image``; batch shape and schema are the
-    production contract."""
+    production contract.
+
+    Partitioning: media blobs dominate partition bytes, so the width is
+    derived from the ACTUAL byte volume (sum of ``meta.n_bytes`` — a cheap
+    metadata aggregation that prunes the binary column at the scan) over a
+    ``partition_mb`` budget. No RDD API involved."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -98,10 +104,9 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
-    # binary payloads dominate partition bytes: rebalance on blob size
-    # before the UDF so Arrow batches stay bounded.
-    sized = media.repartition(max(media.rdd.getNumPartitions(), 4))
-    return sized.mapInPandas(run, FEATURE_SCHEMA)
+    total_bytes = (media.agg(F.sum("meta.n_bytes")).first()[0] or 0)
+    width = max(4, int(total_bytes // (partition_mb * 1024 * 1024)) + 1)
+    return media.repartition(width).mapInPandas(run, FEATURE_SCHEMA)
 
 
 def metadata_only(media: DataFrame) -> DataFrame:

@@ -86,26 +86,79 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
-def lse_histogram(docs: DataFrame, n_sectors: int = 10) -> DataFrame:
-    """Line-segment token-class histogram (reference A3,
-    lib/lineSegmentAnalyzer.js:115-758): classify each token
-    (number / word / bracketed / special), normalize its position into
-    ``n_sectors`` deciles, count occurrences per (sector, class)."""
-    toks = docs.select(
+# element classes per lib/lineSegmentAnalyzer.js:33-41; the segmentation
+# regex mirrors createLocalDataset's precedence (:115-240): brackets first,
+# then numbers, words, whitespace runs, anything else. zumsteinVector (a
+# special single-sector mode) is intentionally out of scope.
+LSE_TOKEN_RE = (r"\(.*?\)"
+                r"|\d+([.,]\d+)?"
+                r"|[A-Za-zÄÖÜäöüß\-]+"
+                r"|\s+"
+                r"|[\s\S]")
+
+
+def lse_elements(docs: DataFrame, n_sectors: int = 10) -> DataFrame:
+    """Segment each document into classified elements — including the
+    reference's WHITESPACE class (lib/lineSegmentAnalyzer.js:37), which a
+    plain split-tokenizer silently drops — with the element's decile
+    sector."""
+    elems = docs.select(
         "doc_id",
-        F.posexplode(tokens_col()).alias("pos", "token"),
-        F.size(tokens_col()).alias("n_tokens"),
+        F.posexplode(F.regexp_extract_all("text", F.lit(LSE_TOKEN_RE), 0))
+        .alias("pos", "token"),
+        F.size(F.regexp_extract_all("text", F.lit(LSE_TOKEN_RE), 0))
+        .alias("n_elems"),
     )
     klass = (
-        F.when(F.col("token").rlike(r"^\d+([.,]\d+)?$"), "number")
-        .when(F.col("token").rlike(r"^\(.*\)$"), "inBrackets")
+        F.when(F.col("token").rlike(r"^\(.*\)$"), "inBrackets")
+        .when(F.col("token").rlike(r"^\d+([.,]\d+)?$"), "number")
         .when(F.col("token").rlike(r"^[A-Za-zÄÖÜäöüß\-]+$"), "word")
+        .when(F.col("token").rlike(r"^\s+$"), "whitespace")
         .otherwise("specialcharacter")
     )
     sector = F.least(
-        F.floor(F.col("pos") * n_sectors / F.greatest("n_tokens", F.lit(1))),
+        F.floor(F.col("pos") * n_sectors / F.greatest("n_elems", F.lit(1))),
         F.lit(n_sectors - 1)).cast("int")
-    return (toks
-            .select(sector.alias("sector"), klass.alias("token_class"))
+    return elems.select("doc_id", sector.alias("sector"),
+                        klass.alias("token_class"), "token")
+
+
+def lse_histogram(docs: DataFrame, n_sectors: int = 10) -> DataFrame:
+    """Line-segment token-class histogram (reference A3,
+    lib/lineSegmentAnalyzer.js:115-758): classify each element (number /
+    word / bracketed / WHITESPACE / special), normalize its position into
+    ``n_sectors`` deciles, count occurrences per (sector, class)."""
+    return (lse_elements(docs, n_sectors)
             .groupBy("sector", "token_class")
             .agg(F.count("*").alias("occurrences")))
+
+
+def lse_grouped(docs: DataFrame, n_sectors: int = 10) -> DataFrame:
+    """±1 neighbor grouping over the sector histogram — the relational
+    re-expression of the reference's streak grouping (GROUPING_RANGE=1,
+    lib/lineSegmentAnalyzer.js:21,567-758): within each token class, a
+    non-peak sector's occurrences merge into the adjacent sector holding
+    the larger count (its local maximum); ties resolve to the LOWER sector
+    index, peaks stay put. The reference walks streaks imperatively; the
+    window form keeps the same ±1 merge radius around local maxima while
+    staying a pure shuffle-once aggregation."""
+    from pyspark.sql import Window
+
+    hist = lse_histogram(docs, n_sectors)
+    w = Window.partitionBy("token_class").orderBy("sector")
+    prev_c = F.coalesce(F.lag("occurrences").over(w), F.lit(0))
+    next_c = F.coalesce(F.lead("occurrences").over(w), F.lit(0))
+    prev_s = F.lag("sector").over(w)
+    next_s = F.lead("sector").over(w)
+    # only immediate (sector±1) neighbors count; gaps break the streak
+    prev_adj = F.when(prev_s == F.col("sector") - 1, prev_c).otherwise(F.lit(0))
+    next_adj = F.when(next_s == F.col("sector") + 1, next_c).otherwise(F.lit(0))
+    is_peak = (F.col("occurrences") >= prev_adj) & \
+              (F.col("occurrences") >= next_adj)
+    target = (F.when(is_peak, F.col("sector"))
+              .when(prev_adj >= next_adj, F.col("sector") - 1)
+              .otherwise(F.col("sector") + 1))
+    return (hist.withColumn("group_sector", target)
+            .groupBy("token_class", "group_sector")
+            .agg(F.sum("occurrences").alias("occurrences"),
+                 F.count("*").alias("group_size")))

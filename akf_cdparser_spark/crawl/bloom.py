@@ -145,7 +145,11 @@ def build_shards(seen: DataFrame, n_shards: int = 32,
         shard_id = int(key[0])
         hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
         n = len(hashes)
-        m_bits = max(1024, int(n * bits_per_item))
+        # m_bits MUST be byte-aligned: the probe side recovers it as
+        # len(blob) * 8, and a build/probe disagreement of even one bit
+        # shifts every double-hashed position -> silent false negatives
+        # (=> re-crawls). Regression: test_bloom_odd_shard_sizes.
+        m_bits = (max(1024, int(n * bits_per_item)) + 7) // 8 * 8
         fill = (n * BLOOM_K) / m_bits
         prev = prev_counts.get(shard_id)
         churned = prev is not None and prev > 0 and \

@@ -207,6 +207,18 @@ class CrawlEngine:
         # shard_id -> n_items at the last bloom rebuild (tiny metadata,
         # drives the churn-based cuckoo spill)
         self._shard_counts: dict[int, int] = {}
+        # engine-lifetime caches: slimmed doc store + page index survive
+        # across run() calls so steady-state generations never pay the
+        # one-time materialization again
+        self._docs_key: int | None = None
+        self._docs_slim: DataFrame | None = None
+        self._index: DataFrame | None = None
+
+    def close(self) -> None:
+        for df in (self._docs_slim, self._index):
+            if df is not None:
+                df.unpersist()
+        self._docs_key, self._docs_slim, self._index = None, None, None
 
     # -- state access -------------------------------------------------------
 
@@ -256,10 +268,15 @@ class CrawlEngine:
         prev_shuffle = self.spark.conf.get("spark.sql.shuffle.partitions")
         robots = self.store.read("robots", 0)
         totals = {"urls_scheduled": 0, "docs_parsed": 0, "wall_ms": 0}
-        # slim the store ONCE: flat (doc_id, doc_text, n_media) columns cache
-        # and join far cheaper than nested span structs (see X.slim_docs)
-        docs = X.slim_docs(docs).persist()
-        index = page_index_df(self.spark, self.n_docs).persist()
+        # slim the store ONCE per engine: flat (doc_id, doc_text, n_media)
+        # columns cache and join far cheaper than nested span structs
+        # (see X.slim_docs); reused across run() calls
+        if self._docs_slim is None or self._docs_key != id(docs):
+            self.close()
+            self._docs_key = id(docs)
+            self._docs_slim = X.slim_docs(docs).persist()
+            self._index = page_index_df(self.spark, self.n_docs).persist()
+        docs, index = self._docs_slim, self._index
         frontier = self.store.read("frontier", start_gen).persist()
         seen = self._read_seen().persist()
         last_sched = self.store.latest_stats().get("urls_scheduled")
@@ -284,8 +301,7 @@ class CrawlEngine:
                 if stats["urls_scheduled"] == 0:
                     break
         finally:
-            docs.unpersist()
-            index.unpersist()
+            # docs/index stay cached on the engine (see close())
             self.spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         return totals
 
@@ -336,10 +352,14 @@ class CrawlEngine:
         allowed = gated.filter(F.col("allowed")).drop("allowed")
         disallowed = gated.filter(~F.col("allowed")).drop("allowed")
 
-        # 4. politeness schedule + deterministic global crawl order
-        scheduled = schedule_generation(allowed, self.host_budget, self.n_salts)
+        # 4. politeness schedule + deterministic global crawl order.
+        # Persist BEFORE sequencing: repartitionByRange runs a sampling pass
+        # over its input, which would otherwise re-execute the whole
+        # dedupe->bloom->robots->window chain a second time per generation.
+        pre = schedule_generation(allowed, self.host_budget,
+                                  self.n_salts).persist()
         scheduled, n_scheduled = global_sequence(
-            scheduled, ["next_fetch_time", "url_hash", "url"], seq_start)
+            pre, ["next_fetch_time", "url_hash", "url"], seq_start)
         scheduled = scheduled.persist()
         _mark("schedule+sequence")
 
@@ -419,6 +439,7 @@ class CrawlEngine:
                 self.store.read("bloom_shards", gen))
         gated.unpersist()
         newly_seen.unpersist()
+        pre.unpersist()
         scheduled.unpersist()
         parsed.unpersist()
         return ({"urls_scheduled": n_scheduled, "docs_parsed": n_parsed},

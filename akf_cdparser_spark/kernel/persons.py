@@ -9,10 +9,27 @@ Relations / Gesellschafter / Leitung-Kommunikation drivers built on it.
 
 from __future__ import annotations
 
+import os
 import re
 
 from . import textops
 from .dicts import check_funct, check_title_in_parts
+
+# Dictionary matching mode for the title lookup: "normal" = exact greedy
+# longest-match (the reference's default, lib/parser_persons.js:52-53);
+# "ldist" = Levenshtein fuzzy prefix match (lib/dictionaryHandler.js:207-250)
+# for OCR-noisy corpora. Configurable per process via the env var or
+# ``set_matching_mode`` — never mutated implicitly, so executors stay
+# deterministic (workers inherit the env var through spark-submit conf).
+MATCHING_MODE = os.environ.get("AKF_DICT_MATCHING", "normal")
+
+
+def set_matching_mode(mode: str) -> None:
+    if mode not in ("normal", "ldist"):
+        raise ValueError(f"unknown matching mode: {mode!r}")
+    global MATCHING_MODE
+    MATCHING_MODE = mode
+
 
 _RE_PERS_HAFTEND = re.compile(r"\(persönlich haftend\)", re.IGNORECASE)
 _RE_X_MITGLIEDER = re.compile(r"\(\d+ Mitglieder\)", re.IGNORECASE)
@@ -65,7 +82,7 @@ def check_person_line(line: str, common_funct_present: bool = False,
     parts = line.split(",")
     current_index = -1
 
-    title_info = check_title_in_parts(parts, ",", "normal")
+    title_info = check_title_in_parts(parts, ",", MATCHING_MODE)
 
     funct_last = check_funct(parts[-1])
     if funct_last.is_hit:

@@ -695,21 +695,64 @@ def q28_lse_histogram(spark, sf_dir):
     return text.lse_histogram(_t(spark, sf_dir, "documents"))
 
 
-Q28_SQL = r"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+_LSE_CLASSED_SQL = r"""
+elems AS (
+  SELECT doc_id,
+         regexp_extract_all(text,
+           '\(.*?\)|\d+([.,]\d+)?|[A-Za-zÄÖÜäöüß\-]+|\s+|[\s\S]', 0) AS t
+  FROM documents),
 pos AS (
-  SELECT doc_id, t[i] AS token, i - 1 AS pos, len(t) AS n_tokens
-  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+  SELECT doc_id, t[i] AS token, i - 1 AS pos, len(t) AS n_elems
+  FROM elems, UNNEST(range(1, len(t) + 1)) AS u(i)),
 classed AS (
-  SELECT least(CAST(floor(pos * 10 / greatest(n_tokens, 1)) AS INT), 9) AS sector,
-         CASE WHEN regexp_full_match(token, '\d+([.,]\d+)?') THEN 'number'
-              WHEN regexp_full_match(token, '\(.*\)') THEN 'inBrackets'
+  SELECT least(CAST(floor(pos * 10 / greatest(n_elems, 1)) AS INT), 9) AS sector,
+         CASE WHEN regexp_full_match(token, '\(.*\)') THEN 'inBrackets'
+              WHEN regexp_full_match(token, '\d+([.,]\d+)?') THEN 'number'
               WHEN regexp_full_match(token, '[A-Za-zÄÖÜäöüß\-]+') THEN 'word'
+              WHEN regexp_full_match(token, '\s+') THEN 'whitespace'
               ELSE 'specialcharacter' END AS token_class
   FROM pos)
+"""
+
+Q28_SQL = f"""
+WITH {_LSE_CLASSED_SQL}
 SELECT sector, token_class, count(*) AS occurrences
 FROM classed GROUP BY sector, token_class
+"""
+
+
+def q29_lse_grouped(spark, sf_dir):
+    """A3 ±1 neighbor grouping (ref lib/lineSegmentAnalyzer.js:21,567)."""
+    return text.lse_grouped(_t(spark, sf_dir, "documents"))
+
+
+Q29_SQL = f"""
+WITH {_LSE_CLASSED_SQL},
+hist AS (
+  SELECT sector, token_class, count(*) AS occurrences
+  FROM classed GROUP BY sector, token_class),
+wnd AS (
+  SELECT *,
+         coalesce(lag(occurrences) OVER w, 0) AS prev_c,
+         coalesce(lead(occurrences) OVER w, 0) AS next_c,
+         lag(sector) OVER w AS prev_s,
+         lead(sector) OVER w AS next_s
+  FROM hist WINDOW w AS (PARTITION BY token_class ORDER BY sector)),
+adj AS (
+  SELECT *,
+         CASE WHEN prev_s = sector - 1 THEN prev_c ELSE 0 END AS pa,
+         CASE WHEN next_s = sector + 1 THEN next_c ELSE 0 END AS na
+  FROM wnd),
+tgt AS (
+  SELECT token_class, occurrences,
+         CASE WHEN occurrences >= pa AND occurrences >= na THEN sector
+              WHEN pa >= na THEN sector - 1
+              ELSE sector + 1 END AS group_sector
+  FROM adj)
+SELECT token_class, CAST(group_sector AS INT) AS group_sector,
+       CAST(sum(occurrences) AS BIGINT) AS occurrences,
+       count(*) AS group_size
+FROM tgt GROUP BY token_class, group_sector
 """
 
 
@@ -1170,6 +1213,7 @@ REGISTRY: dict[str, tuple] = {
     "q26_simhash": (q26_simhash, Q26_SQL),
     "q27_embedding_topk": (q27_embedding_topk, Q27_SQL),
     "q28_lse_histogram": (q28_lse_histogram, Q28_SQL),
+    "q29_lse_grouped": (q29_lse_grouped, Q29_SQL),
     "q30_extract_profile": (q30_extract_profile, Q30_SQL),
     "q31_extract_aufsichtsrat": (q31_extract_aufsichtsrat, Q31_SQL),
     "q32_extract_organbezuege": (q32_extract_organbezuege, Q32_SQL),

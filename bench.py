@@ -38,15 +38,34 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "q21_quality", "q24_dedup_exact", "q25_minhash_bands",
         "q26_simhash", "q27_embedding_topk", "q28_lse_histogram",
     ]
+
+    # warm-up: JVM/codegen/parquet-footer/Python-worker startup must not be
+    # billed to the first measured query (it used to land on q01)
+    for t in ("lineitem", "orders", "customer", "events", "documents",
+              "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet") \
+            .write.format("noop").mode("overwrite").save()
+    REGISTRY["q01_pricing_summary"][0](spark, sf_dir) \
+        .write.format("noop").mode("overwrite").save()
+
+    # median-of-3 per query: the sandbox host is shared, single-shot
+    # timings carry +-30% neighbor noise
     timings: dict[str, float] = {}
     for name in headline:
         fn, _ = REGISTRY[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _rep in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
-    # extraction throughput over the synthetic spans corpus
+    # extraction throughput over the synthetic spans corpus (warm single
+    # shot: the corpus synthesis dominates a repeat, medians would measure
+    # the cache instead of the operator)
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1500"))
+    X.extract_records(X.docs_dataframe(spark, 200)) \
+        .write.format("noop").mode("overwrite").save()  # warm the lane
     t0 = time.time()
     X.extract_records(X.docs_dataframe(spark, n_docs)) \
         .write.format("noop").mode("overwrite").save()
@@ -58,10 +77,12 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     # generation size must dominate the fixed per-generation costs for the
     # throughput number to reflect engine capability
     crawl_docs = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_DOCS", "8000"))
-    # the crawl loop's scheduling frames are small: excess shuffle
-    # partitions only add task overhead (the parse stage parallelizes via
-    # the docs partitioning, not the shuffle width)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # warm the crawl lane (stage types: schedule windows, bloom cogroup,
+    # parse, snapshot writes) before the measured run
+    with tempfile.TemporaryDirectory() as warm_dir:
+        warm = CrawlEngine(spark, warm_dir, 300, host_budget=20, n_salts=4)
+        warm.bootstrap(fixtures.seed_urls(30, 300), fixtures.robots_rules(300))
+        warm.run(X.docs_dataframe(spark, 300), 2)
     with tempfile.TemporaryDirectory() as state_dir:
         engine = CrawlEngine(spark, state_dir, crawl_docs,
                              host_budget=max(40, crawl_docs // 14),

@@ -121,6 +121,17 @@ def test_bloom_prefilter_never_false_negative(spark):
         assert rows[hash64_py(fixtures.url_for(i))] is True  # no false negatives
 
 
+def test_bloom_odd_shard_sizes(spark):
+    """Shard sizes whose bit count is not byte-aligned must still probe
+    exactly (regression: build used n*12 bits, probe used len(blob)*8 —
+    the off-by-<8 shift produced silent false negatives and re-crawls)."""
+    hashes = [(hash64_py(fixtures.url_for(i)),) for i in range(171)]
+    seen = spark.createDataFrame(hashes, "url_hash long")
+    shards = bloom.build_shards(seen, n_shards=1)
+    tagged = bloom.prefilter_candidates(seen, shards, n_shards=1)
+    assert all(r.maybe_seen for r in tagged.collect())
+
+
 def test_cuckoo_never_loses_a_fingerprint():
     """A displaced fingerprint goes to the overflow list, never dropped —
     membership is EXACT for inserted items (the bloom.py:6-7 invariant:

@@ -72,6 +72,32 @@ def test_dict_longest_first_and_letter_guard():
     assert not guard.is_hit
 
 
+def test_matching_mode_config_misspelled_corpus():
+    """The ldist config surface (persons.set_matching_mode /
+    AKF_DICT_MATCHING): a misspelled title ('Porf. Dr.') is missed by exact
+    matching but classified under the fuzzy mode; exact stays the default
+    (reference parity, lib/parser_persons.js:52-53)."""
+    from akf_cdparser_spark.kernel import persons
+
+    line = "Generaldirektor-Stellvertretre Dipl.-Ing. Klaus Maier, Stuttgart"
+    assert persons.MATCHING_MODE == "normal"
+    exact = persons.check_person_line(line)
+    # exact longest-match only salvages the clean fragment and swallows the
+    # misspelled role into the first name
+    assert exact["title"] == "Dipl.-Ing."
+    assert exact["firstName"] == "Generaldirektor-Stellvertretre"
+    persons.set_matching_mode("ldist")
+    try:
+        fuzzy = persons.check_person_line(line)
+        assert fuzzy["title"].startswith("Generaldirektor-Stellvertretre")
+        assert (fuzzy["firstName"], fuzzy["lastName"]) == ("Klaus", "Maier")
+    finally:
+        persons.set_matching_mode("normal")
+    import pytest
+    with pytest.raises(ValueError):
+        persons.set_matching_mode("bogus")
+
+
 def test_dict_ldist_path():
     entries = ("Professor",)
     hit = dicts.check_dict_content("Professur Maier", entries, matching="ldist")
