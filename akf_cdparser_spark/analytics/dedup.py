@@ -54,32 +54,37 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 def minhash_signatures(docs: DataFrame, k: int = DEFAULT_MINHASH_K,
                        n: int = 3) -> DataFrame:
     """MinHash: h_i(shingle) = md5(i || shingle); signature_i = min over the
-    doc's shingles. Output long form (doc_id, h, minhash) — band grouping
-    composes on top. Engine-portable (md5)."""
+    doc's shingles. All k hashes are computed as COLUMNS of one shingle row
+    and aggregated with k element-wise mins in a single groupBy — the
+    explode-by-hash-id alternative multiplies shuffle row volume by k,
+    which is the dominant cost at corpus scale. Engine-portable (md5)."""
     sh = shingles(docs, n)
-    hashes = sh.select(
-        "doc_id",
-        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("h"),
-        "shingle",
-    ).select(
-        "doc_id", "h",
-        F.md5(F.concat(F.col("h").cast("string"), F.lit("|"),
-                       F.col("shingle"))).alias("hv"),
-    )
-    return hashes.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
+    cols = [F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"hv{i}")
+            for i in range(k)]
+    per_shingle = sh.select("doc_id", *cols)
+    return per_shingle.groupBy("doc_id").agg(
+        *[F.min(f"hv{i}").alias(f"m{i}") for i in range(k)])
 
 
 def lsh_band_keys(docs: DataFrame, k: int = DEFAULT_MINHASH_K,
                   bands: int = DEFAULT_BANDS, n: int = 3) -> DataFrame:
     """LSH banding: concatenate rows-per-band minhashes -> band_key.
-    Documents sharing any (band, band_key) are near-dup candidates."""
+    Documents sharing any (band, band_key) are near-dup candidates. The
+    band keys derive from the wide signature row (no second shuffle); only
+    the final tiny (doc, band) explode leaves the aggregated row."""
     rows_per_band = k // bands
-    sig = minhash_signatures(docs, k, n)
-    return (sig
-            .withColumn("band", (F.col("h") / rows_per_band).cast("int"))
-            .groupBy("doc_id", "band")
-            .agg(F.md5(F.concat_ws(",", F.sort_array(
-                F.collect_list(F.col("minhash"))))).alias("band_key")))
+    wide = minhash_signatures(docs, k, n)
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", F.sort_array(F.array(
+                *[F.col(f"m{b * rows_per_band + j}")
+                  for j in range(rows_per_band)])))).alias("band_key"))
+        for b in range(bands)]
+    return (wide
+            .select("doc_id", F.explode(F.array(*entries)).alias("e"))
+            .select("doc_id", F.col("e.band").alias("band"),
+                    F.col("e.band_key").alias("band_key")))
 
 
 def minhash_candidates(docs: DataFrame, k: int = DEFAULT_MINHASH_K,
@@ -117,15 +122,38 @@ def minhash_candidates(docs: DataFrame, k: int = DEFAULT_MINHASH_K,
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_doc_freq: int | None = 1000) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs above a threshold, candidate-
-    pruned through shared shingles (never a full cross join)."""
+    pruned through shared shingles (never a full cross join).
+
+    ``max_doc_freq`` is the STOP-SHINGLE cap: a shingle appearing in d
+    documents contributes d^2 rows to the self-join, so one boilerplate
+    phrase becomes a quadratic hot key at corpus scale. Shingles above the
+    cap are excluded from CANDIDATE GENERATION only — the Jaccard of the
+    surviving pairs still counts every shingle, so scores stay exact; only
+    pairs whose overlap is exclusively stop-shingles are missed (such pairs
+    sit far below any useful threshold). ``None`` disables the cap."""
     sh = shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (sh.alias("x").join(sh.alias("y"), "shingle")
-             .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-             .groupBy(F.col("x.doc_id").alias("doc_a"),
-                      F.col("y.doc_id").alias("doc_b"))
+    cand_sh = sh
+    if max_doc_freq is not None:
+        rare = (sh.groupBy("shingle")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_doc_freq)
+                .select("shingle"))
+        cand_sh = sh.join(rare, "shingle", "left_semi")
+    cand = (cand_sh.alias("x").join(cand_sh.alias("y"), "shingle")
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"))
+            .distinct())
+    inter = (cand
+             .join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+             .join(sh.alias("sb"),
+                   (F.col("doc_b") == F.col("sb.doc_id"))
+                   & (F.col("sa.shingle") == F.col("sb.shingle")))
+             .groupBy("doc_a", "doc_b")
              .agg(F.count("*").alias("n_common")))
     return (inter
             .join(sizes.withColumnRenamed("doc_id", "doc_a")
@@ -145,28 +173,24 @@ SIMHASH_BITS = 32
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash: per token, a 32-bit md5-derived hash votes ±1 on each bit;
-    the sign vector is the document's simhash. Pure relational form:
-    explode(tokens) x explode(bits) -> conditional sum -> bit re-assembly.
+    the sign vector is the document's simhash. The per-bit votes are
+    COLUMNS of one token row aggregated by ``bits`` sums in a single
+    groupBy — exploding by bit id would multiply shuffle rows x32.
     Engine-portable (md5 + integer ops only)."""
     toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
-    th = toks.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long").alias("th"),
-    )
-    bit = F.explode(F.array(*[F.lit(b) for b in range(bits)])).alias("bit")
-    # shiftright/shiftleft take literal bit counts only — use 2^bit math,
-    # exact for 32-bit hashes in double precision
-    shifted = F.floor(F.col("th") / F.pow(F.lit(2.0), F.col("bit"))).cast("long")
-    votes = th.select("doc_id", "th", bit).select(
-        "doc_id", "bit",
-        (F.when(shifted % 2 == 1, 1).otherwise(-1)).alias("vote"))
-    bitvals = (votes.groupBy("doc_id", "bit")
-               .agg(F.sum("vote").alias("v"))
-               .select("doc_id", "bit",
-                       F.when(F.col("v") > 0,
-                              F.pow(F.lit(2.0), F.col("bit")).cast("long"))
-                       .otherwise(0).alias("bitval")))
-    return bitvals.groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
+    th = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    votes = [
+        (F.when(F.shiftright(th, b) % 2 == 1, 1).otherwise(-1)).alias(f"v{b}")
+        for b in range(bits)]
+    per_token = toks.select("doc_id", *votes)
+    summed = per_token.groupBy("doc_id").agg(
+        *[F.sum(f"v{b}").alias(f"s{b}") for b in range(bits)])
+    acc = None
+    for b in range(bits):
+        bitval = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        acc = bitval if acc is None else acc + bitval
+    return summed.select("doc_id", acc.alias("simhash"))
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -58,13 +58,15 @@ for _rep in range(2):
     dt = time.time() - t0
     best = dt if best is None or dt < best else best
 
-# crawl over the FULL corpus, measured at STEADY STATE: generation 1 on the
+# crawl over a 3x corpus, measured at STEADY STATE: generation 1 on the
 # same engine warms the doc-store cache, page index, JIT and Python workers
 # (one-time costs that amortize over thousands of generations at the 10^10
 # design point); generations 2-4 are the measured window. Per-generation
-# fixed costs (job/shuffle/commit latency, identical at any core count)
-# must stay small next to the scalable parse/link work.
-crawl_docs = n_docs
+# fixed costs (job/shuffle/commit latency, ~identical at any core count —
+# measured ~6.5 s/generation on this host) must stay small next to the
+# scalable parse/link work, exactly as they are at the 10^10 design point
+# where a generation holds millions of URLs.
+crawl_docs = n_docs * 3
 with tempfile.TemporaryDirectory() as state_dir:
     engine = CrawlEngine(spark, state_dir, crawl_docs,
                          host_budget=max(20, crawl_docs // 14), n_salts=8)
