@@ -106,17 +106,30 @@ def schedule_generation(candidates: DataFrame, host_budget: int,
                         n_salts: int = 8) -> DataFrame:
     """Per-host politeness top-k, two-phase: (host, salt) slices first (the
     salted repartition that splits hot CD volumes), then a per-host re-rank
-    over at most budget*n_salts survivors."""
+    over at most budget*n_salts survivors.
+
+    Hosts whose candidate count is within budget bypass BOTH windows —
+    top-k over <=k rows is the identity, and the per-host re-rank would
+    otherwise sort the bulk of the frontier in one task per host (there
+    are only a handful of CD-volume hosts: the single worst scaling
+    bottleneck). The count split changes the physical plan only; the
+    scheduled set is identical for any budget."""
     order = [F.asc("next_fetch_time"), F.asc("url_hash"), F.asc("url")]
-    salted = candidates.withColumn(
+    host_counts = candidates.groupBy("host").agg(F.count("*").alias("_hc"))
+    with_counts = candidates.join(F.broadcast(host_counts), "host")
+    under = with_counts.filter(F.col("_hc") <= host_budget).drop("_hc")
+    over = with_counts.filter(F.col("_hc") > host_budget).drop("_hc")
+
+    salted = over.withColumn(
         "salt", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int"))
     w1 = Window.partitionBy("host", "salt").orderBy(*order)
     survivors = (salted.withColumn("_r1", F.row_number().over(w1))
                  .filter(F.col("_r1") <= host_budget).drop("_r1"))
     w2 = Window.partitionBy("host").orderBy(*order)
-    return (survivors.withColumn("_r2", F.row_number().over(w2))
+    topk = (survivors.withColumn("_r2", F.row_number().over(w2))
             .filter(F.col("_r2") <= host_budget)
             .drop("_r2", "salt"))
+    return under.unionByName(topk)
 
 
 def page_index_df(spark: SparkSession, n_docs: int) -> DataFrame:
