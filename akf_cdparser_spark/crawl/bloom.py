@@ -72,19 +72,57 @@ def _cuckoo_fingerprint(h: np.ndarray) -> np.ndarray:
     return np.where(fp == 0, np.uint16(1), fp)
 
 
-def _build_cuckoo(hashes: np.ndarray) -> bytes:
-    """Cuckoo table + overflow list. The 64-kick partial walk can fail to
-    place a fingerprint; the reference invariant (module header) forbids
-    dropping it — failed placements go to a linear overflow list that
-    ``_cuckoo_contains`` always probes."""
+def _cuckoo_n_buckets(n_items: int) -> int:
+    """Table sized FROM the item count (power of two, 4 slots/bucket,
+    target load <=0.5) — a fixed-size table saturates on hot shards and
+    degrades into a linear overflow scan."""
     n_buckets = 1 << CUCKOO_BUCKETS_POW
+    while n_buckets * 2 < n_items:   # 4 slots -> load n/(4*buckets) <= 0.5
+        n_buckets <<= 1
+    return n_buckets
+
+
+def _build_cuckoo(hashes: np.ndarray) -> bytes:
+    """Cuckoo table + overflow list, built mostly VECTORIZED (a per-item
+    Python insert loop costs ~2 ms/item and dominated the bloom-rebuild
+    barrier): pass 1 bulk-places up to 4 fingerprints per first-choice
+    bucket via a stable sort + per-bucket cumcount; pass 2 does the same
+    for second-choice buckets over the leftovers; only the tail (a few %)
+    walks the classic kick loop. A fingerprint that still cannot be placed
+    goes to a linear overflow list that ``_cuckoo_contains`` always probes
+    — the module-header invariant forbids dropping one."""
+    n_buckets = _cuckoo_n_buckets(len(hashes))
     table = np.zeros((n_buckets, 4), dtype=np.uint16)
+    filled = np.zeros(n_buckets, dtype=np.int64)
     h = hashes.astype(np.uint64)
     fps = _cuckoo_fingerprint(h)
-    b1s = (h % n_buckets).astype(np.int64)
+    b1 = (h % n_buckets).astype(np.int64)
+    b2 = ((b1 ^ (fps.astype(np.int64) * 0x5BD1E995)) % n_buckets).astype(np.int64)
+
+    def bulk_place(idx: np.ndarray, buckets: np.ndarray) -> np.ndarray:
+        """Place items[idx] into buckets (per-item target), honoring current
+        fill; returns indices that did not fit. Deterministic: stable sort."""
+        if not len(idx):
+            return idx
+        order = idx[np.argsort(buckets[idx], kind="stable")]
+        sb = buckets[order]
+        group_start = np.r_[True, sb[1:] != sb[:-1]]
+        pos_in_group = np.arange(len(sb)) - np.maximum.accumulate(
+            np.where(group_start, np.arange(len(sb)), 0))
+        slot = pos_in_group + filled[sb]
+        fits = slot < 4
+        table[sb[fits], slot[fits]] = fps[order[fits]]
+        placed_buckets, placed_counts = np.unique(sb[fits], return_counts=True)
+        filled[placed_buckets] += placed_counts
+        return order[~fits]
+
+    rest = bulk_place(np.arange(len(h)), b1)
+    rest = bulk_place(rest, b2)
+
     overflow: list[int] = []
-    for fp, b1 in zip(fps, b1s):
-        b = int(b1)
+    for i in rest:  # kick walk for the small remainder
+        fp = fps[i]
+        b = int(b1[i])
         placed = False
         for _kick in range(64):
             row = table[b]
@@ -93,8 +131,7 @@ def _build_cuckoo(hashes: np.ndarray) -> bytes:
                 row[empty[0]] = fp
                 placed = True
                 break
-            # evict slot 0, move on (partial cuckoo walk, deterministic)
-            fp, row[0] = row[0], fp
+            fp, row[0] = row[0], fp  # evict slot 0, move on (deterministic)
             b = int((b ^ (int(fp) * 0x5BD1E995)) % n_buckets)
         if not placed:  # never drop: spill to the overflow list
             overflow.append(int(fp))
@@ -104,8 +141,8 @@ def _build_cuckoo(hashes: np.ndarray) -> bytes:
 
 def _split_cuckoo(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     (n_ov,) = struct.unpack_from("<I", blob, 0)
-    n_buckets = 1 << CUCKOO_BUCKETS_POW
-    table_bytes = n_buckets * 4 * 2
+    table_bytes = len(blob) - 4 - 2 * n_ov
+    n_buckets = table_bytes // 8          # 4 slots x uint16 per bucket
     table = np.frombuffer(blob, dtype=np.uint16, count=n_buckets * 4,
                           offset=4).reshape(-1, 4)
     overflow = np.frombuffer(blob, dtype=np.uint16, count=n_ov,

@@ -376,10 +376,12 @@ class CrawlEngine:
         scheduled = scheduled.persist()
         _mark("schedule+sequence")
 
-        # 5. fetch + parse + discover (docs side stays put: broadcast keys)
+        # 5. fetch + parse + discover (docs side stays put: broadcast keys);
+        # the coverage plane is a separate QA query, not a per-fetch cost
         fetched = resolve_docs(scheduled, docs)
         parsed = X.extract_records_slim(
-            fetched.select("doc_id", "doc_text", "n_media"))
+            fetched.select("doc_id", "doc_text", "n_media"),
+            with_coverage=False)
         parsed = parsed.persist()
         n_parsed = parsed.count()  # the one action that materializes parse
         _mark("parse")

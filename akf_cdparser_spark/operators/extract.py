@@ -234,7 +234,8 @@ def spans_view(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _parse_profile(doc_id: str, text: str, n_media: int) -> dict:
+def _parse_profile(doc_id: str, text: str, n_media: int,
+                   with_coverage: bool = True) -> dict:
     from ..kernel import parse_document
 
     try:
@@ -270,8 +271,11 @@ def _parse_profile(doc_id: str, text: str, n_media: int) -> dict:
 
     typed = _typed_projections(rec)
 
-    from ..kernel import coverage
-    unparsed_chars, fulltext_chars = coverage.coverage_stats(rec)
+    if with_coverage:
+        from ..kernel import coverage
+        unparsed_chars, fulltext_chars = coverage.coverage_stats(rec)
+    else:
+        unparsed_chars = fulltext_chars = None
 
     return {
         **typed,
@@ -446,16 +450,20 @@ def extract_records(docs: DataFrame) -> DataFrame:
     return extract_records_slim(slim_docs(docs))
 
 
-def extract_records_slim(slim: DataFrame) -> DataFrame:
+def extract_records_slim(slim: DataFrame,
+                         with_coverage: bool = True) -> DataFrame:
     """(doc_id, doc_text, n_media) -> extracted records (see
-    ``extract_records``); entry point for callers that pre-slim the store."""
+    ``extract_records``); entry point for callers that pre-slim the store.
+    ``with_coverage=False`` skips the A4 unparsed-coverage subtraction
+    (~25% of per-doc CPU) for pipelines that don't consume that plane —
+    the crawl loop runs it separately as a QA query, not per fetch."""
 
     cols = [f.name for f in RECORDS_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                _parse_profile(doc_id, text, int(n_media))
+                _parse_profile(doc_id, text, int(n_media), with_coverage)
                 for doc_id, text, n_media in zip(pdf["doc_id"], pdf["doc_text"],
                                                  pdf["n_media"])
             ]

@@ -26,6 +26,7 @@ WORKER = r"""
 import json, sys, tempfile, time
 import pandas as pd
 cpus, n_docs = sys.argv[1], int(sys.argv[2])
+crawl_mult = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 from akf_cdparser_spark.session import get_spark
 from akf_cdparser_spark.operators import extract as X
 from akf_cdparser_spark.crawl.frontier import CrawlEngine
@@ -66,7 +67,7 @@ for _rep in range(2):
 # measured ~6.5 s/generation on this host) must stay small next to the
 # scalable parse/link work, exactly as they are at the 10^10 design point
 # where a generation holds millions of URLs.
-crawl_docs = n_docs * 3
+crawl_docs = n_docs * crawl_mult
 with tempfile.TemporaryDirectory() as state_dir:
     engine = CrawlEngine(spark, state_dir, crawl_docs,
                          host_budget=max(20, crawl_docs // 14), n_salts=8)
@@ -92,9 +93,9 @@ print("RESULT " + json.dumps({
 """
 
 
-def run_level(cpus: int, n_docs: int) -> dict:
+def run_level(cpus: int, n_docs: int, crawl_mult: int = 3) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cpus), str(n_docs)],
+        [sys.executable, "-c", WORKER, str(cpus), str(n_docs), str(crawl_mult)],
         capture_output=True, text=True, cwd=os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))), check=True)
     for line in out.stdout.splitlines():
@@ -119,8 +120,10 @@ def _best(a: dict, b: dict) -> dict:
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    lo = _best(run_level(n, n_docs), run_level(n, n_docs))
-    hi = _best(run_level(n * 4, n_docs), run_level(n * 4, n_docs))
+    crawl_mult = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    lo = _best(run_level(n, n_docs, crawl_mult), run_level(n, n_docs, crawl_mult))
+    hi = _best(run_level(n * 4, n_docs, crawl_mult),
+               run_level(n * 4, n_docs, crawl_mult))
 
     def eff(metric):
         return round((hi[metric] / lo[metric]) / 4, 3)
