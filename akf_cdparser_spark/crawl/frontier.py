@@ -401,10 +401,13 @@ class CrawlEngine:
         # analysis alone dominates (minutes of TreeNode.treeString CPU by
         # generation 3). The parquet snapshot written below stays the
         # durable copy; the checkpoint only backs the hot loop.
+        # persist the plan so the parquet write and the checkpoint (both in
+        # the barrier below) share ONE materialization instead of running
+        # serially after each other
         frontier_next_plan = (frontier
                               .join(newly_seen.select("url_hash"),
                                     "url_hash", "left_anti")
-                              .unionByName(new_frontier_rows))
+                              .unionByName(new_frontier_rows)).persist()
         seen_next_plan = seen.unionByName(newly_seen)
 
         # incremental log: only this generation's delta is written; readers
@@ -429,18 +432,17 @@ class CrawlEngine:
         # crawl-loop scaling.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=7) as pool:
+        with ThreadPoolExecutor(max_workers=8) as pool:
             ckpt_frontier = pool.submit(frontier_next_plan.localCheckpoint)
             ckpt_seen = pool.submit(seen_next_plan.localCheckpoint)
             futures = [pool.submit(self.store.write, name, df, gen)
                        for name, df in (("seen", newly_seen),
+                                        ("frontier", frontier_next_plan),
                                         ("fetch_log", fetch_log_new),
                                         ("lineage", lineage),
                                         ("metrics", metrics))]
             frontier_next = ckpt_frontier.result()
             seen_next = ckpt_seen.result()
-            futures.append(pool.submit(
-                self.store.write, "frontier", frontier_next, gen))
             if gen % self.bloom_rebuild_every == 0:
                 shards = bloom.build_shards(seen_next, self.n_shards,
                                             prev_counts=self._shard_counts)
@@ -449,6 +451,7 @@ class CrawlEngine:
             for fut in futures:
                 fut.result()  # surface failures before the commit record
         _mark("write barrier")
+        frontier_next_plan.unpersist()
         if gen % self.bloom_rebuild_every == 0:
             self._shard_counts = bloom.shard_counts(
                 self.store.read("bloom_shards", gen))

@@ -26,7 +26,7 @@ WORKER = r"""
 import json, sys, tempfile, time
 import pandas as pd
 cpus, n_docs = sys.argv[1], int(sys.argv[2])
-crawl_mult = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+crawl_mult = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 from akf_cdparser_spark.session import get_spark
 from akf_cdparser_spark.operators import extract as X
 from akf_cdparser_spark.crawl.frontier import CrawlEngine
@@ -93,7 +93,7 @@ print("RESULT " + json.dumps({
 """
 
 
-def run_level(cpus: int, n_docs: int, crawl_mult: int = 3) -> dict:
+def run_level(cpus: int, n_docs: int, crawl_mult: int = 8) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", WORKER, str(cpus), str(n_docs), str(crawl_mult)],
         capture_output=True, text=True, cwd=os.path.dirname(
@@ -120,7 +120,7 @@ def _best(a: dict, b: dict) -> dict:
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    crawl_mult = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    crawl_mult = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     lo = _best(run_level(n, n_docs, crawl_mult), run_level(n, n_docs, crawl_mult))
     hi = _best(run_level(n * 4, n_docs, crawl_mult),
                run_level(n * 4, n_docs, crawl_mult))
