@@ -102,12 +102,16 @@ def lse_elements(docs: DataFrame, n_sectors: int = 10) -> DataFrame:
     reference's WHITESPACE class (lib/lineSegmentAnalyzer.js:37), which a
     plain split-tokenizer silently drops — with the element's decile
     sector."""
-    elems = docs.select(
+    # materialize the element array ONCE per doc (the segmentation regex is
+    # the expensive part; evaluating it in both posexplode and size doubles
+    # the scan cost)
+    arr = docs.select(
         "doc_id",
-        F.posexplode(F.regexp_extract_all("text", F.lit(LSE_TOKEN_RE), 0))
-        .alias("pos", "token"),
-        F.size(F.regexp_extract_all("text", F.lit(LSE_TOKEN_RE), 0))
-        .alias("n_elems"),
+        F.regexp_extract_all("text", F.lit(LSE_TOKEN_RE), 0).alias("t"))
+    elems = arr.select(
+        "doc_id",
+        F.posexplode("t").alias("pos", "token"),
+        F.size("t").alias("n_elems"),
     )
     klass = (
         F.when(F.col("token").rlike(r"^\(.*\)$"), "inBrackets")

@@ -66,3 +66,21 @@ def test_multimodal_binary_pruned(spark):
 def test_q06_filters_pushed(spark):
     p = _plan(spark, REGISTRY["q06_revenue_filter"][0](spark, SF))
     assert "PushedFilters: [IsNotNull" in p
+
+
+def test_crawl_fetch_join_broadcasts_keys(spark):
+    """resolve_docs must broadcast the (tiny) scheduled keys so the
+    multi-TB docs store never shuffles — no Exchange on the store side."""
+    from akf_cdparser_spark.crawl.frontier import resolve_docs
+    from pyspark.sql import functions as F
+
+    docs_slim = X.slim_docs(X.docs_dataframe(spark, 32))
+    scheduled = (spark.range(0, 8)
+                 .select(F.format_string("akf://cd1999/%04d.html", "id")
+                         .alias("url"),
+                         F.col("id").alias("url_hash")))
+    p = _plan(spark, resolve_docs(scheduled, docs_slim))
+    assert "BroadcastHashJoin" in p
+    # the docs side feeds the join directly (its only exchange is the
+    # broadcast of the key side)
+    assert p.count("Exchange hashpartitioning") == 0
