@@ -263,6 +263,32 @@ def synth_html(i: int, n_docs: int) -> str:
             f'<td align="LEFT" valign="TOP">Ausgabe von Genußscheinen über DM {1 + i % 3} 000 000</td></tr>',
             "</table>",
         ]
+    if i % 15 == 4:
+        # genehmigtes Genußkapital (ref lib/parser_tables.js:262-349 via the
+        # genu-classified index)
+        lines += [
+            '<table width="100%" cellpadding="0" cellspacing="0" border="0">',
+            "<tr>",
+            '<td width="50%" align="LEFT" valign="TOP"><b>Genehmigtes Genußkapital</b></td>',
+            f'<td width="50%" align="RIGHT" valign="TOP"><b>DM {1 + i % 6} 500 000,00</b></td>',
+            "</tr>",
+            "<tr>",
+            f'<td align="LEFT" valign="TOP" colspan="2">Gem. HV vom {1 + i % 27}.0{1 + i % 9}.{2000 + i % 6}</td></tr>',
+            "</table>",
+        ]
+    if i % 15 == 11:
+        # derzeitiges Genußkapital (ref lib/parser_tables.js:702-823 with
+        # the 'genu' headline)
+        lines += [
+            '<table width="100%" cellpadding="0" cellspacing="0" border="0">',
+            "<tr>",
+            '<td width="50%" align="LEFT" valign="TOP"><b>Derzeitiges Genußkapital</b></td>',
+            f'<td width="50%" align="RIGHT" valign="TOP"><b>DM {2 + i % 5} 250 000,00</b></td>',
+            "</tr>",
+            "<tr>",
+            '<td align="LEFT" valign="TOP" colspan="2">Genußscheine auf den Inhaber</td></tr>',
+            "</table>",
+        ]
     if i % 12 == 6:
         # own Kapitalangaben section -> ausgegebenes Kapital
         # (ref lib/parser_tables.js:982-1080)

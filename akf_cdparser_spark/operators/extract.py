@@ -402,6 +402,15 @@ def _typed_projections(rec: dict) -> dict:
              text="; ".join(erm.get("text") or []) or None)
     for e in rec.get("entwicklungDesGenusKapitals") or []:
         krow("entwicklungGenusKapital", jahr=e.get("jahr"), text=e.get("text"))
+    gg = rec.get("genehmigtesGenusKapital")
+    if gg:
+        krow("genehmigtesGenusKapital", betrag=gg.get("betrag"),
+             text=gg.get("bemerkung"))
+    dg = rec.get("derzeitigesGenusKapital")
+    if dg:
+        bems = [t for grp in (dg.get("bemerkungen") or []) for t in grp]
+        krow("derzeitigesGenusKapital", betrag=dg.get("betrag"),
+             text="; ".join(bems) or None)
     for e in (rec.get("ausgegebenesKapital") or {}).get("eintraege") or []:
         krow("ausgegebenesKapital", art=e.get("notiz"), betrag=e.get("betrag"),
              text=e.get("stueckelung"))

@@ -25,6 +25,9 @@ from .. import fixtures
 EXTRACT_N_DOCS = 40
 EMB_QUERY_IDS = [0, 7, 42, 99, 123]
 
+_DOCID_SQL = "printf('%d/%04d', 1999 + (i % 7), i)"
+_RANGE_SQL = f"FROM UNNEST(range(0, {EXTRACT_N_DOCS})) AS t(i)"
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # epoch projections (q09/q15/q19) must read NTZ timestamps as UTC to
@@ -845,6 +848,43 @@ def q33_spans_stats(spark, sf_dir):
                  F.max("offset").alias("max_offset")))
 
 
+# the synthesis rule is line-count-closed-form: one text span per line, one
+# media span per <img> (exactly 1/doc), so the span stats reduce to the
+# per-variant line-count model below (verified exact for 2000 docs in the
+# fixture tests)
+Q33_SQL = f"""
+WITH base AS (SELECT i, {_DOCID_SQL} AS doc_id {_RANGE_SQL}),
+nl AS (
+  SELECT doc_id,
+         93
+         + CASE WHEN i % 9 = 4 THEN 3 ELSE 0 END   -- multi-Sitz
+         + CASE WHEN i % 11 = 5 THEN 4 ELSE 0 END  -- Anteilseigner
+         + CASE WHEN i % 8 = 5 THEN 4 ELSE 0 END   -- Public Relations
+         + CASE WHEN i % 8 = 3 THEN 3 ELSE 0 END   -- Leitung Kommunikation
+         + CASE WHEN i % 6 = 1 THEN 8 ELSE 0 END   -- genehmigtes Kapital
+         + CASE WHEN i % 6 = 3 THEN 8 ELSE 0 END   -- bedingtes Kapital
+         + CASE WHEN i % 12 = 7 THEN 9 ELSE 0 END  -- bes. Bezugsrechte
+         + CASE WHEN i % 12 = 11 THEN 7 ELSE 0 END -- Erm. Aktienerwerb
+         + CASE WHEN i % 15 = 8 THEN 9 ELSE 0 END  -- Entwicklung Genußkapital
+         + CASE WHEN i % 15 = 4 THEN 8 ELSE 0 END  -- genehm. Genußkapital
+         + CASE WHEN i % 15 = 11 THEN 8 ELSE 0 END -- derzeitiges Genußkapital
+         + CASE WHEN i % 12 = 6 THEN 10 ELSE 0 END -- Kapitalangaben section
+         + CASE WHEN i % 5 = 0 THEN 5 ELSE 0 END   -- 2nd exchange listing
+         + CASE WHEN i % 2 = 0 THEN
+             15 + CASE WHEN i % 8 = 2 THEN 9 ELSE 8 END  -- Dividenden + Ergebnis
+           ELSE 0 END
+         + CASE WHEN i % 3 = 0 THEN 19 ELSE 0 END  -- Kennzahlen
+         + CASE WHEN i % 4 = 0 THEN 8 ELSE 0 END   -- Bilanzen
+         + CASE WHEN i % 4 = 2 THEN 7 ELSE 0 END   -- GuV
+         AS n_lines
+  FROM base)
+SELECT doc_id, CAST(n_lines + 1 AS BIGINT) AS n_spans,
+       CAST(1 AS BIGINT) AS n_media,
+       CAST(n_lines - 1 AS INT) AS max_offset
+FROM nl
+"""
+
+
 def q34_extract_kurse(spark, sf_dir):
     recs = _records(spark)
     return (recs.select("doc_id", F.explode("kurse").alias("k"))
@@ -873,7 +913,12 @@ FROM base
 """
 
 
+
+
 def q35_lineage_counts(spark, sf_dir):
+    """A1 call-count plane. The oracle is the closed-form dispatch model of
+    the synthetic corpus — any drift in matcher firing (the reference's
+    callCounter smoke signal, lib/callCounter.js:43-46) breaks the hash."""
     recs = _records(spark)
     return (X.metrics_table(recs)
             .groupBy("category")
@@ -881,13 +926,54 @@ def q35_lineage_counts(spark, sf_dir):
                  F.count("*").alias("n_docs")))
 
 
+Q35_SQL = f"""
+WITH base AS (SELECT i {_RANGE_SQL}),
+cats AS (
+  SELECT 'name' AS category, count(*) AS total_calls, count(*) AS n_docs FROM base
+  UNION ALL SELECT 'Sitz', count(*), count(*) FROM base
+  UNION ALL SELECT 'Tätigkeitsgebiet', count(*), count(*) FROM base
+  UNION ALL SELECT 'Gründung', count(*), count(*) FROM base
+  UNION ALL SELECT 'Status', count(*), count(*) FROM base
+  UNION ALL SELECT 'Aufsichtsrat', count(*), count(*) FROM base
+  UNION ALL SELECT 'Vorstand', count(*), count(*) FROM base
+  UNION ALL SELECT 'Organbezüge', count(*), count(*) FROM base
+  UNION ALL SELECT 'Gesellschafter', count(*), count(*) FROM base
+  UNION ALL SELECT 'Beteiligungen', count(*), count(*) FROM base
+  UNION ALL SELECT 'Kurse', count(*), count(*) FROM base
+  -- swallowed by the 2nd exchange segment on odd non-Kennzahlen i%5 docs
+  UNION ALL SELECT 'Sonstige Angaben', count(*), count(*) FROM base
+            WHERE NOT (i % 5 = 0 AND i % 2 = 1 AND i % 3 <> 0)
+  -- multi-exchange docs fire the head matcher twice (callnumber 2)
+  UNION ALL SELECT 'Börsenbewertung',
+            count(*) + sum(CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END),
+            count(*) FROM base
+  -- the Kapitalangaben section re-enters the kapital matcher
+  UNION ALL SELECT 'Kapitalentwicklung',
+            count(*) + sum(CASE WHEN i % 12 = 6 THEN 1 ELSE 0 END),
+            count(*) FROM base
+  UNION ALL SELECT 'Dividenden', count(*), count(*) FROM base WHERE i % 2 = 0
+  -- the table-start repair path re-enters the matcher (two calls per doc)
+  UNION ALL SELECT 'Ergebnisabführung',
+            sum(CASE WHEN i % 8 = 2 THEN 2 ELSE 1 END), count(*)
+            FROM base WHERE i % 2 = 0
+  UNION ALL SELECT 'Kennzahlen', count(*), count(*) FROM base WHERE i % 3 = 0
+  UNION ALL SELECT 'Aus den Bilanzen', count(*), count(*) FROM base WHERE i % 4 = 0
+  UNION ALL SELECT 'Aus Gewinn und Verlust', count(*), count(*) FROM base WHERE i % 4 = 2
+  UNION ALL SELECT 'Anteilseigner', count(*), count(*) FROM base WHERE i % 11 = 5
+  UNION ALL SELECT 'Leitung Kommunikation', count(*), count(*) FROM base WHERE i % 8 = 3
+  UNION ALL SELECT 'Public Relations', count(*), count(*) FROM base WHERE i % 8 = 5
+)
+SELECT category, CAST(total_calls AS BIGINT) AS total_calls,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM cats
+"""
+
+
 # ---------------------------------------------------------------------------
 # table-extractor oracles (E21-E28 family; closed-form over the synthetic
 # corpus arithmetic in fixtures.synth_html)
 # ---------------------------------------------------------------------------
 
-_DOCID_SQL = "printf('%d/%04d', 1999 + (i % 7), i)"
-_RANGE_SQL = f"FROM UNNEST(range(0, {EXTRACT_N_DOCS})) AS t(i)"
 
 
 def q36_extract_dividenden(spark, sf_dir):
@@ -1051,6 +1137,15 @@ UNION ALL
 SELECT doc_id, 'entwicklungGenusKapital', CAST(y AS VARCHAR), NULL, NULL,
        printf('Ausgabe von Genußscheinen über DM %d 000 000', 1 + i % 3)
 FROM base WHERE i % 15 = 8
+UNION ALL
+SELECT doc_id, 'genehmigtesGenusKapital', NULL, NULL,
+       printf('DM %d 500 000,00', 1 + i % 6),
+       printf('Gem. HV vom %d.0%d.%d', 1 + i % 27, 1 + i % 9, 2000 + i % 6)
+FROM base WHERE i % 15 = 4
+UNION ALL
+SELECT doc_id, 'derzeitigesGenusKapital', NULL, NULL,
+       printf('DM %d 250 000,00', 2 + i % 5),
+       'Genußscheine auf den Inhaber' FROM base WHERE i % 15 = 11
 UNION ALL
 SELECT doc_id, 'ausgegebenesKapital', NULL, 'Ausgegebenes Kapital',
        printf('EUR %d 200 000,00', 3 + i % 6), NULL FROM base WHERE i % 12 = 6
@@ -1217,9 +1312,9 @@ REGISTRY: dict[str, tuple] = {
     "q30_extract_profile": (q30_extract_profile, Q30_SQL),
     "q31_extract_aufsichtsrat": (q31_extract_aufsichtsrat, Q31_SQL),
     "q32_extract_organbezuege": (q32_extract_organbezuege, Q32_SQL),
-    "q33_spans_stats": (q33_spans_stats, None),
+    "q33_spans_stats": (q33_spans_stats, Q33_SQL),
     "q34_extract_kurse": (q34_extract_kurse, Q34_SQL),
-    "q35_lineage_counts": (q35_lineage_counts, None),
+    "q35_lineage_counts": (q35_lineage_counts, Q35_SQL),
     "q36_extract_dividenden": (q36_extract_dividenden, Q36_SQL),
     "q37_extract_kennzahlen": (q37_extract_kennzahlen, Q37_SQL),
     "q38_extract_bilanzen": (q38_extract_bilanzen, Q38_SQL),
