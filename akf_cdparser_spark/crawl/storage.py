@@ -9,8 +9,12 @@ preserves the two properties the engine relies on:
   ``_SUCCESS``-style manifest row is appended to ``_snapshots``;
 * resume: ``latest_generation`` reads the manifest, not directory listings.
 
-Swap-in: if ``spark.conf spark.sql.catalog.<name>`` points at an Iceberg
-catalog, ``use_iceberg=True`` writes ``writeTo(table)`` instead.
+Iceberg swap-in: construct with ``catalog="<name>"`` (a configured Spark
+Iceberg catalog, e.g. ``spark.sql.catalog.crawl = org.apache.iceberg...``).
+Each table then lives at ``<catalog>.<namespace>.<table>`` partitioned by
+the ``gen`` column; writes append the generation partition via ``writeTo``
+and reads filter on it — the manifest stays the commit record so resume
+semantics are identical across both backends.
 """
 
 from __future__ import annotations
@@ -19,15 +23,20 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class StateStore:
-    def __init__(self, spark: SparkSession, root: str, use_iceberg: bool = False):
+    def __init__(self, spark: SparkSession, root: str,
+                 catalog: str | None = None, namespace: str = "crawl"):
         self.spark = spark
         self.root = root
-        self.use_iceberg = use_iceberg
+        self.catalog = catalog
+        self.namespace = namespace
         os.makedirs(root, exist_ok=True)
         self._manifest = os.path.join(root, "_snapshots.json")
+        if catalog:
+            spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
 
     # -- manifest ----------------------------------------------------------
 
@@ -57,13 +66,42 @@ class StateStore:
     def _path(self, table: str, generation: int) -> str:
         return os.path.join(self.root, table, f"gen={generation}")
 
+    def _iceberg_name(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
     def write(self, table: str, df: DataFrame, generation: int) -> None:
+        if self.catalog:
+            name = self._iceberg_name(table)
+            tagged = df.withColumn("gen", F.lit(generation))
+            if not self.spark.catalog.tableExists(name):
+                (tagged.writeTo(name).partitionedBy(F.col("gen")).create())
+            else:
+                # replace this generation's partition atomically (re-runs of
+                # a failed generation overwrite their own partition only)
+                tagged.writeTo(name).overwritePartitions()
+            return
         df.write.mode("overwrite").parquet(self._path(table, generation))
 
     def read(self, table: str, generation: int) -> DataFrame:
+        if self.catalog:
+            return (self.spark.read.table(self._iceberg_name(table))
+                    .filter(F.col("gen") == generation).drop("gen"))
         return self.spark.read.parquet(self._path(table, generation))
 
+    def read_all(self, table: str) -> DataFrame:
+        """Union of every committed generation (iceberg: one table scan with
+        partition pruning left to the reader's filters)."""
+        if self.catalog:
+            return self.spark.read.table(self._iceberg_name(table)).drop("gen")
+        return self.spark.read.parquet(os.path.join(self.root, table))
+
     def exists(self, table: str, generation: int) -> bool:
+        if self.catalog:
+            name = self._iceberg_name(table)
+            if not self.spark.catalog.tableExists(name):
+                return False
+            return bool(self.spark.read.table(name)
+                        .filter(F.col("gen") == generation).head(1))
         return os.path.exists(self._path(table, generation))
 
     def commit(self, generation: int, tables: list[str], stats: dict) -> None:
