@@ -1,24 +1,35 @@
-"""Partitioned bloom-filter URL-seen set with cuckoo spill for hot shards.
+"""Partitioned seen-index shards: bloom/cuckoo filter + exact sorted hashes.
 
-Role (north rule + SURVEY.md §7.2): the bloom/cuckoo shards are a THROUGHPUT
-PREFILTER over the exact Iceberg/parquet seen table — a candidate URL whose
-shard says "definitely unseen" skips the expensive anti-join; a "maybe seen"
-candidate is resolved EXACTLY against the seen table. The filters themselves
-are LOSSLESS for inserted items (bloom by construction; cuckoo via an
-overflow list — a displaced fingerprint is never dropped), so a false
-negative can never leak a seen URL back into the schedule.
+Role (north rule + SURVEY.md §7.2): each shard carries TWO co-located
+structures over the same ``url_hash64 % n_shards`` slice of the seen set:
 
-Layout: ``n_shards`` shards keyed by ``url_hash64 % n_shards``; each shard is
-a numpy bit array built distributively with ``applyInPandas`` (one group per
-shard) and persisted as a binary row (shard_id, bits, n_items, kind). A
-shard whose insert-rate churn between rebuilds exceeds
-``CHURN_RATE_THRESHOLD`` is rebuilt as a cuckoo filter (supports deletion
-for recrawl invalidation; bucketed 4-way, 16-bit fingerprints); a dense
-bloom (fill beyond ``FILL_SPILL_THRESHOLD``) spills too.
+* a bloom filter (or, for high-churn shards, a cuckoo filter — supports
+  deletion for recrawl invalidation) as the throughput fast path; and
+* the EXACT sorted int64 hash array of the shard's members, so a "maybe
+  seen" from the filter resolves to an exact verdict with a local binary
+  search inside the same task.
 
-Scale shape: at the 10^10-URL design point the filter bits NEVER pass
-through the driver — probing cogroups candidates with their shard blob so
-each task loads exactly one shard (``prefilter_candidates``).
+The probe (``probe_seen``) therefore returns an *exact* membership verdict
+as of the shard build — the crawl loop no longer shuffles the full seen set
+per generation; only the small per-generation deltas written since the last
+shard rebuild need a residual anti-join. At the 10^10-URL design point the
+exact arrays are ~80 GB total (8 B/URL): size ``n_shards`` so one shard
+(~80 GB / n_shards, plus ~1.5 GB of filter bits / n_shards) fits a task —
+the bits/arrays NEVER pass through the driver; probing cogroups candidates
+with their shard blob so each task loads exactly one shard.
+
+Filters stay LOSSLESS for inserted items (bloom by construction; cuckoo via
+an overflow list — a displaced fingerprint is never dropped), so the fast
+path can never leak a seen URL past the exact check.
+
+Format versioning: kinds are ``'bloom2'`` / ``'cuckoo2'`` (v2 = cuckoo blob
+with the 4-byte overflow-count header + the ``exact`` column). Probes REJECT
+unknown kinds instead of misparsing an old blob; the engine treats v1 shards
+as absent and rebuilds.
+
+A shard whose insert-rate churn between rebuilds exceeds
+``CHURN_RATE_THRESHOLD`` is rebuilt as a cuckoo filter; a dense bloom (fill
+beyond ``FILL_SPILL_THRESHOLD``) spills too.
 """
 
 from __future__ import annotations
@@ -35,9 +46,12 @@ from pyspark.sql import types as T
 SHARD_SCHEMA = T.StructType([
     T.StructField("shard_id", T.IntegerType()),
     T.StructField("bits", T.BinaryType()),
+    T.StructField("exact", T.BinaryType()),     # sorted int64 url_hash array
     T.StructField("n_items", T.LongType()),
-    T.StructField("kind", T.StringType()),      # 'bloom' | 'cuckoo'
+    T.StructField("kind", T.StringType()),      # 'bloom2' | 'cuckoo2'
 ])
+
+V2_KINDS = ("bloom2", "cuckoo2")
 
 BLOOM_BITS_PER_ITEM = 12      # ~0.3% fp at k=4
 BLOOM_K = 4
@@ -192,11 +206,12 @@ def build_shards(seen: DataFrame, n_shards: int = 32,
         churned = prev is not None and prev > 0 and \
             (n - prev) / prev > churn_threshold
         if churned or fill > FILL_SPILL_THRESHOLD:
-            blob, kind = _build_cuckoo(hashes), "cuckoo"
+            blob, kind = _build_cuckoo(hashes), "cuckoo2"
         else:
-            blob, kind = _build_bloom(hashes, m_bits), "bloom"
+            blob, kind = _build_bloom(hashes, m_bits), "bloom2"
+        exact = np.sort(hashes).tobytes()
         return pd.DataFrame([{"shard_id": shard_id, "bits": blob,
-                              "n_items": n, "kind": kind}])
+                              "exact": exact, "n_items": n, "kind": kind}])
 
     keyed = seen.select(
         (F.pmod(F.col("url_hash"), F.lit(n_shards))).cast("int").alias("shard_id"),
@@ -211,15 +226,29 @@ def shard_counts(shards: DataFrame) -> dict[int, int]:
             for r in shards.select("shard_id", "n_items").collect()}
 
 
+def _filter_maybe(shard_pdf: pd.DataFrame, hashes: np.ndarray) -> np.ndarray:
+    """Fast-path filter verdict for one shard's candidate hashes."""
+    kind = shard_pdf["kind"].iloc[0]
+    blob = bytes(shard_pdf["bits"].iloc[0])
+    if kind == "bloom2":
+        bits = np.frombuffer(blob, dtype=np.uint8)
+        return _bloom_contains(bits, hashes, len(blob) * 8)
+    if kind == "cuckoo2":
+        table, overflow = _split_cuckoo(blob)
+        return _cuckoo_contains(table, hashes, overflow)
+    raise ValueError(
+        f"unknown seen-shard kind {kind!r} (format version mismatch — "
+        f"expected one of {V2_KINDS}; rebuild the shards)")
+
+
 def prefilter_candidates(candidates: DataFrame, shards: DataFrame,
                          n_shards: int = 32) -> DataFrame:
-    """Tag candidate URLs with ``maybe_seen`` WITHOUT moving filter bits
-    through the driver: candidates are cogrouped with their shard blob on
-    ``shard_id`` so each task loads exactly one shard (at 12 bits/item and
-    10^10 URLs the full filter is ~15 GB — driver-broadcasting it would be
-    the scale bottleneck; each shard is ~15 GB / n_shards, local to its
-    task). URLs tagged False are DEFINITELY unseen — they skip the exact
-    anti-join entirely; True goes to exact resolution."""
+    """Tag candidate URLs with the FILTER verdict ``maybe_seen`` (bloom/
+    cuckoo only — no exact resolution) without moving filter bits through
+    the driver: candidates are cogrouped with their shard blob on
+    ``shard_id`` so each task loads exactly one shard. URLs tagged False
+    are DEFINITELY unseen; True still needs exact resolution (fp possible).
+    """
     out_fields = [f for f in candidates.schema.fields]
     schema = T.StructType(out_fields + [T.StructField("maybe_seen", T.BooleanType())])
     out_cols = [f.name for f in out_fields] + ["maybe_seen"]
@@ -232,16 +261,56 @@ def prefilter_candidates(candidates: DataFrame, shards: DataFrame,
             return pd.DataFrame(columns=out_cols)
         if not len(shard_pdf):
             return cand_pdf.drop(columns=["shard_id"]).assign(maybe_seen=False)
-        kind = shard_pdf["kind"].iloc[0]
-        blob = bytes(shard_pdf["bits"].iloc[0])
         hashes = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
-        if kind == "bloom":
-            bits = np.frombuffer(blob, dtype=np.uint8)
-            maybe = _bloom_contains(bits, hashes, len(blob) * 8)
-        else:
-            table, overflow = _split_cuckoo(blob)
-            maybe = _cuckoo_contains(table, hashes, overflow)
+        maybe = _filter_maybe(shard_pdf, hashes)
         return cand_pdf.drop(columns=["shard_id"]).assign(maybe_seen=maybe)
+
+    return (keyed.groupBy("shard_id")
+            .cogroup(shards.groupBy("shard_id"))
+            .applyInPandas(probe, schema))
+
+
+def probe_seen(candidates: DataFrame, shards: DataFrame, n_shards: int = 32,
+               dedupe: bool = False) -> DataFrame:
+    """EXACT membership verdict (``seen_asof`` = seen as of the shard build)
+    in one cogroup shuffle: the bloom/cuckoo filter short-circuits definite
+    misses, survivors are resolved with a binary search over the shard's
+    sorted exact hash array — all local to the shard's task, nothing through
+    the driver and no full-seen-set shuffle.
+
+    ``dedupe=True`` additionally collapses duplicate candidate ``url_hash``
+    rows to the deterministic min-reduce (min url/host/next_fetch_time/
+    depth — the frontier dedupe rule) inside the SAME shuffle: every copy of
+    a hash lands in the same shard group, so a separate groupBy pass would
+    move the same bytes twice."""
+    out_fields = [f for f in candidates.schema.fields]
+    schema = T.StructType(out_fields + [T.StructField("seen_asof", T.BooleanType())])
+    out_cols = [f.name for f in out_fields] + ["seen_asof"]
+    val_cols = [c for c in candidates.columns if c != "url_hash"]
+
+    keyed = candidates.withColumn(
+        "shard_id", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int"))
+
+    def probe(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cand_pdf):
+            return pd.DataFrame(columns=out_cols)
+        cand_pdf = cand_pdf.drop(columns=["shard_id"])
+        if dedupe and len(cand_pdf):
+            cand_pdf = (cand_pdf.groupby("url_hash", as_index=False)[val_cols]
+                        .min()[[*cand_pdf.columns]])
+        hashes = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
+        if not len(shard_pdf):
+            return cand_pdf.assign(seen_asof=False)
+        maybe = _filter_maybe(shard_pdf, hashes)
+        seen = np.zeros(len(hashes), dtype=bool)
+        if maybe.any():
+            exact = np.frombuffer(
+                bytes(shard_pdf["exact"].iloc[0]), dtype=np.int64)
+            if len(exact):
+                h = hashes[maybe]
+                pos = np.minimum(np.searchsorted(exact, h), len(exact) - 1)
+                seen[maybe] = exact[pos] == h
+        return cand_pdf.assign(seen_asof=seen)
 
     return (keyed.groupBy("shard_id")
             .cogroup(shards.groupBy("shard_id"))

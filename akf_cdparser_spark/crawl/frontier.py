@@ -7,32 +7,57 @@ parallelism):
 * the frontier holds (url, url_hash, host, next_fetch_time, depth); a URL's
   ``next_fetch_time`` is the generation in which it was discovered
   (politeness clock in ticks, not wall time — deterministic);
-* each generation: dedupe candidates by url_hash (min next_fetch_time / depth),
-  drop already-seen (bloom prefilter -> exact left_anti), robots-gate,
-  then per host schedule at most ``host_budget`` URLs in
-  (next_fetch_time, url_hash, url) order;
+* each generation: dedupe candidates by url_hash (min url / host /
+  next_fetch_time / depth), drop already-seen, robots-gate, then per host
+  schedule at most ``host_budget`` URLs in (next_fetch_time, url_hash, url)
+  order;
 * the global crawl order within a generation is (next_fetch_time, url_hash,
   url) — ordering is DEFINED BY DATA, never by task scheduling;
 * scheduled docs are parsed (the §2 extraction kernel); out-links are the
   extracted Beteiligungen company names resolved through the CD page-index
-  dictionary (broadcast);
+  dictionary;
 * disallowed URLs enter the seen set (decision made) without a fetch-log row;
-* every generation commits frontier/seen/fetch_log/bloom-shards + metrics to
-  the state store — resume reads the latest committed generation.
+* every generation commits frontier/seen/fetch_log + lineage/metrics to the
+  state store — resume reads the latest committed generation.
 
-Physical plan per the north rule: the politeness queue is a SALTED
-repartition-by-host-hash + sortWithinPartitions two-phase top-k (hot CD
-volumes split across ``n_salts`` slices, then a tiny per-host re-rank), and
-the global sequence is assigned by range-partitioned sort + per-partition
-offsets — no single-partition window anywhere.
+Scale shape (what keeps per-generation cost proportional to the GENERATION,
+never to the accumulated crawl state):
+
+* the frontier is split into **deferred** (validated-unseen, robots-allowed,
+  over politeness budget last generation) and **pending** (links discovered
+  last generation, not yet validated). Only PENDING rows are checked against
+  the seen set — a deferred row cannot have become seen (only scheduling or
+  a robots-disallow marks seen, and both remove a URL from deferral) — so
+  the seen check is O(new links), not O(frontier);
+* the seen check itself never shuffles the seen set: ``bloom.probe_seen``
+  cogroups pending candidates with their seen-index shard (bloom/cuckoo
+  fast path + exact sorted-hash resolution, task-local) and only the small
+  per-generation deltas written since the last shard rebuild need a
+  residual anti-join. Shard rebuilds run ASYNCHRONOUSLY and are adopted
+  whenever they land — staleness is exact by construction (probe covers
+  seen-as-of-rebuild, the delta anti-join covers the rest);
+* the politeness queue is a SALTED repartition-by-host-hash + two-phase
+  top-k (hot CD volumes split across ``n_salts`` slices, then a per-host
+  re-rank over <= budget*n_salts survivors; hosts within budget bypass both
+  windows), and the global sequence is a range-partitioned sort with
+  per-partition offsets — no single-partition window anywhere;
+* state flows between generations through the store's own per-generation
+  parquet/Iceberg files (write once in the commit barrier, read back lazily)
+  — plan lineage is truncated by construction, no localCheckpoint jobs, no
+  second materialization of state that was just written;
+* commits PIPELINE: only the frontier + seen-delta writes (the state the
+  next generation reads) sit on the critical path; fetch_log, lineage and
+  metrics writes drain on a thread pool while the next generation computes,
+  and a generation's manifest record is appended once all of its writes
+  landed (resume only ever sees fully-committed generations).
 """
 
 from __future__ import annotations
 
-import json
 import time
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -59,6 +84,8 @@ SEEN_SCHEMA = T.StructType([
     T.StructField("generation", T.IntegerType()),
 ])
 
+_FCOLS = [f.name for f in FRONTIER_SCHEMA.fields]
+
 
 def _with_identity(df: DataFrame) -> DataFrame:
     canon = canonicalize_udf(F.col("url"))
@@ -73,37 +100,60 @@ def seeds_frontier(spark: SparkSession, seeds: list[dict]) -> DataFrame:
     return (_with_identity(df)
             .withColumn("next_fetch_time", F.lit(0).cast("long"))
             .withColumn("depth", F.lit(0))
-            .select([f.name for f in FRONTIER_SCHEMA.fields]))
+            .select(_FCOLS))
 
 
 def global_sequence(df: DataFrame, order_cols: list[str], start: int,
                     out_col: str = "scheduled_seq") -> tuple[DataFrame, int]:
     """Deterministic global rank without a single-partition window:
-    range-partitioned sort, per-partition row_number, driver-side offsets
-    (one tiny count per partition). Returns (df, n_rows) — the count comes
-    free from the offsets pass."""
+    range-partitioned sort, then per-partition offsets (one tiny count per
+    partition) applied in a single order-preserving ``mapInPandas`` pass —
+    no second shuffle (the old row_number-over-_pid window re-exchanged the
+    scheduled set by partition id). Returns (df, n_rows) — the count comes
+    free from the offsets pass. The materialized sorted input stays cached
+    and is exposed as ``result._ordered_cache`` for the caller to unpersist.
+    """
     n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
     ordered = (df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
-               .withColumn("_pid", F.spark_partition_id()))
-    ordered = ordered.persist()
+               .sortWithinPartitions(*[F.col(c) for c in order_cols])
+               .withColumn("_pid", F.spark_partition_id())
+               .persist())
     counts = {r["_pid"]: r["n"] for r in
               ordered.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
-    if not counts:
-        return ordered.drop("_pid").withColumn(out_col, F.lit(start)), 0
+    total = sum(counts.values())
+    if not total:
+        out = ordered.drop("_pid").withColumn(
+            out_col, F.lit(start).cast("long"))
+        out._ordered_cache = ordered
+        return out, 0
     offsets, acc = {}, start
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
-    out = (ordered
-           .withColumn(out_col, omap[F.col("_pid")] + F.row_number().over(w) - 1)
-           .drop("_pid"))
-    return out, acc - start
+    base_fields = list(df.schema.fields)
+    schema = T.StructType(base_fields + [T.StructField(out_col, T.LongType())])
+    cols = [f.name for f in base_fields] + [out_col]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        done, base = 0, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if base is None:
+                base = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.copy()
+            pdf[out_col] = np.arange(base + done, base + done + len(pdf),
+                                     dtype="int64")
+            done += len(pdf)
+            yield pdf[cols]
+
+    out = ordered.mapInPandas(assign, schema)
+    out._ordered_cache = ordered
+    return out, total
 
 
-def schedule_generation(candidates: DataFrame, host_budget: int,
-                        n_salts: int = 8) -> DataFrame:
+def _schedule_tagged(candidates: DataFrame, host_budget: int,
+                     n_salts: int = 8) -> tuple[DataFrame, list[DataFrame]]:
     """Per-host politeness top-k, two-phase: (host, salt) slices first (the
     salted repartition that splits hot CD volumes), then a per-host re-rank
     over at most budget*n_salts survivors.
@@ -113,23 +163,44 @@ def schedule_generation(candidates: DataFrame, host_budget: int,
     otherwise sort the bulk of the frontier in one task per host (there
     are only a handful of CD-volume hosts: the single worst scaling
     bottleneck). The count split changes the physical plan only; the
-    scheduled set is identical for any budget."""
+    scheduled set is identical for any budget.
+
+    Returns the FULL candidate set tagged with ``_sched`` — the False rows
+    (over-budget leftovers) are exactly next generation's deferred frontier,
+    computed in the same window pass instead of a frontier-scale anti-join.
+    Second return value: internal caches for the caller to unpersist."""
     order = [F.asc("next_fetch_time"), F.asc("url_hash"), F.asc("url")]
     host_counts = candidates.groupBy("host").agg(F.count("*").alias("_hc"))
     with_counts = candidates.join(F.broadcast(host_counts), "host")
-    under = with_counts.filter(F.col("_hc") <= host_budget).drop("_hc")
+    under = (with_counts.filter(F.col("_hc") <= host_budget).drop("_hc")
+             .withColumn("_sched", F.lit(True)))
     over = with_counts.filter(F.col("_hc") > host_budget).drop("_hc")
 
     salted = over.withColumn(
         "salt", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int"))
     w1 = Window.partitionBy("host", "salt").orderBy(*order)
-    survivors = (salted.withColumn("_r1", F.row_number().over(w1))
-                 .filter(F.col("_r1") <= host_budget).drop("_r1"))
+    r1 = salted.withColumn("_r1", F.row_number().over(w1)).persist()
+    cut1 = (r1.filter(F.col("_r1") > host_budget).drop("_r1", "salt")
+            .withColumn("_sched", F.lit(False)))
     w2 = Window.partitionBy("host").orderBy(*order)
-    topk = (survivors.withColumn("_r2", F.row_number().over(w2))
-            .filter(F.col("_r2") <= host_budget)
-            .drop("_r2", "salt"))
-    return under.unionByName(topk)
+    r2 = (r1.filter(F.col("_r1") <= host_budget)
+          .withColumn("_r2", F.row_number().over(w2)))
+    topk = (r2.filter(F.col("_r2") <= host_budget)
+            .drop("_r1", "_r2", "salt").withColumn("_sched", F.lit(True)))
+    cut2 = (r2.filter(F.col("_r2") > host_budget)
+            .drop("_r1", "_r2", "salt").withColumn("_sched", F.lit(False)))
+    tagged = under.unionByName(topk).unionByName(cut1).unionByName(cut2)
+    return tagged, [r1]
+
+
+def schedule_generation(candidates: DataFrame, host_budget: int,
+                        n_salts: int = 8) -> DataFrame:
+    """The scheduled subset only (see ``_schedule_tagged``)."""
+    tagged, cached = _schedule_tagged(candidates, host_budget, n_salts)
+    out = tagged.filter(F.col("_sched")).drop("_sched")
+    for c in cached:  # single-use path: let the pruned branches recompute
+        c.unpersist()
+    return out
 
 
 def page_index_df(spark: SparkSession, n_docs: int) -> DataFrame:
@@ -155,30 +226,13 @@ def page_index_df(spark: SparkSession, n_docs: int) -> DataFrame:
 
 
 def discover_links(parsed: DataFrame, page_index: DataFrame) -> DataFrame:
-    """Out-links from CONTENT: extract the Beteiligungen target names in a
-    vectorized pass, then resolve them with a JOIN against the page-index
-    DataFrame (AQE broadcasts it while small; at scale it shuffles — either
-    way no driver-side materialization)."""
-    schema = T.StructType([T.StructField("src_doc_id", T.StringType()),
-                           T.StructField("name", T.StringType())])
-
-    def extract_names(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, rec_json in zip(pdf["doc_id"], pdf["record_json"]):
-                if not rec_json:
-                    continue
-                rec = json.loads(rec_json)
-                for group in rec.get("beteiligungen") or []:
-                    for zeile in group.get("zeilen") or []:
-                        if isinstance(zeile, dict):
-                            name = (zeile.get("beteiliger") or "").strip()
-                            if name:
-                                rows.append({"src_doc_id": doc_id, "name": name})
-            yield pd.DataFrame(rows, columns=["src_doc_id", "name"])
-
-    names = parsed.select("doc_id", "record_json").mapInPandas(
-        extract_names, schema)
+    """Out-links from CONTENT: the parse pass already emitted the
+    Beteiligungen target names (``link_names`` — no second JSON pass over
+    record_json); resolve them with a JOIN against the page-index DataFrame.
+    The index side is cached pre-partitioned on ``name`` by the engine, so
+    only the (generation-sized) names side shuffles."""
+    names = parsed.select(F.col("doc_id").alias("src_doc_id"),
+                          F.explode("link_names").alias("name"))
     return names.join(page_index, "name").select("src_doc_id", "url")
 
 
@@ -201,37 +255,55 @@ class CrawlEngine:
     def __init__(self, spark: SparkSession, state_dir: str, n_docs: int,
                  host_budget: int = 4, n_shards: int = 16, n_salts: int = 4,
                  bloom_rebuild_every: int = 2,
-                 shuffle_partitions: int | None = None):
+                 shuffle_partitions: int | None = None,
+                 catalog: str | None = None, namespace: str = "crawl"):
+        from concurrent.futures import ThreadPoolExecutor
+
         self.spark = spark
-        self.store = StateStore(spark, state_dir)
+        self.store = StateStore(spark, state_dir, catalog=catalog,
+                                namespace=namespace)
         self.n_docs = n_docs
         self.host_budget = host_budget
         self.n_shards = n_shards
         self.n_salts = n_salts
-        # stale shards are safe: bloom is a prefilter, exactness comes from
-        # the left_anti against the exact seen set — rebuilding every K
-        # generations only trades a few extra "maybe" probes for K-1 fewer
-        # rebuild jobs per cycle
+        # stale shards are safe: the probe is exact AS OF the shard build,
+        # and the residual anti-join against the post-build deltas covers
+        # the rest — rebuilding every K generations (asynchronously) only
+        # trades a slightly larger delta union for K-1 fewer rebuild jobs
         self.bloom_rebuild_every = max(1, bloom_rebuild_every)
         # scheduling frames are small relative to cluster width — a capped
         # shuffle width avoids paying task overhead on near-empty partitions;
         # None = auto-sized per generation from the last scheduled count
         self.shuffle_partitions = shuffle_partitions
-        # shard_id -> n_items at the last bloom rebuild (tiny metadata,
-        # drives the churn-based cuckoo spill)
+        self._pool = ThreadPoolExecutor(max_workers=8)
+        # shard_id -> n_items at the last rebuild (tiny metadata, drives the
+        # churn-based cuckoo spill)
         self._shard_counts: dict[int, int] = {}
+        self._shards_df: DataFrame | None = None
+        self._shard_gen: int | None = None
+        self._rebuild_fut = None
+        # per-generation seen deltas newer than the adopted shards
+        self._recent: dict[int, DataFrame] = {}
         # engine-lifetime caches: slimmed doc store + page index survive
         # across run() calls so steady-state generations never pay the
-        # one-time materialization again
-        self._docs_key: int | None = None
+        # one-time materialization again. Strong reference to the caller's
+        # docs frame — id()-keying could alias a recycled address.
+        self._docs_ref: DataFrame | None = None
         self._docs_slim: DataFrame | None = None
         self._index: DataFrame | None = None
 
     def close(self) -> None:
-        for df in (self._docs_slim, self._index):
+        if self._rebuild_fut is not None:
+            try:
+                self._rebuild_fut.result()
+            finally:
+                self._rebuild_fut = None
+        self._pool.shutdown(wait=True)
+        for df in (self._docs_slim, self._index, self._shards_df):
             if df is not None:
                 df.unpersist()
-        self._docs_key, self._docs_slim, self._index = None, None, None
+        self._docs_ref = self._docs_slim = self._index = None
+        self._shards_df, self._shard_gen = None, None
 
     # -- state access -------------------------------------------------------
 
@@ -239,16 +311,17 @@ class CrawlEngine:
         return self.spark.createDataFrame([], schema)
 
     def _read_seen(self) -> DataFrame:
-        """Union of all committed per-generation seen deltas (append-only)."""
-        import os
-        root = os.path.join(self.store.root, "seen")
-        return (self.spark.read.schema(SEEN_SCHEMA).parquet(root)
+        """Union of all committed per-generation seen deltas (append-only),
+        via the store so parquet and Iceberg backends read identically."""
+        return (self.store.read_all("seen")
                 .select([f.name for f in SEEN_SCHEMA.fields]))
 
     def bootstrap(self, seeds: list[dict], robots_rules: list[dict]) -> None:
         frontier = seeds_frontier(self.spark, seeds)
         self.store.write("frontier", frontier, 0)
-        self.store.write("seen", self._empty(SEEN_SCHEMA), 0)
+        # repartition(1) forces a schema-bearing part file for the empty
+        # delta — a zero-partition write would leave an unreadable directory
+        self.store.write("seen", self._empty(SEEN_SCHEMA).repartition(1), 0)
         self.store.write("robots", self.spark.createDataFrame(
             robots_rules, "host string, rule string, allow boolean"), 0)
         self.store.commit(0, ["frontier", "seen", "robots"], {"bootstrap": True})
@@ -266,15 +339,94 @@ class CrawlEngine:
             return cores
         return max(cores, min(4 * cores, last_scheduled // 2000 + cores))
 
+    # -- shard / delta lifecycle ---------------------------------------------
+
+    def _load_shards(self, start_gen: int) -> None:
+        """Adopt the newest committed v2 seen-index shards <= start_gen;
+        older-format shards (no exact column / v1 kinds) are treated as
+        absent and rebuilt rather than misparsed."""
+        if self._shards_df is not None:
+            self._shards_df.unpersist()
+        self._shards_df, self._shard_gen = None, None
+        self._shard_counts = {}
+        for g in range(start_gen, -1, -1):
+            if not self.store.exists("bloom_shards", g):
+                continue
+            df = self.store.read("bloom_shards", g)
+            if "exact" in df.columns:
+                kinds = {r["kind"] for r in df.select("kind").distinct().collect()}
+                if kinds <= set(bloom.V2_KINDS):
+                    self._shards_df = df.persist()
+                    self._shard_gen = g
+                    self._shard_counts = bloom.shard_counts(df)
+            break  # only the newest shards matter; stale-format => rebuild
+
+    def _load_recent(self, start_gen: int) -> None:
+        lo = 0 if self._shard_gen is None else self._shard_gen + 1
+        self._recent = {g: self.store.read("seen", g)
+                        for g in range(lo, start_gen + 1)
+                        if self.store.exists("seen", g)}
+
+    def _recent_union(self) -> DataFrame | None:
+        if not self._recent:
+            return None
+        dfs = [self._recent[g] for g in sorted(self._recent)]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _maybe_rebuild(self, gen: int) -> None:
+        if gen % self.bloom_rebuild_every or self._rebuild_fut is not None:
+            return
+        prev = dict(self._shard_counts)
+
+        def job(G=gen, prev_counts=prev):
+            # explicit gens 0..G: never races a newer delta mid-write
+            seen_upto = self.store.read_upto("seen", G).select("url_hash")
+            shards = bloom.build_shards(seen_upto, self.n_shards,
+                                        prev_counts=prev_counts)
+            self.store.write("bloom_shards", shards, G)
+            return G
+
+        self._rebuild_fut = self._pool.submit(job)
+
+    def _adopt_rebuild(self, block: bool = False) -> None:
+        fut = self._rebuild_fut
+        if fut is None or (not block and not fut.done()):
+            return
+        g = fut.result()
+        self._rebuild_fut = None
+        old = self._shards_df
+        self._shards_df = self.store.read("bloom_shards", g).persist()
+        self._shard_gen = g
+        self._shard_counts = bloom.shard_counts(self._shards_df)
+        for stale in [k for k in self._recent if k <= g]:
+            self._recent.pop(stale)
+        if old is not None:
+            old.unpersist()
+
+    def _drain_commits(self, pending: list[dict], block: bool) -> None:
+        """Commit generations IN ORDER once all their write-behind futures
+        landed; a generation's caches are only released here (background
+        writes may still be reading them)."""
+        while pending:
+            entry = pending[0]
+            if not block and not all(f.done() for f in entry["futures"]):
+                return
+            for f in entry["futures"]:
+                f.result()  # surface write failures before the commit record
+            self.store.commit(entry["gen"], ["frontier", "seen", "fetch_log"],
+                              entry["stats"])
+            for df in entry["cached"]:
+                df.unpersist()
+            pending.pop(0)
+
+    # -- main loop ------------------------------------------------------------
+
     def run(self, docs: DataFrame, generations: int) -> dict:
         """Run ``generations`` crawl generations from the latest checkpoint.
-        Returns summary metrics. Resumable: re-invoking continues.
-
-        Scale discipline: frontier + seen live as CACHED DataFrames across
-        generations (write-behind: per-generation deltas/snapshots are
-        committed for durability, but the hot loop never re-reads them);
-        the page index is built once per run; snapshot writes overlap via a
-        thread pool and only the commit barrier waits for them."""
+        Returns summary metrics. Resumable: re-invoking continues."""
         start_gen = self.store.latest_generation()
         if start_gen is None:
             raise RuntimeError("bootstrap() first")
@@ -283,44 +435,68 @@ class CrawlEngine:
         totals = {"urls_scheduled": 0, "docs_parsed": 0, "wall_ms": 0}
         # slim the store ONCE per engine: flat (doc_id, doc_text, n_media)
         # columns cache and join far cheaper than nested span structs
-        # (see X.slim_docs); reused across run() calls
-        if self._docs_slim is None or self._docs_key != id(docs):
-            self.close()
-            self._docs_key = id(docs)
+        # (see X.slim_docs); the page index caches PRE-PARTITIONED on the
+        # join key so per-generation link resolution never re-shuffles it
+        if self._docs_slim is None or docs is not self._docs_ref:
+            for df in (self._docs_slim, self._index):
+                if df is not None:
+                    df.unpersist()
+            self._docs_ref = docs
             self._docs_slim = X.slim_docs(docs).persist()
-            self._index = page_index_df(self.spark, self.n_docs).persist()
-        docs, index = self._docs_slim, self._index
-        frontier = self.store.read("frontier", start_gen).persist()
-        seen = self._read_seen().persist()
-        last_sched = self.store.latest_stats().get("urls_scheduled")
+            width = self.spark.sparkContext.defaultParallelism
+            self._index = (page_index_df(self.spark, self.n_docs)
+                           .repartition(width, "name").persist())
+        self._load_shards(start_gen)
+        self._load_recent(start_gen)
+        deferred, pending_links = self._load_frontier(start_gen)
+        stats0 = self.store.latest_stats()
+        seq_end = int(stats0.get("seq_end", 0))
+        last_sched = stats0.get("urls_scheduled")
+        pending_commits: list[dict] = []
         try:
             for gen in range(start_gen + 1, start_gen + 1 + generations):
                 t0 = time.time()
+                self._adopt_rebuild()
+                self._drain_commits(pending_commits, block=False)
                 self.spark.conf.set("spark.sql.shuffle.partitions",
                                     str(self._auto_width(last_sched)))
-                seq_start = int(self.store.latest_stats().get("seq_end", 0))
-                stats, frontier_next, seen_next = self._generation(
-                    gen, frontier, seen, robots, docs, seq_start, index)
-                stats["seq_end"] = seq_start + stats["urls_scheduled"]
+                stats, deferred, pending_links, futures, cached = \
+                    self._generation(gen, deferred, pending_links, robots,
+                                     self._docs_slim, seq_end, self._index)
+                seq_end += stats["urls_scheduled"]
+                stats["seq_end"] = seq_end
                 stats["wall_ms"] = int((time.time() - t0) * 1000)
-                self.store.commit(gen, ["frontier", "seen", "fetch_log"], stats)
+                pending_commits.append({"gen": gen, "stats": stats,
+                                        "futures": futures, "cached": cached})
                 totals["urls_scheduled"] += stats["urls_scheduled"]
                 totals["docs_parsed"] += stats["docs_parsed"]
                 totals["wall_ms"] += stats["wall_ms"]
                 last_sched = stats["urls_scheduled"]
-                frontier.unpersist()
-                seen.unpersist()
-                frontier, seen = frontier_next, seen_next
+                self._maybe_rebuild(gen)
                 if stats["urls_scheduled"] == 0:
                     break
         finally:
-            # docs/index stay cached on the engine (see close())
-            self.spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+            try:
+                self._drain_commits(pending_commits, block=True)
+            finally:
+                # shards must land before resume/close can read the store
+                self._adopt_rebuild(block=True)
+                self.spark.conf.set("spark.sql.shuffle.partitions",
+                                    prev_shuffle)
         return totals
 
-    def _generation(self, gen: int, frontier: DataFrame, seen: DataFrame,
-                    robots: DataFrame, docs: DataFrame, seq_start: int,
-                    index: DataFrame) -> tuple[dict, DataFrame, DataFrame]:
+    def _load_frontier(self, gen: int) -> tuple[DataFrame | None, DataFrame]:
+        fr = self.store.read("frontier", gen)
+        if "validated" in fr.columns:
+            return (fr.filter(F.col("validated")).select(_FCOLS),
+                    fr.filter(~F.col("validated")).select(_FCOLS))
+        # legacy/bootstrap snapshot without the flag: treat everything as
+        # pending — re-validation is idempotent and exact
+        return None, fr.select(_FCOLS)
+
+    def _generation(self, gen: int, deferred: DataFrame | None,
+                    pending: DataFrame, robots: DataFrame, docs: DataFrame,
+                    seq_start: int, index: DataFrame):
         import os as _os
         _dbg = _os.environ.get("AKF_CRAWL_DEBUG")
         _t = time.time()
@@ -331,145 +507,127 @@ class CrawlEngine:
                 now = time.time()
                 print(f"    gen{gen} {label}: {now - _t:.2f}s", flush=True)
                 _t = now
-        # 1. dedupe frontier by identity hash (deterministic reduce)
-        cand = (frontier.groupBy("url_hash")
-                .agg(F.min("url").alias("url"),
-                     F.min("host").alias("host"),
-                     F.min("next_fetch_time").alias("next_fetch_time"),
-                     F.min("depth").alias("depth")))
 
-        # 2. unseen filter: bloom/cuckoo prefilter, exact anti-join resolve
-        shard_gen = next((g for g in range(gen - 1, 0, -1)
-                          if self.store.exists("bloom_shards", g)), None)
-        if shard_gen is not None:
-            shards = self.store.read("bloom_shards", shard_gen)
-            tagged = bloom.prefilter_candidates(cand, shards, self.n_shards)
-            definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-            needs_check = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-            # shards may be a few generations stale: a 'definitely unseen'
-            # verdict only covers the set as of shard_gen — still anti-join
-            # the (small) deltas seen since then, or a recently-seen URL
-            # would be re-scheduled
-            recent = seen.filter(F.col("generation") > shard_gen)
-            definitely_new = definitely_new.join(
-                recent.select("url_hash"), "url_hash", "left_anti")
-            resolved = needs_check.join(
-                seen.select("url_hash"), "url_hash", "left_anti")
-            unseen = definitely_new.unionByName(resolved)
+        cached: list[DataFrame] = []
+
+        # 1+2. NEW candidates only: dedupe + exact seen-probe fused into one
+        # cogroup shuffle; residual anti-join against post-shard deltas.
+        # (Deferred rows are validated-unseen by construction — see module
+        # docstring — and skip all of this.)
+        if self._shards_df is not None:
+            checked = bloom.probe_seen(pending, self._shards_df,
+                                       self.n_shards, dedupe=True)
+            new_cand = checked.filter(~F.col("seen_asof")).drop("seen_asof")
         else:
-            unseen = cand.join(seen.select("url_hash"), "url_hash", "left_anti")
+            new_cand = (pending.groupBy("url_hash")
+                        .agg(F.min("url").alias("url"),
+                             F.min("host").alias("host"),
+                             F.min("next_fetch_time").alias("next_fetch_time"),
+                             F.min("depth").alias("depth"))
+                        .select(_FCOLS))
+        recent = self._recent_union()
+        if recent is not None:
+            new_cand = new_cand.join(recent.select("url_hash"),
+                                     "url_hash", "left_anti")
 
-        # 3. robots gate (broadcast prefix rules); persisted — the gated set
-        # feeds scheduling AND two state writes, don't recompute the chain
-        gated = apply_robots(unseen, robots).persist()
-        allowed = gated.filter(F.col("allowed")).drop("allowed")
+        # 3. robots gate (broadcast prefix rules) on the new candidates;
+        # persisted — feeds scheduling AND the seen delta
+        gated = apply_robots(new_cand, robots).persist()
+        cached.append(gated)
+        allowed_new = gated.filter(F.col("allowed")).drop("allowed")
         disallowed = gated.filter(~F.col("allowed")).drop("allowed")
 
-        # 4. politeness schedule + deterministic global crawl order.
-        # Persist BEFORE sequencing: repartitionByRange runs a sampling pass
-        # over its input, which would otherwise re-execute the whole
-        # dedupe->bloom->robots->window chain a second time per generation.
-        pre = schedule_generation(allowed, self.host_budget,
-                                  self.n_salts).persist()
+        # 4. merge with the carried-over deferred frontier; min-reduce dedupe
+        # (a re-discovered deferred URL keeps its earlier next_fetch_time —
+        # field-wise min is associative, so deferred's pre-reduced row
+        # composes exactly with this generation's copies)
+        merged_in = allowed_new.select(_FCOLS)
+        if deferred is not None:
+            merged_in = deferred.select(_FCOLS).unionByName(merged_in)
+        merged = (merged_in.groupBy("url_hash")
+                  .agg(F.min("url").alias("url"),
+                       F.min("host").alias("host"),
+                       F.min("next_fetch_time").alias("next_fetch_time"),
+                       F.min("depth").alias("depth"))
+                  .select(_FCOLS).persist())
+        cached.append(merged)
+
+        # 5. politeness schedule: one tagged pass yields the scheduled set
+        # AND the deferred leftovers (no frontier-scale anti-join)
+        tagged, sched_cached = _schedule_tagged(merged, self.host_budget,
+                                                self.n_salts)
+        cached.extend(sched_cached)
+        tagged = tagged.persist()
+        cached.append(tagged)
+        scheduled_pre = tagged.filter(F.col("_sched")).drop("_sched")
+        deferred_next = tagged.filter(~F.col("_sched")).drop("_sched")
         scheduled, n_scheduled = global_sequence(
-            pre, ["next_fetch_time", "url_hash", "url"], seq_start)
+            scheduled_pre, ["next_fetch_time", "url_hash", "url"], seq_start)
+        cached.append(scheduled._ordered_cache)
         scheduled = scheduled.persist()
+        cached.append(scheduled)
         _mark("schedule+sequence")
 
-        # 5. fetch + parse + discover (docs side stays put: broadcast keys);
-        # the coverage plane is a separate QA query, not a per-fetch cost
+        # 6. fetch + parse + discover (docs side stays put: broadcast keys);
+        # the crawl-plane parse ships only link names + lineage + counts
         fetched = resolve_docs(scheduled, docs)
-        parsed = X.extract_records_slim(
-            fetched.select("doc_id", "doc_text", "n_media"),
-            with_coverage=False)
-        parsed = parsed.persist()
+        parsed = X.extract_for_crawl(
+            fetched.select("doc_id", "doc_text")).persist()
+        cached.append(parsed)
         n_parsed = parsed.count()  # the one action that materializes parse
         _mark("parse")
-        links = discover_links(parsed, index)
-        new_frontier_rows = (_with_identity(links.select("url").distinct())
-                             .withColumn("next_fetch_time", F.lit(gen).cast("long"))
-                             .withColumn("depth", F.lit(gen))
-                             .select([f.name for f in FRONTIER_SCHEMA.fields]))
 
-        # 6. state transition (all joins, no first-writer-wins anywhere);
+        links = discover_links(parsed, index)
+        pending_next = (_with_identity(links.select("url").distinct())
+                        .withColumn("next_fetch_time", F.lit(gen).cast("long"))
+                        .withColumn("depth", F.lit(gen))
+                        .select(_FCOLS))
+        frontier_snapshot = (
+            deferred_next.withColumn("validated", F.lit(True))
+            .unionByName(pending_next.withColumn("validated", F.lit(False))))
+
         # seen is APPEND-ONLY: only this generation's delta is written
         newly_seen = (scheduled.select("url_hash", "url")
                       .unionByName(disallowed.select("url_hash", "url"))
-                      .withColumn("generation", F.lit(gen))).persist()
-        # localCheckpoint TRUNCATES the logical plan: without it the
-        # cross-generation union/join lineage grows exponentially and plan
-        # analysis alone dominates (minutes of TreeNode.treeString CPU by
-        # generation 3). The parquet snapshot written below stays the
-        # durable copy; the checkpoint only backs the hot loop.
-        # persist the plan so the parquet write and the checkpoint (both in
-        # the barrier below) share ONE materialization instead of running
-        # serially after each other
-        frontier_next_plan = (frontier
-                              .join(newly_seen.select("url_hash"),
-                                    "url_hash", "left_anti")
-                              .unionByName(new_frontier_rows)).persist()
-        seen_next_plan = seen.unionByName(newly_seen)
-
-        # incremental log: only this generation's delta is written; readers
-        # union the per-generation partitions (never rewrite a growing log).
-        # doc_id comes straight from the URL synthesis rule — no docs join.
+                      .withColumn("generation", F.lit(gen)))
         fetch_log_new = (scheduled
                          .withColumn("doc_id", _doc_id_from_url())
                          .select("scheduled_seq", "url_hash", "url", "doc_id")
                          .withColumn("generation", F.lit(gen)))
-
-        # 7. lineage + metrics planes (from the cached parse — no re-parse)
         lineage = X.lineage_table(parsed).withColumn("generation", F.lit(gen))
         metrics = (X.metrics_table(parsed)
                    .groupBy("category")
                    .agg(F.sum("call_count").alias("call_count"))
                    .withColumn("generation", F.lit(gen)))
 
-        # 8. WRITE-BEHIND snapshot: every job here reads only cached /
-        # deterministic inputs, so checkpoint materialization and the table
-        # writes all overlap on a thread pool; the commit barrier (below)
-        # is the only wait. Cuts the serial fixed-cost chain that throttled
-        # crawl-loop scaling.
-        from concurrent.futures import ThreadPoolExecutor
+        # 7. critical-path writes: ONLY the state the next generation reads
+        # (they also double as the plan-truncation point — the loop reads
+        # the files back instead of checkpointing a second copy)
+        crit = [self._pool.submit(self.store.write, "seen", newly_seen, gen),
+                self._pool.submit(self.store.write, "frontier",
+                                  frontier_snapshot, gen)]
+        for f in crit:
+            f.result()
+        # write-behind: these drain while the next generation computes;
+        # the commit record waits for them (see _drain_commits)
+        futures = [self._pool.submit(self.store.write, name, df, gen)
+                   for name, df in (("fetch_log", fetch_log_new),
+                                    ("lineage", lineage),
+                                    ("metrics", metrics))]
+        _mark("state writes")
 
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            ckpt_frontier = pool.submit(frontier_next_plan.localCheckpoint)
-            ckpt_seen = pool.submit(seen_next_plan.localCheckpoint)
-            futures = [pool.submit(self.store.write, name, df, gen)
-                       for name, df in (("seen", newly_seen),
-                                        ("frontier", frontier_next_plan),
-                                        ("fetch_log", fetch_log_new),
-                                        ("lineage", lineage),
-                                        ("metrics", metrics))]
-            frontier_next = ckpt_frontier.result()
-            seen_next = ckpt_seen.result()
-            if gen % self.bloom_rebuild_every == 0:
-                shards = bloom.build_shards(seen_next, self.n_shards,
-                                            prev_counts=self._shard_counts)
-                futures.append(pool.submit(
-                    self.store.write, "bloom_shards", shards, gen))
-            for fut in futures:
-                fut.result()  # surface failures before the commit record
-        _mark("write barrier")
-        frontier_next_plan.unpersist()
-        if gen % self.bloom_rebuild_every == 0:
-            self._shard_counts = bloom.shard_counts(
-                self.store.read("bloom_shards", gen))
-        gated.unpersist()
-        newly_seen.unpersist()
-        pre.unpersist()
-        scheduled.unpersist()
-        parsed.unpersist()
+        fr = self.store.read("frontier", gen)
+        deferred_rb = fr.filter(F.col("validated")).select(_FCOLS)
+        pending_rb = fr.filter(~F.col("validated")).select(_FCOLS)
+        self._recent[gen] = self.store.read("seen", gen)
         return ({"urls_scheduled": n_scheduled, "docs_parsed": n_parsed},
-                frontier_next, seen_next)
+                deferred_rb, pending_rb, futures, cached)
 
     # -- results -------------------------------------------------------------
 
     def fetch_log(self) -> DataFrame:
         """Union of all committed per-generation log deltas."""
-        import os
-        root = os.path.join(self.store.root, "fetch_log")
-        return self.spark.read.parquet(root)
+        return self.store.read_all("fetch_log")
 
     def seen(self) -> DataFrame:
         return self._read_seen()

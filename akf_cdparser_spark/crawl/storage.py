@@ -89,11 +89,26 @@ class StateStore:
         return self.spark.read.parquet(self._path(table, generation))
 
     def read_all(self, table: str) -> DataFrame:
-        """Union of every committed generation (iceberg: one table scan with
-        partition pruning left to the reader's filters)."""
+        """Union of every committed generation, with the partition bookkeeping
+        column ``gen`` normalized away in BOTH backends (parquet directory
+        layout infers it; Iceberg stores it) — readers see identical schemas.
+        """
         if self.catalog:
             return self.spark.read.table(self._iceberg_name(table)).drop("gen")
-        return self.spark.read.parquet(os.path.join(self.root, table))
+        return self.spark.read.parquet(
+            os.path.join(self.root, table)).drop("gen")
+
+    def read_upto(self, table: str, generation: int) -> DataFrame:
+        """Union of generations 0..generation — from EXPLICIT per-generation
+        paths (parquet) or a partition filter (Iceberg), so a background
+        reader (e.g. the async seen-shard rebuild) never races a concurrent
+        write of a newer generation's files."""
+        if self.catalog:
+            return (self.spark.read.table(self._iceberg_name(table))
+                    .filter(F.col("gen") <= generation).drop("gen"))
+        paths = [self._path(table, g) for g in range(generation + 1)
+                 if os.path.exists(self._path(table, g))]
+        return self.spark.read.parquet(*paths)
 
     def exists(self, table: str, generation: int) -> bool:
         if self.catalog:

@@ -485,6 +485,55 @@ def extract_records_slim(slim: DataFrame,
     return slim.mapInPandas(run, RECORDS_SCHEMA)
 
 
+CRAWL_PARSE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("link_names", T.ArrayType(T.StringType())),
+    T.StructField("lineage", T.ArrayType(LINEAGE_STRUCT)),
+    T.StructField("call_counts", T.MapType(T.StringType(), T.IntegerType())),
+    T.StructField("error", T.StringType()),
+])
+
+
+def extract_for_crawl(slim: DataFrame) -> DataFrame:
+    """Crawl-plane parse: the same kernel pass as ``extract_records_slim``
+    but shipping ONLY what the crawl loop consumes — out-link names
+    (Beteiligungen targets, extracted here instead of re-JSON-parsing
+    ``record_json`` in a second mapInPandas), lineage rows and call counts.
+    Dropping record_json + the typed planes cuts the Python->JVM Arrow
+    traffic of the hot loop roughly in half; the record/typed planes remain
+    available through ``extract_records`` for pipelines that consume them.
+    """
+    cols = [f.name for f in CRAWL_PARSE_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel import parse_document
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["doc_text"]):
+                try:
+                    rec, lineage, counts = parse_document(text or "")
+                    names = []
+                    for group in rec.get("beteiligungen") or []:
+                        for zeile in group.get("zeilen") or []:
+                            if isinstance(zeile, dict):
+                                nm = (zeile.get("beteiliger") or "").strip()
+                                if nm:
+                                    names.append(nm)
+                    rows.append({
+                        "doc_id": doc_id, "link_names": names or None,
+                        "lineage": lineage, "call_counts": counts,
+                        "error": "; ".join(rec.get("_errors", [])) or None,
+                    })
+                except Exception as exc:  # S7: one bad doc never kills the job
+                    rows.append({"doc_id": doc_id, "link_names": None,
+                                 "lineage": None, "call_counts": None,
+                                 "error": f"{type(exc).__name__}: {exc}"})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return slim.select("doc_id", "doc_text").mapInPandas(run, CRAWL_PARSE_SCHEMA)
+
+
 def lineage_table(records: DataFrame) -> DataFrame:
     """Checkfile plane (S6): one row per (doc, category call)."""
     return records.select(

@@ -154,9 +154,9 @@ def test_cuckoo_spill_on_churn():
         [(hash64_py(fixtures.url_for(i)),) for i in range(600)],
         "url_hash long")
     calm = bloom.build_shards(seen, n_shards=4, prev_counts={s: 140 for s in range(4)})
-    assert {r.kind for r in calm.select("kind").collect()} == {"bloom"}
+    assert {r.kind for r in calm.select("kind").collect()} == {"bloom2"}
     churned = bloom.build_shards(seen, n_shards=4, prev_counts={s: 50 for s in range(4)})
-    assert {r.kind for r in churned.select("kind").collect()} == {"cuckoo"}
+    assert {r.kind for r in churned.select("kind").collect()} == {"cuckoo2"}
     # spilled shards still answer membership exactly
     tagged = bloom.prefilter_candidates(
         spark.createDataFrame([(hash64_py(fixtures.url_for(i)),)
