@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..analytics import dedup, similarity, text
 from ..operators import extract as X
 from .. import fixtures
+from . import pinned as _pinned
 
 EXTRACT_N_DOCS = 40
 EMB_QUERY_IDS = [0, 7, 42, 99, 123]
@@ -1254,9 +1255,11 @@ FROM base WHERE i % 9 = 4
 
 def q47_unparsed_coverage(spark, sf_dir):
     """A4 validator coverage diff (ref lib/validator.js:21-58): share of the
-    cleaned fulltext no extractor consumed. No closed-form SQL oracle (the
-    subtraction depends on every parsed leaf); deep-checked in
-    tests/test_coverage.py, driver records the rows-only gate."""
+    cleaned fulltext no extractor consumed. Oracle: the pinned table computed
+    by the SEQUENTIAL local kernel (scripts/gen_pinned_oracles.py) — the
+    driver gate verifies the distributed path (mapInPandas + Arrow) against
+    an independent in-process run; drift gate in
+    tests/test_pinned_oracles.py, deep checks in tests/test_coverage.py."""
     recs = _records(spark)
     return recs.select(
         "doc_id", "unparsed_chars", "fulltext_chars",
@@ -1265,14 +1268,37 @@ def q47_unparsed_coverage(spark, sf_dir):
         .alias("unparsed_ratio"))
 
 
+Q47_SQL = (
+    "SELECT doc_id, CAST(unparsed_chars AS INT) AS unparsed_chars,\n"
+    "       CAST(fulltext_chars AS INT) AS fulltext_chars,\n"
+    "       CAST(unparsed_ratio AS DOUBLE) AS unparsed_ratio\n"
+    "FROM (VALUES\n"
+    + ",\n".join(f"  ('{d}', {u}, {f}, {r!r})"
+                 for d, u, f, r in _pinned.Q47_EXPECTED)
+    + "\n) AS t(doc_id, unparsed_chars, fulltext_chars, unparsed_ratio)"
+)
+
+
 def q48_ann_recall(spark, sf_dir):
     """ANN LSH scale path gated against the brute-force oracle: recall@5 per
-    query. Rows-only driver check (LSH bucketing is not SQL-expressible);
-    tests/test_analytics.py asserts mean recall >= 0.8."""
+    query. Oracle: pinned recall vector from the numpy twin of BOTH the
+    brute-force top-k and the banded-LSH bucketing (md5 hyperplanes are
+    engine-portable; scripts/gen_pinned_oracles.py). Valid at sf0.01 — the
+    scale the driver runs oracles at; tests/test_analytics.py additionally
+    asserts mean recall >= 0.8 as the semantic gate."""
     from ..analytics import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ann_recall_vs_bruteforce(emb, EMB_QUERY_IDS, k=5)
+
+
+Q48_SQL = (
+    "SELECT CAST(query_id AS BIGINT) AS query_id,\n"
+    "       CAST(recall AS DOUBLE) AS recall\n"
+    "FROM (VALUES\n"
+    + ",\n".join(f"  ({q}, {r!r})" for q, r in _pinned.Q48_EXPECTED)
+    + "\n) AS t(query_id, recall)"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1324,8 +1350,8 @@ REGISTRY: dict[str, tuple] = {
     "q44_extract_ergebnisabfuehrung": (q44_extract_ergebnisabfuehrung, Q44_SQL),
     "q45_extract_anteilseigner": (q45_extract_anteilseigner, Q45_SQL),
     "q46_extract_sitz": (q46_extract_sitz, Q46_SQL),
-    "q47_unparsed_coverage": (q47_unparsed_coverage, None),
-    "q48_ann_recall": (q48_ann_recall, None),
+    "q47_unparsed_coverage": (q47_unparsed_coverage, Q47_SQL),
+    "q48_ann_recall": (q48_ann_recall, Q48_SQL),
     "q40_crawl_schedule": (q40_crawl_schedule, Q40_SQL),
     "q41_crawl_seen_antijoin": (q41_crawl_seen_antijoin, Q41_SQL),
 }

@@ -1,0 +1,36 @@
+"""Drift gate for the pinned q47/q48 oracle tables.
+
+Regenerates the expected values through the same sequential non-Spark paths
+as scripts/gen_pinned_oracles.py and asserts they still equal the pinned
+module the SQL oracles are rendered from — if the kernel's coverage
+semantics or the LSH parameters change, this fails before the driver's
+hash gate does.
+"""
+
+import importlib.util
+import os
+
+import pytest
+
+_GEN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "scripts", "gen_pinned_oracles.py")
+spec = importlib.util.spec_from_file_location("gen_pinned_oracles", _GEN)
+gen = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(gen)
+
+from akf_cdparser_spark.plans import pinned  # noqa: E402
+
+
+def test_q47_pinned_matches_sequential_kernel():
+    assert gen.q47_rows() == pinned.Q47_EXPECTED
+
+
+@pytest.mark.skipif(not os.path.exists(gen.SF001),
+                    reason="driver testdata not present")
+def test_q48_pinned_matches_numpy_twin():
+    assert gen.q48_rows() == pinned.Q48_EXPECTED
+
+
+def test_q48_recall_meets_semantic_gate():
+    vals = [r for _, r in pinned.Q48_EXPECTED]
+    assert sum(vals) / len(vals) >= 0.8
