@@ -168,26 +168,31 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
             .select("doc_a", "doc_b", "jaccard"))
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """SimHash: per token, a 32-bit md5-derived hash votes ±1 on each bit;
-    the sign vector is the document's simhash. The per-bit votes are
-    COLUMNS of one token row aggregated by ``bits`` sums in a single
-    groupBy — exploding by bit id would multiply shuffle rows x32.
-    Engine-portable (md5 + integer ops only)."""
+    """SimHash: per token, a 64-bit md5-derived hash (two 32-bit hex halves
+    — no signed-overflow parsing) votes ±1 on each bit; the sign vector is
+    the document's simhash, packed into a SIGNED long (bit 63 contributes
+    -2^63, two's complement — identical arithmetic in the DuckDB oracle).
+    The per-bit votes are COLUMNS of one token row aggregated by ``bits``
+    sums in a single groupBy — exploding by bit id would multiply shuffle
+    rows x64. Engine-portable (md5 + integer ops only)."""
     toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
-    th = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    hi = F.conv(F.substring(F.md5("token"), 9, 8), 16, 10).cast("long")
     votes = [
-        (F.when(F.shiftright(th, b) % 2 == 1, 1).otherwise(-1)).alias(f"v{b}")
+        (F.when(F.shiftright(lo if b < 32 else hi, b % 32) % 2 == 1, 1)
+         .otherwise(-1)).alias(f"v{b}")
         for b in range(bits)]
     per_token = toks.select("doc_id", *votes)
     summed = per_token.groupBy("doc_id").agg(
         *[F.sum(f"v{b}").alias(f"s{b}") for b in range(bits)])
     acc = None
     for b in range(bits):
-        bitval = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")) \
+        weight = -(1 << 63) if b == 63 else (1 << b)
+        bitval = F.when(F.col(f"s{b}") > 0, F.lit(weight).cast("long")) \
             .otherwise(F.lit(0).cast("long"))
         acc = bitval if acc is None else acc + bitval
     return summed.select("doc_id", acc.alias("simhash"))
@@ -195,14 +200,17 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance, candidate-bucketed on
-    16-bit halves (a pair within distance d<=3 shares at least one half)."""
+    four 16-bit bands (pigeonhole: a pair within distance d<=3 agrees on
+    at least one of the 4 bands). Arithmetic shift + mask is sign-safe."""
     sh = simhash(docs)
+    band_cols = [
+        F.concat(F.lit(f"b{j}:"),
+                 (F.shiftright("simhash", 16 * j)
+                  .bitwiseAND(F.lit(0xFFFF))).cast("string"))
+        for j in range(4)]
     halves = sh.select(
         "doc_id", "simhash",
-        F.explode(F.array(
-            F.concat(F.lit("lo:"), (F.col("simhash") % (1 << 16)).cast("string")),
-            F.concat(F.lit("hi:"), F.shiftright("simhash", 16).cast("string")),
-        )).alias("bucket"))
+        F.explode(F.array(*band_cols)).alias("bucket"))
     cand = (halves.alias("a").join(halves.alias("b"), "bucket")
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),

@@ -657,15 +657,21 @@ WITH toks AS (
   FROM documents),
 th AS (
   SELECT doc_id,
-         CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS th
+         CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS lo,
+         CAST(concat('0x', substr(md5(token), 9, 8)) AS BIGINT) AS hi
   FROM toks),
 votes AS (
   SELECT doc_id, b.bit,
-         CASE WHEN (th >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
-  FROM th, UNNEST(range(0, 32)) AS b(bit)),
+         CASE WHEN ((CASE WHEN b.bit < 32 THEN lo ELSE hi END)
+                    >> (b.bit % 32)) & 1 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM th, UNNEST(range(0, 64)) AS b(bit)),
 bitvals AS (
   SELECT doc_id, bit,
-         CASE WHEN sum(vote) > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END AS bitval
+         CASE WHEN sum(vote) > 0 THEN
+           CASE WHEN bit = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                ELSE (CAST(1 AS BIGINT) << bit) END
+         ELSE 0 END AS bitval
   FROM votes GROUP BY doc_id, bit)
 SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
 FROM bitvals GROUP BY doc_id
