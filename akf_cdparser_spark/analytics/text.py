@@ -138,31 +138,36 @@ def lse_histogram(docs: DataFrame, n_sectors: int = 10) -> DataFrame:
 
 
 def lse_grouped(docs: DataFrame, n_sectors: int = 10) -> DataFrame:
-    """±1 neighbor grouping over the sector histogram — the relational
-    re-expression of the reference's streak grouping (GROUPING_RANGE=1,
-    lib/lineSegmentAnalyzer.js:21,567-758): within each token class, a
-    non-peak sector's occurrences merge into the adjacent sector holding
-    the larger count (its local maximum); ties resolve to the LOWER sector
-    index, peaks stay put. The reference walks streaks imperatively; the
-    window form keeps the same ±1 merge radius around local maxima while
-    staying a pure shuffle-once aggregation."""
-    from pyspark.sql import Window
+    """Streak grouping over the sector histogram — the faithful port of the
+    reference's imperative walk (GROUPING_RANGE=1,
+    lib/lineSegmentAnalyzer.js:21,567-758; see analytics/lse_grouping.py for
+    the quirk inventory and the Node-vm golden lock). Runs as a grouped-map
+    over token_class: each group is at most ``n_sectors`` histogram rows, so
+    the Python stage is O(classes) regardless of corpus size — the heavy
+    lifting (segmentation + histogram) stays JVM-side.
+
+    ``group_size`` carries the reference's groupSize semantics: number of
+    merged source sectors for group elements, 0 for untouched originals.
+
+    Documented deviation: the reference walks ALL keys through one shared
+    sectorsHolder, so its `nextElement` var-leak can couple DIFFERENT keys'
+    walks depending on JS object insertion order; here each token class
+    walks independently (the within-class leak is reproduced exactly).
+    """
+    import pandas as pd
+
+    from .lse_grouping import streak_grouping
 
     hist = lse_histogram(docs, n_sectors)
-    w = Window.partitionBy("token_class").orderBy("sector")
-    prev_c = F.coalesce(F.lag("occurrences").over(w), F.lit(0))
-    next_c = F.coalesce(F.lead("occurrences").over(w), F.lit(0))
-    prev_s = F.lag("sector").over(w)
-    next_s = F.lead("sector").over(w)
-    # only immediate (sector±1) neighbors count; gaps break the streak
-    prev_adj = F.when(prev_s == F.col("sector") - 1, prev_c).otherwise(F.lit(0))
-    next_adj = F.when(next_s == F.col("sector") + 1, next_c).otherwise(F.lit(0))
-    is_peak = (F.col("occurrences") >= prev_adj) & \
-              (F.col("occurrences") >= next_adj)
-    target = (F.when(is_peak, F.col("sector"))
-              .when(prev_adj >= next_adj, F.col("sector") - 1)
-              .otherwise(F.col("sector") + 1))
-    return (hist.withColumn("group_sector", target)
-            .groupBy("token_class", "group_sector")
-            .agg(F.sum("occurrences").alias("occurrences"),
-                 F.count("*").alias("group_size")))
+    cols = ["token_class", "group_sector", "occurrences", "group_size"]
+
+    def walk(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cls = key[0]
+        rows = streak_grouping(
+            {cls: dict(zip(pdf["sector"].astype(int),
+                           pdf["occurrences"].astype(int)))}, n_sectors)
+        return pd.DataFrame(rows, columns=cols)
+
+    return hist.groupBy("token_class").applyInPandas(
+        walk, "token_class string, group_sector int, "
+              "occurrences long, group_size int")

@@ -732,38 +732,24 @@ FROM classed GROUP BY sector, token_class
 
 
 def q29_lse_grouped(spark, sf_dir):
-    """A3 ±1 neighbor grouping (ref lib/lineSegmentAnalyzer.js:21,567)."""
+    """A3 streak grouping, byte-faithful port of the reference walk
+    (ref lib/lineSegmentAnalyzer.js:21,567-758; Node-vm golden lock in
+    tests/test_lse_grouping.py). Oracle: pinned table from the sequential
+    twin (DuckDB histogram — the green q28 SQL — fed through the locked
+    walk; scripts/gen_pinned_oracles.py). Valid at sf0.01, the scale the
+    driver runs oracles at."""
     return text.lse_grouped(_t(spark, sf_dir, "documents"))
 
 
-Q29_SQL = f"""
-WITH {_LSE_CLASSED_SQL},
-hist AS (
-  SELECT sector, token_class, count(*) AS occurrences
-  FROM classed GROUP BY sector, token_class),
-wnd AS (
-  SELECT *,
-         coalesce(lag(occurrences) OVER w, 0) AS prev_c,
-         coalesce(lead(occurrences) OVER w, 0) AS next_c,
-         lag(sector) OVER w AS prev_s,
-         lead(sector) OVER w AS next_s
-  FROM hist WINDOW w AS (PARTITION BY token_class ORDER BY sector)),
-adj AS (
-  SELECT *,
-         CASE WHEN prev_s = sector - 1 THEN prev_c ELSE 0 END AS pa,
-         CASE WHEN next_s = sector + 1 THEN next_c ELSE 0 END AS na
-  FROM wnd),
-tgt AS (
-  SELECT token_class, occurrences,
-         CASE WHEN occurrences >= pa AND occurrences >= na THEN sector
-              WHEN pa >= na THEN sector - 1
-              ELSE sector + 1 END AS group_sector
-  FROM adj)
-SELECT token_class, CAST(group_sector AS INT) AS group_sector,
-       CAST(sum(occurrences) AS BIGINT) AS occurrences,
-       count(*) AS group_size
-FROM tgt GROUP BY token_class, group_sector
-"""
+Q29_SQL = (
+    "SELECT token_class, CAST(group_sector AS INT) AS group_sector,\n"
+    "       CAST(occurrences AS BIGINT) AS occurrences,\n"
+    "       CAST(group_size AS INT) AS group_size\n"
+    "FROM (VALUES\n"
+    + ",\n".join(f"  ('{c}', {s}, {o}, {g})"
+                 for c, s, o, g in getattr(_pinned, "Q29_EXPECTED", []))
+    + "\n) AS t(token_class, group_sector, occurrences, group_size)"
+)
 
 
 # ---------------------------------------------------------------------------

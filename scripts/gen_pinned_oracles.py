@@ -110,6 +110,28 @@ def q48_rows(query_ids=(0, 7, 42, 99, 123), k=5, n_bands=8,
     return rows
 
 
+def q29_rows() -> list[tuple[str, int, int, int]]:
+    """Sequential twin of the q29 streak grouping at sf0.01: the histogram
+    comes from DuckDB running the SAME classed-elements SQL the (green) q28
+    oracle uses, and the walk is the Node-vm-golden-locked port — no Spark
+    anywhere."""
+    import duckdb
+
+    from akf_cdparser_spark.analytics.lse_grouping import streak_grouping
+    from akf_cdparser_spark.plans.queries import Q28_SQL
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF001}/documents.parquet')")
+    hist: dict[str, dict[int, int]] = {}
+    for sector, cls, occ in con.execute(Q28_SQL).fetchall():
+        hist.setdefault(cls, {})[int(sector)] = int(occ)
+    rows = []
+    for cls in sorted(hist):
+        rows.extend(streak_grouping({cls: hist[cls]}))
+    return sorted(rows)
+
+
 HEADER = '''"""GENERATED by scripts/gen_pinned_oracles.py — do not edit.
 
 Pinned expected tables for the q47/q48 oracles, computed through sequential
@@ -124,18 +146,22 @@ gate. Q48 values are valid for the sf0.01 embeddings table only.
 def main():
     q47 = q47_rows()
     q48 = q48_rows()
+    q29 = q29_rows()
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "akf_cdparser_spark", "plans", "pinned.py")
     with open(path, "w", encoding="utf-8") as fh:
         fh.write(HEADER)
-        fh.write("Q47_EXPECTED = [\n")
+        fh.write("Q29_EXPECTED = [\n")
+        for r in q29:
+            fh.write(f"    {r!r},\n")
+        fh.write("]\n\nQ47_EXPECTED = [\n")
         for r in q47:
             fh.write(f"    {r!r},\n")
         fh.write("]\n\nQ48_EXPECTED = [\n")
         for r in q48:
             fh.write(f"    {r!r},\n")
         fh.write("]\n")
-    print(f"wrote {path}: {len(q47)} q47 rows, {len(q48)} q48 rows")
+    print(f"wrote {path}: {len(q29)} q29, {len(q47)} q47, {len(q48)} q48 rows")
     print("q48:", q48)
 
 

@@ -27,6 +27,12 @@ def test_q47_pinned_matches_sequential_kernel():
 
 @pytest.mark.skipif(not os.path.exists(gen.SF001),
                     reason="driver testdata not present")
+def test_q29_pinned_matches_sequential_twin():
+    assert gen.q29_rows() == pinned.Q29_EXPECTED
+
+
+@pytest.mark.skipif(not os.path.exists(gen.SF001),
+                    reason="driver testdata not present")
 def test_q48_pinned_matches_numpy_twin():
     assert gen.q48_rows() == pinned.Q48_EXPECTED
 
