@@ -163,12 +163,14 @@ def ann_recall_vs_bruteforce(embeddings: DataFrame, query_ids: list[int],
                             / F.col("n_true"), 4).alias("recall")))
 
 
-def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.97,
-                        dim: int = 64, n_planes: int = 6,
+def embedding_near_dups(embeddings: DataFrame, *, dim: int,
+                        threshold: float = 0.97, n_planes: int = 6,
                         round_to: int = 4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs must share
     a sign bucket, then exact cosine filters at ``threshold``. ``dim`` is a
-    required plan-time constant (no driver action inside the operator)."""
+    REQUIRED plan-time constant (no driver action inside the operator; a
+    silent default would truncate the hyperplanes for wider embeddings and
+    lose recall — pass the real dimension from config/schema)."""
     keyed = lsh_bucket_keys(embeddings, dim, n_planes)
     pairs = (keyed.alias("a").join(keyed.alias("b"), "bucket")
              .filter(F.col("a.vec_id") < F.col("b.vec_id"))

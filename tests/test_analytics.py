@@ -93,6 +93,7 @@ def test_ann_banded_recall_gate(spark):
 
 def test_embedding_near_dups_are_symmetric_free(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    pairs = similarity.embedding_near_dups(emb, threshold=0.9,
+    dim = len(emb.select("embedding").head()[0])
+    pairs = similarity.embedding_near_dups(emb, dim=dim, threshold=0.9,
                                            n_planes=4).collect()
     assert all(r.vec_a < r.vec_b for r in pairs)
