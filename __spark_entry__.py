@@ -23,14 +23,34 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship: the extraction pipeline itself — synthesize the
+    deterministic interleaved spans corpus (the BASELINE.json input shape),
+    run the §2 kernel distributed (spans -> fulltext -> dispatch ->
+    extractors) and join the text-analytics triage (quality + language-ID +
+    fingerprint) computed over the sf0.001 documents table. Exercises the
+    kernel, the Arrow extraction operator AND the training-data plane in
+    one smoke; stable schema, 40 + 500 rows of work, a few seconds."""
     from akf_cdparser_spark.analytics import text
+    from akf_cdparser_spark.operators import extract as X
 
-    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
-    quality = text.quality_scores(docs)
-    lang = text.language_id(docs).select("doc_id", "lang", "lang_guess")
-    fp = text.fingerprint(docs).select("doc_id", "fingerprint64")
-    return (quality.join(lang, "doc_id").join(fp, "doc_id")
+    docs = X.docs_dataframe(spark, 40)
+    records = X.extract_records(docs)
+    profile = records.select(
+        "doc_id", "name", "wkn", "status", "established_year", "city",
+        F.size("aufsichtsrat").alias("n_aufsichtsrat"),
+        F.size("vorstand").alias("n_vorstand"),
+        F.size("kurse").alias("n_kurse"),
+        "unparsed_chars", "fulltext_chars")
+
+    # triage over the same corpus: the kernel's fulltext projection (D2)
+    # feeds the text-analytics plane as its `text` column
+    ft = X.slim_docs(docs).select(
+        "doc_id", F.col("doc_text").alias("text"))
+    quality = text.quality_scores(ft)
+    lang = text.language_id(ft).select("doc_id", "lang_guess")
+    fp = text.fingerprint(ft).select("doc_id", "fingerprint64")
+    triage = quality.join(lang, "doc_id").join(fp, "doc_id")
+    return (profile.join(triage, "doc_id")
             .orderBy(F.asc("doc_id")))
 
 

@@ -63,11 +63,14 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 
 def language_id(docs: DataFrame) -> DataFrame:
     """N-gram/stopword-hit language heuristic: de vs en by function-word
-    hits; 'und' (unknown/undetermined) when neither side scores."""
+    hits; 'und' (unknown/undetermined) when neither side scores. The true
+    ``lang`` label is passed through when the input carries one (the driver
+    documents table does); unlabeled corpora just get the guess."""
     de = _count_hits(DE_STOPWORDS)
     en = _count_hits(EN_STOPWORDS)
+    label = ["lang"] if "lang" in docs.columns else []
     return docs.select(
-        "doc_id", "lang",
+        "doc_id", *label,
         de.alias("de_hits"), en.alias("en_hits"),
         F.when(de > en, "de").when(en > de, "en").otherwise("und").alias("lang_guess"),
     )

@@ -1297,6 +1297,12 @@ Q48_SQL = (
 # registry
 # ---------------------------------------------------------------------------
 
+# oracles rendered from pinned tables computed over the sf0.01 parquet —
+# the scale the driver's correctness gate runs at; local parity tests must
+# run these at sf0.01 too (the other pinned query, q47, is sf-independent:
+# its corpus is the fixed 40-doc synthetic set)
+PINNED_SF01 = {"q29_lse_grouped", "q48_ann_recall"}
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers": (q02_top_customers, Q02_SQL),
