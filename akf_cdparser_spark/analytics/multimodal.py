@@ -80,15 +80,18 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
 
 
 def extract_features(media: DataFrame, fake: bool = True,
-                     partition_mb: int = 128) -> DataFrame:
+                     partition_mb: int = 128,
+                     total_bytes: int | None = None) -> DataFrame:
     """Arrow-batched feature extraction over the binary column. Real
     decode plugs into ``decode_image``; batch shape and schema are the
     production contract.
 
     Partitioning: media blobs dominate partition bytes, so the width is
-    derived from the ACTUAL byte volume (sum of ``meta.n_bytes`` — a cheap
-    metadata aggregation that prunes the binary column at the scan) over a
-    ``partition_mb`` budget. No RDD API involved."""
+    derived from the byte volume over a ``partition_mb`` budget. Pass
+    ``total_bytes`` (e.g. from table stats / a prior metadata agg) to keep
+    the operator fully lazy; when omitted, a metadata aggregation (prunes
+    the binary column at the scan) sizes it — one extra cheap job. No RDD
+    API involved."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -104,7 +107,8 @@ def extract_features(media: DataFrame, fake: bool = True,
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
-    total_bytes = (media.agg(F.sum("meta.n_bytes")).first()[0] or 0)
+    if total_bytes is None:
+        total_bytes = (media.agg(F.sum("meta.n_bytes")).first()[0] or 0)
     width = max(4, int(total_bytes // (partition_mb * 1024 * 1024)) + 1)
     return media.repartition(width).mapInPandas(run, FEATURE_SCHEMA)
 
