@@ -41,15 +41,17 @@ never to the accumulated crawl state):
   re-rank over <= budget*n_salts survivors; hosts within budget bypass both
   windows), and the global sequence is a range-partitioned sort with
   per-partition offsets — no single-partition window anywhere;
-* state flows between generations through the store's own per-generation
-  parquet/Iceberg files (write once in the commit barrier, read back lazily)
-  — plan lineage is truncated by construction, no localCheckpoint jobs, no
-  second materialization of state that was just written;
-* commits PIPELINE: only the frontier + seen-delta writes (the state the
-  next generation reads) sit on the critical path; fetch_log, lineage and
-  metrics writes drain on a thread pool while the next generation computes,
-  and a generation's manifest record is appended once all of its writes
-  landed (resume only ever sees fully-committed generations).
+* state flows between generations through eager in-memory localCheckpoints
+  of the already-cached next-gen frames (a block copy, not a recompute) —
+  that is the plan-truncation point, so NOTHING durable sits on the
+  critical path;
+* commits PIPELINE fully: every table write (frontier snapshot, seen delta,
+  fetch_log, lineage, metrics) drains on a thread pool while the next
+  generation computes, and a generation's manifest record is appended only
+  once ALL of its writes landed (resume only ever sees fully-committed
+  generations; the async seen-shard rebuild reads explicit generation paths
+  and is submitted after that generation's seen write, FIFO, so it never
+  races an in-flight file).
 """
 
 from __future__ import annotations
@@ -376,12 +378,20 @@ class CrawlEngine:
             out = out.unionByName(d)
         return out
 
-    def _maybe_rebuild(self, gen: int) -> None:
+    def _maybe_rebuild(self, gen: int, wait_for=()) -> None:
+        """``wait_for``: this generation's write futures — the rebuild reads
+        gen G's seen file, whose write is itself backgrounded now, so the
+        job first awaits them. No deadlock: the waited futures were
+        submitted EARLIER to the same FIFO pool, so they can never be
+        queued behind the rebuild worker that blocks on them."""
         if gen % self.bloom_rebuild_every or self._rebuild_fut is not None:
             return
         prev = dict(self._shard_counts)
+        deps = tuple(wait_for)
 
         def job(G=gen, prev_counts=prev):
+            for d in deps:
+                d.result()
             # explicit gens 0..G: never races a newer delta mid-write
             seen_upto = self.store.read_upto("seen", G).select("url_hash")
             shards = bloom.build_shards(seen_upto, self.n_shards,
@@ -472,7 +482,7 @@ class CrawlEngine:
                 totals["docs_parsed"] += stats["docs_parsed"]
                 totals["wall_ms"] += stats["wall_ms"]
                 last_sched = stats["urls_scheduled"]
-                self._maybe_rebuild(gen)
+                self._maybe_rebuild(gen, wait_for=futures)
                 if stats["urls_scheduled"] == 0:
                     break
         finally:
@@ -582,9 +592,6 @@ class CrawlEngine:
                         .withColumn("next_fetch_time", F.lit(gen).cast("long"))
                         .withColumn("depth", F.lit(gen))
                         .select(_FCOLS))
-        frontier_snapshot = (
-            deferred_next.withColumn("validated", F.lit(True))
-            .unionByName(pending_next.withColumn("validated", F.lit(False))))
 
         # seen is APPEND-ONLY: only this generation's delta is written
         newly_seen = (scheduled.select("url_hash", "url")
@@ -600,28 +607,32 @@ class CrawlEngine:
                    .agg(F.sum("call_count").alias("call_count"))
                    .withColumn("generation", F.lit(gen)))
 
-        # 7. critical-path writes: ONLY the state the next generation reads
-        # (they also double as the plan-truncation point — the loop reads
-        # the files back instead of checkpointing a second copy)
-        crit = [self._pool.submit(self.store.write, "seen", newly_seen, gen),
-                self._pool.submit(self.store.write, "frontier",
-                                  frontier_snapshot, gen)]
-        for f in crit:
-            f.result()
-        # write-behind: these drain while the next generation computes;
-        # the commit record waits for them (see _drain_commits)
+        # 7. truncate next-gen state IN MEMORY (eager localCheckpoint of the
+        # cached plans: a block copy, not a recompute) so NOTHING durable
+        # sits on the critical path — every table write drains in the
+        # background and the commit record waits for all of them
+        # (_drain_commits), so resume only ever sees complete generations.
+        # Checkpoint blocks are freed by the ContextCleaner when the Python
+        # refs die (each generation replaces the previous trio); heap
+        # pressure triggers the JVM GC that drives it, so steady-state
+        # storage stays bounded.
+        ck = [self._pool.submit(df.localCheckpoint)
+              for df in (deferred_next, pending_next, newly_seen)]
+        deferred_ck, pending_ck, seen_ck = [f.result() for f in ck]
+        frontier_snapshot = (
+            deferred_ck.withColumn("validated", F.lit(True))
+            .unionByName(pending_ck.withColumn("validated", F.lit(False))))
         futures = [self._pool.submit(self.store.write, name, df, gen)
-                   for name, df in (("fetch_log", fetch_log_new),
+                   for name, df in (("seen", seen_ck),
+                                    ("frontier", frontier_snapshot),
+                                    ("fetch_log", fetch_log_new),
                                     ("lineage", lineage),
                                     ("metrics", metrics))]
         _mark("state writes")
 
-        fr = self.store.read("frontier", gen)
-        deferred_rb = fr.filter(F.col("validated")).select(_FCOLS)
-        pending_rb = fr.filter(~F.col("validated")).select(_FCOLS)
-        self._recent[gen] = self.store.read("seen", gen)
+        self._recent[gen] = seen_ck
         return ({"urls_scheduled": n_scheduled, "docs_parsed": n_parsed},
-                deferred_rb, pending_rb, futures, cached)
+                deferred_ck, pending_ck, futures, cached)
 
     # -- results -------------------------------------------------------------
 
