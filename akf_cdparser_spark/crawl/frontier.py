@@ -88,6 +88,10 @@ SEEN_SCHEMA = T.StructType([
 
 _FCOLS = [f.name for f in FRONTIER_SCHEMA.fields]
 
+# frontier snapshots carry the deferred/pending split flag
+FRONTIER_SNAP_SCHEMA = T.StructType(
+    list(FRONTIER_SCHEMA.fields) + [T.StructField("validated", T.BooleanType())])
+
 
 def _with_identity(df: DataFrame) -> DataFrame:
     canon = canonicalize_udf(F.col("url"))
@@ -315,7 +319,7 @@ class CrawlEngine:
     def _read_seen(self) -> DataFrame:
         """Union of all committed per-generation seen deltas (append-only),
         via the store so parquet and Iceberg backends read identically."""
-        return (self.store.read_all("seen")
+        return (self.store.read_all("seen", schema=SEEN_SCHEMA)
                 .select([f.name for f in SEEN_SCHEMA.fields]))
 
     def bootstrap(self, seeds: list[dict], robots_rules: list[dict]) -> None:
@@ -365,7 +369,7 @@ class CrawlEngine:
 
     def _load_recent(self, start_gen: int) -> None:
         lo = 0 if self._shard_gen is None else self._shard_gen + 1
-        self._recent = {g: self.store.read("seen", g)
+        self._recent = {g: self.store.read("seen", g, schema=SEEN_SCHEMA)
                         for g in range(lo, start_gen + 1)
                         if self.store.exists("seen", g)}
 
@@ -393,7 +397,8 @@ class CrawlEngine:
             for d in deps:
                 d.result()
             # explicit gens 0..G: never races a newer delta mid-write
-            seen_upto = self.store.read_upto("seen", G).select("url_hash")
+            seen_upto = self.store.read_upto(
+                "seen", G, schema=SEEN_SCHEMA).select("url_hash")
             shards = bloom.build_shards(seen_upto, self.n_shards,
                                         prev_counts=prev_counts)
             self.store.write("bloom_shards", shards, G)
@@ -496,13 +501,13 @@ class CrawlEngine:
         return totals
 
     def _load_frontier(self, gen: int) -> tuple[DataFrame | None, DataFrame]:
-        fr = self.store.read("frontier", gen)
-        if "validated" in fr.columns:
-            return (fr.filter(F.col("validated")).select(_FCOLS),
-                    fr.filter(~F.col("validated")).select(_FCOLS))
-        # legacy/bootstrap snapshot without the flag: treat everything as
-        # pending — re-validation is idempotent and exact
-        return None, fr.select(_FCOLS)
+        fr = self.store.read("frontier", gen, schema=FRONTIER_SNAP_SCHEMA)
+        # bootstrap/legacy snapshots lack the flag on disk; with the explicit
+        # read schema those rows surface as NULL — treat them as pending
+        # (re-validation is idempotent and exact)
+        v = F.coalesce(F.col("validated"), F.lit(False))
+        return (fr.filter(v).select(_FCOLS),
+                fr.filter(~v).select(_FCOLS))
 
     def _generation(self, gen: int, deferred: DataFrame | None,
                     pending: DataFrame, robots: DataFrame, docs: DataFrame,

@@ -82,23 +82,25 @@ class StateStore:
             return
         df.write.mode("overwrite").parquet(self._path(table, generation))
 
-    def read(self, table: str, generation: int) -> DataFrame:
+    def read(self, table: str, generation: int, schema=None) -> DataFrame:
         if self.catalog:
             return (self.spark.read.table(self._iceberg_name(table))
                     .filter(F.col("gen") == generation).drop("gen"))
-        return self.spark.read.parquet(self._path(table, generation))
+        reader = self.spark.read.schema(schema) if schema else self.spark.read
+        return reader.parquet(self._path(table, generation))
 
-    def read_all(self, table: str) -> DataFrame:
+    def read_all(self, table: str, schema=None) -> DataFrame:
         """Union of every committed generation, with the partition bookkeeping
         column ``gen`` normalized away in BOTH backends (parquet directory
         layout infers it; Iceberg stores it) — readers see identical schemas.
         """
         if self.catalog:
             return self.spark.read.table(self._iceberg_name(table)).drop("gen")
-        return self.spark.read.parquet(
+        reader = self.spark.read.schema(schema) if schema else self.spark.read
+        return reader.parquet(
             os.path.join(self.root, table)).drop("gen")
 
-    def read_upto(self, table: str, generation: int) -> DataFrame:
+    def read_upto(self, table: str, generation: int, schema=None) -> DataFrame:
         """Union of generations 0..generation — from EXPLICIT per-generation
         paths (parquet) or a partition filter (Iceberg), so a background
         reader (e.g. the async seen-shard rebuild) never races a concurrent
@@ -108,7 +110,8 @@ class StateStore:
                     .filter(F.col("gen") <= generation).drop("gen"))
         paths = [self._path(table, g) for g in range(generation + 1)
                  if os.path.exists(self._path(table, g))]
-        return self.spark.read.parquet(*paths)
+        reader = self.spark.read.schema(schema) if schema else self.spark.read
+        return reader.parquet(*paths)
 
     def exists(self, table: str, generation: int) -> bool:
         if self.catalog:
