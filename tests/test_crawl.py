@@ -179,3 +179,23 @@ def test_url_doc_roundtrip_beyond_9999():
     for i in (0, 42, 9999, 10000, 123456):
         url = fixtures.url_for(i)
         assert fixtures.doc_index_from_url(url) == i
+
+
+def test_exhausted_frontier_then_resume(spark, tmp_path_factory):
+    """Run PAST frontier exhaustion (a generation that schedules nothing
+    commits an empty seen delta — a part-less parquet dir that only reads
+    back under the explicit schema), then resume: no crash, no new URLs,
+    log unchanged."""
+    path = tmp_path_factory.mktemp("crawl_exhaust")
+    engine = CrawlEngine(spark, str(path), N_DOCS, host_budget=N_DOCS)
+    engine.bootstrap(SEEDS, ROBOTS)
+    docs = X.docs_dataframe(spark, N_DOCS, partitions=8)
+    engine.run(docs, 30)  # generous: exhausts well before 30
+    log1 = sorted((r.scheduled_seq, r.url) for r in engine.fetch_log().collect())
+    engine.close()
+    engine2 = CrawlEngine(spark, str(path), N_DOCS, host_budget=N_DOCS)
+    totals2 = engine2.run(docs, 2)
+    assert totals2["urls_scheduled"] == 0
+    log2 = sorted((r.scheduled_seq, r.url) for r in engine2.fetch_log().collect())
+    assert log2 == log1
+    engine2.close()
