@@ -182,17 +182,30 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
     lo = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
     hi = F.conv(F.substring(F.md5("token"), 9, 8), 16, 10).cast("long")
-    votes = [
-        (F.when(F.shiftright(lo if b < 32 else hi, b % 32) % 2 == 1, 1)
-         .otherwise(-1)).alias(f"v{b}")
-        for b in range(bits)]
-    per_token = toks.select("doc_id", *votes)
+    h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    # lane-packed bit counting: (h >> g) & 0x0001000100010001 accumulates
+    # the per-doc ONES count of bits g, g+16, g+32, g+48 in four 16-bit
+    # lanes of ONE long — 16 sum columns instead of 64 vote columns (4x
+    # less per-token expression work; lanes cannot cross while a doc has
+    # < 65536 tokens, far above any real document line count). Arithmetic
+    # shift is lane-safe for g<16: sign-extension only reaches positions
+    # >= 64-g, above the top lane's bit 48.
+    lane_mask = F.lit(0x0001000100010001).cast("long")
+    per_token = toks.select(
+        "doc_id",
+        *[(F.shiftright(h, g).bitwiseAND(lane_mask)).alias(f"g{g}")
+          for g in range(16)])
     summed = per_token.groupBy("doc_id").agg(
-        *[F.sum(f"v{b}").alias(f"s{b}") for b in range(bits)])
+        F.count("*").alias("n_tok"),
+        *[F.sum(f"g{g}").alias(f"c{g}") for g in range(16)])
     acc = None
     for b in range(bits):
+        g, lane = b % 16, b // 16
+        ones = F.shiftright(F.col(f"c{g}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
         weight = -(1 << 63) if b == 63 else (1 << b)
-        bitval = F.when(F.col(f"s{b}") > 0, F.lit(weight).cast("long")) \
+        # votes = ones - (n - ones) > 0  <=>  2*ones > n
+        bitval = F.when(ones * 2 > F.col("n_tok"),
+                        F.lit(weight).cast("long")) \
             .otherwise(F.lit(0).cast("long"))
         acc = bitval if acc is None else acc + bitval
     return summed.select("doc_id", acc.alias("simhash"))
