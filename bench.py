@@ -76,7 +76,12 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     # crawl frontier throughput (urls scheduled + docs parsed per second);
     # generation size must dominate the fixed per-generation costs for the
     # throughput number to reflect engine capability
-    crawl_docs = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_DOCS", "8000"))
+    # 64k docs -> ~18k-URL generations: large enough that per-generation
+    # latency no longer dominates (8k's ~2.2k-URL generations measured
+    # scheduling latency, not engine capability; the corpus grew 8x in
+    # round 3 for ~1.3x wall time — compare crawl urls_per_sec, not
+    # crawl_3gen seconds, across rounds)
+    crawl_docs = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_DOCS", "64000"))
     # warm the crawl lane (stage types: schedule windows, bloom cogroup,
     # parse, snapshot writes) before the measured run
     with tempfile.TemporaryDirectory() as warm_dir:
