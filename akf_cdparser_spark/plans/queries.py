@@ -637,7 +637,9 @@ def q25_minhash_bands(spark, sf_dir):
 Q25_SQL = r"""
 WITH {shingles},
 hashes AS (
-  SELECT doc_id, h, md5(CAST(h AS VARCHAR) || '|' || shingle) AS hv
+  SELECT doc_id, h,
+         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+         + h * CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT) AS hv
   FROM sh, UNNEST(range(0, 8)) AS hh(h)),
 sig AS (
   SELECT doc_id, h, min(hv) AS minhash FROM hashes GROUP BY doc_id, h)
