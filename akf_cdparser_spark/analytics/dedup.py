@@ -243,3 +243,51 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
+    with ``cluster_id`` = the lexicographic-min doc_id of the component,
+    plus ``cluster_size`` and the ``is_canonical`` flag (the member every
+    dedup pipeline keeps). This is the step that turns pairwise
+    MinHash/SimHash/Jaccard verdicts into an actionable keep/drop list.
+
+    Algorithm: iterative min-label propagation — each round every node
+    adopts the min label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup components are shallow: dup
+    clusters are cliques or short chains, so 2-4 rounds in practice, with
+    ``max_iter`` as a hard stop). Each round is one equi-join + groupBy on
+    (node, label) pairs — never materializes components on the driver; the
+    per-round ``localCheckpoint`` truncates the iterative plan. For
+    adversarially deep graphs at web scale, swap the body for the
+    large-star/small-star rounds of Kiveris et al. — the driver loop and
+    convergence test stay the same.
+    """
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id"))).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges.src == labels.doc_id)
+                 .groupBy(F.col("dst").alias("doc_id"))
+                 .agg(F.min("label").alias("nl")))
+        new_labels = (labels.join(neigh, "doc_id", "left")
+                      .select("doc_id",
+                              F.least(F.col("label"),
+                                      F.coalesce("nl", "label"))
+                              .alias("label"))).localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if not changed:
+            break
+    edges.unpersist()
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (labels.join(sizes, "label")
+            .select("doc_id", F.col("label").alias("cluster_id"),
+                    "cluster_size",
+                    (F.col("doc_id") == F.col("label")).alias("is_canonical")))

@@ -1295,6 +1295,51 @@ Q48_SQL = (
 )
 
 
+
+
+def q49_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: exact n-gram Jaccard pairs (>= 0.5,
+    no stop-shingle cap so the SQL twin is closed-form) -> connected
+    components via iterative min-label propagation -> (cluster_id,
+    cluster_size, is_canonical). The keep/drop list every dedup pipeline
+    ends with; oracle = DuckDB recursive CTE over the same pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=None)
+    return dedup.dup_clusters(pairs)
+
+
+Q49_SQL = (r"""
+WITH RECURSIVE""" + _SHINGLE_SQL.replace("\n  toks", "\n  toks", 1) + r""",
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON c.doc_a = sa.doc_id
+  JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+  GROUP BY c.doc_a, c.doc_b),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes za ON za.doc_id = inter.doc_a
+  JOIN sizes zb ON zb.doc_id = inter.doc_b
+  WHERE round(n_common / (za.n_sh + zb.n_sh - n_common), 6) >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+walk(doc_id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.doc_id),
+labels AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id),
+csizes AS (SELECT cluster_id, count(*) AS cluster_size
+           FROM labels GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, CAST(c.cluster_size AS BIGINT) AS cluster_size,
+       l.doc_id = l.cluster_id AS is_canonical
+FROM labels l JOIN csizes c USING (cluster_id)
+""")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1354,4 +1399,5 @@ REGISTRY: dict[str, tuple] = {
     "q48_ann_recall": (q48_ann_recall, Q48_SQL),
     "q40_crawl_schedule": (q40_crawl_schedule, Q40_SQL),
     "q41_crawl_seen_antijoin": (q41_crawl_seen_antijoin, Q41_SQL),
+    "q49_dup_clusters": (q49_dup_clusters, Q49_SQL),
 }

@@ -97,3 +97,17 @@ def test_embedding_near_dups_are_symmetric_free(spark):
     pairs = similarity.embedding_near_dups(emb, dim=dim, threshold=0.9,
                                            n_planes=4).collect()
     assert all(r.vec_a < r.vec_b for r in pairs)
+
+
+def test_dup_clusters_chain_and_cliques(spark):
+    """A 3-chain (a-b, b-c) merges into one cluster even though a-c was
+    never a pair; disjoint pairs stay separate; canonical = min doc_id."""
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string")
+    rows = {r.doc_id: r for r in dedup.dup_clusters(pairs).collect()}
+    assert {r.cluster_id for r in rows.values()} == {"a", "x"}
+    assert all(rows[d].cluster_id == "a" and rows[d].cluster_size == 3
+               for d in ("a", "b", "c"))
+    assert rows["x"].cluster_size == 2
+    assert rows["a"].is_canonical and rows["x"].is_canonical
+    assert not rows["b"].is_canonical
