@@ -186,10 +186,19 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     The per-bit votes are COLUMNS of one token row aggregated by ``bits``
     sums in a single groupBy — exploding by bit id would multiply shuffle
     rows x64. Engine-portable (md5 + integer ops only)."""
+    # bind the md5-derived 64-bit hash to ONE projected column: the 16 lane
+    # expressions below each reference it, and relying on Catalyst CSE to
+    # dedupe repeated textual F.md5("token")/F.conv subtrees is fragile
+    # (q26 carried measurable slack from it). CollapseProject will not
+    # inline a non-cheap alias referenced 16 times, so ``h`` is computed
+    # exactly once per token row.
     toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
-    lo = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
-    hi = F.conv(F.substring(F.md5("token"), 9, 8), 16, 10).cast("long")
-    h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    hashed_md = toks.select("doc_id", F.md5("token").alias("md"))
+    lo = F.conv(F.substring("md", 1, 8), 16, 10).cast("long")
+    hi = F.conv(F.substring("md", 9, 8), 16, 10).cast("long")
+    hashed = hashed_md.select("doc_id",
+                              F.shiftleft(hi, 32).bitwiseOR(lo).alias("h"))
+    h = F.col("h")
     # lane-packed bit counting: (h >> g) & 0x0001000100010001 accumulates
     # the per-doc ONES count of bits g, g+16, g+32, g+48 in four 16-bit
     # lanes of ONE long — 16 sum columns instead of 64 vote columns (4x
@@ -198,7 +207,7 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     # shift is lane-safe for g<16: sign-extension only reaches positions
     # >= 64-g, above the top lane's bit 48.
     lane_mask = F.lit(0x0001000100010001).cast("long")
-    per_token = toks.select(
+    per_token = hashed.select(
         "doc_id",
         *[(F.shiftright(h, g).bitwiseAND(lane_mask)).alias(f"g{g}")
           for g in range(16)])
@@ -245,7 +254,70 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             .select("doc_a", "doc_b", "hamming"))
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def _dup_clusters_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    O(log^2 n)-round path for ADVERSARIALLY DEEP graphs, where plain
+    min-label propagation needs O(diameter) rounds.
+
+    Per round over the current edge set E (symmetrized to adjacency):
+    * large-star: every node u links each STRICTLY LARGER neighbor v to
+      m(u) = min(N(u) + {u});
+    * small-star: every node u links each neighbor v <= u to m(u).
+    Self-loops drop, edges dedupe; converged when the edge multiset's
+    (count, hash-sum) checksum is stable — one 1-row driver read per
+    round, never the edges themselves. At the fixpoint every node points
+    straight at its component minimum (a star), which IS the label."""
+    sym = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+           .unionByName(pairs.select(F.col("doc_b").alias("u"),
+                                     F.col("doc_a").alias("v"))))
+    nodes = sym.select(F.col("u").alias("doc_id")).distinct().localCheckpoint()
+    edges = sym.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        adj = e.unionByName(e.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+        mins = (adj.groupBy("u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        side = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        out = (adj.filter(side).join(mins, "u")
+               .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        if not large:
+            # small-star also links u ITSELF to m (Kiveris Alg. 2 emits
+            # (v, m) for v in N ∪ {u}); dropping it disconnects u
+            out = out.unionByName(mins.select("u", F.col("m").alias("v")))
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    def checksum(e: DataFrame) -> tuple:
+        # decimal(38,0) sum: exact and overflow-free under ANSI mode
+        row = e.agg(F.count("*").alias("n"),
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+                    .alias("h")).first()
+        return (row["n"], row["h"])
+
+    prev = checksum(edges)
+    for _ in range(max_iter):
+        edges = star(star(edges, large=True), large=False).localCheckpoint()
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # star fixpoint: each non-minimum node has exactly its component min as
+    # neighbor; minima label themselves
+    point = edges.groupBy("u").agg(F.min("v").alias("label"))
+    labels = (nodes.join(point, nodes.doc_id == point.u, "left")
+              .select("doc_id",
+                      F.coalesce(F.least("label", "doc_id"), "doc_id")
+                      .alias("label")))
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (labels.join(sizes, "label")
+            .select("doc_id", F.col("label").alias("cluster_id"),
+                    "cluster_size",
+                    (F.col("doc_id") == F.col("label")).alias("is_canonical")))
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 25,
+                 algorithm: str = "label") -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
     with ``cluster_id`` = the lexicographic-min doc_id of the component,
     plus ``cluster_size`` and the ``is_canonical`` flag (the member every
@@ -258,11 +330,18 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     clusters are cliques or short chains, so 2-4 rounds in practice, with
     ``max_iter`` as a hard stop). Each round is one equi-join + groupBy on
     (node, label) pairs — never materializes components on the driver; the
-    per-round ``localCheckpoint`` truncates the iterative plan. For
-    adversarially deep graphs at web scale, swap the body for the
-    large-star/small-star rounds of Kiveris et al. — the driver loop and
-    convergence test stay the same.
+    per-round ``localCheckpoint`` truncates the iterative plan.
+
+    ``algorithm="star"`` swaps the body for the large-star/small-star
+    rounds of Kiveris et al. (``_dup_clusters_star``): O(log^2 n) rounds
+    instead of O(diameter) — the scale path for adversarially deep graphs.
+    Both return identical results (property-tested against each other on
+    random graphs in tests/test_analytics.py).
     """
+    if algorithm == "star":
+        return _dup_clusters_star(pairs, max_iter=max(max_iter, 50))
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_b").alias("src"),

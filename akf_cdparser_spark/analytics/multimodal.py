@@ -67,16 +67,37 @@ def synth_media(spark: SparkSession, docs: DataFrame) -> DataFrame:
     return refs.mapInPandas(gen, MEDIA_SCHEMA)
 
 
+try:  # optional: the operator upgrades itself the moment PIL lands
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - sandbox has no image library
+    _PILImage = None
+
+
 def decode_image(content: bytes, fake: bool = False) -> list[float]:
-    """STUB: real image decode needs PIL/opencv (not in this container).
-    ``fake=True`` produces a deterministic 8-dim feature from the bytes so
-    the Spark plumbing is testable end-to-end."""
-    if not fake:
+    """Image decode -> 8-dim feature vector.
+
+    Real path (when PIL is importable): decode, resize to 2x2 grayscale
+    via a deterministic box filter, emit the 4 pixel intensities plus
+    normalized width/height/aspect/fill — 8 floats, same shape as the
+    stub. Without an image library, ``fake=True`` selects the
+    deterministic byte-hash stub (keeps the Spark plumbing testable
+    end-to-end); ``fake=False`` raises so a silent no-op can never pose
+    as a decode."""
+    if fake:
+        digest = hashlib.sha256(content or b"").digest()
+        return [b / 255.0 for b in digest[:8]]
+    if _PILImage is None:
         raise NotImplementedError(
             "image decoding requires an image library not present in this "
             "environment; pass fake=True for the deterministic stub")
-    digest = hashlib.sha256(content or b"").digest()
-    return [b / 255.0 for b in digest[:8]]
+    import io
+
+    img = _PILImage.open(io.BytesIO(content)).convert("L")
+    w, h = img.size
+    small = img.resize((2, 2), _PILImage.BILINEAR)
+    px = [p / 255.0 for p in small.getdata()]
+    return px + [min(w, 4096) / 4096.0, min(h, 4096) / 4096.0,
+                 w / max(h, 1) / 8.0, len(content or b"") / 1_048_576.0]
 
 
 def extract_features(media: DataFrame, fake: bool = True,

@@ -298,6 +298,32 @@ class CrawlEngine:
         self._docs_slim: DataFrame | None = None
         self._index: DataFrame | None = None
 
+    def _submit_bg(self, fn, *args):
+        """Submit a BACKGROUND Spark job (durable writes, shard rebuilds)
+        tagged into the ``crawl_background`` scheduler pool. With
+        ``spark.scheduler.mode=FAIR`` and no allocation file, pools are
+        created on demand and the ROOT pool schedules fairly BETWEEN pools
+        — without the per-thread pool tag all jobs land in the single
+        default pool, whose internal order is FIFO, and a long write job
+        would head-block the next generation's critical-path stages. Pool
+        worker threads are reused, so the tag is (re)set per job; critical-
+        path submissions (``_submit_fg``) reset it to the default pool."""
+        def job():
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "crawl_background")
+            return fn(*args)
+        return self._pool.submit(job)
+
+    def _submit_fg(self, fn, *args):
+        """Critical-path submission (e.g. localCheckpoint fan-out that the
+        loop immediately waits on): default pool, fair-shared against the
+        background pool."""
+        def job():
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", None)
+            return fn(*args)
+        return self._pool.submit(job)
+
     def close(self) -> None:
         if self._rebuild_fut is not None:
             try:
@@ -323,7 +349,14 @@ class CrawlEngine:
                 .select([f.name for f in SEEN_SCHEMA.fields]))
 
     def bootstrap(self, seeds: list[dict], robots_rules: list[dict]) -> None:
-        frontier = seeds_frontier(self.spark, seeds)
+        # seeds are PENDING (validated=False: not yet seen-checked /
+        # robots-gated — re-validation is idempotent). Writing the flag at
+        # gen 0 keeps the frontier schema identical across generations,
+        # which the Iceberg backend requires (overwritePartitions does no
+        # schema evolution); legacy snapshots without the column still read
+        # via the explicit snapshot schema + NULL-coalesce in _load_frontier.
+        frontier = (seeds_frontier(self.spark, seeds)
+                    .withColumn("validated", F.lit(False)))
         self.store.write("frontier", frontier, 0)
         # repartition(1) forces a schema-bearing part file for the empty
         # delta — a zero-partition write would leave an unreadable directory
@@ -383,17 +416,25 @@ class CrawlEngine:
         return out
 
     def _maybe_rebuild(self, gen: int, wait_for=()) -> None:
-        """``wait_for``: this generation's write futures — the rebuild reads
-        gen G's seen file, whose write is itself backgrounded now, so the
-        job first awaits them. No deadlock: the waited futures were
-        submitted EARLIER to the same FIFO pool, so they can never be
-        queued behind the rebuild worker that blocks on them."""
+        """``wait_for``: EVERY outstanding write future across all pending
+        (uncommitted) generations, not just gen G's — ``read_upto('seen',
+        G)`` reads gens <= G, and an EARLIER generation's seen write may
+        still be in flight when G's rebuild fires (commits drain
+        non-blockingly in the loop). Waiting only on G's futures would let
+        the rebuild read a partial gen G-1 directory, build shards missing
+        those hashes, and then ``_adopt_rebuild`` would prune
+        ``_recent[G-1]`` — silently re-schedulable URLs. No deadlock: the
+        waited futures were submitted EARLIER to the same FIFO pool, so
+        they can never be queued behind the rebuild worker that blocks on
+        them."""
         if gen % self.bloom_rebuild_every or self._rebuild_fut is not None:
             return
         prev = dict(self._shard_counts)
         deps = tuple(wait_for)
 
         def job(G=gen, prev_counts=prev):
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "crawl_background")
             for d in deps:
                 d.result()
             # explicit gens 0..G: never races a newer delta mid-write
@@ -487,7 +528,10 @@ class CrawlEngine:
                 totals["docs_parsed"] += stats["docs_parsed"]
                 totals["wall_ms"] += stats["wall_ms"]
                 last_sched = stats["urls_scheduled"]
-                self._maybe_rebuild(gen, wait_for=futures)
+                # the rebuild must see COMPLETE seen files for every gen it
+                # reads — include all still-uncommitted generations' writes
+                self._maybe_rebuild(gen, wait_for=[
+                    f for e in pending_commits for f in e["futures"]])
                 if stats["urls_scheduled"] == 0:
                     break
         finally:
@@ -621,13 +665,13 @@ class CrawlEngine:
         # refs die (each generation replaces the previous trio); heap
         # pressure triggers the JVM GC that drives it, so steady-state
         # storage stays bounded.
-        ck = [self._pool.submit(df.localCheckpoint)
+        ck = [self._submit_fg(df.localCheckpoint)
               for df in (deferred_next, pending_next, newly_seen)]
         deferred_ck, pending_ck, seen_ck = [f.result() for f in ck]
         frontier_snapshot = (
             deferred_ck.withColumn("validated", F.lit(True))
             .unionByName(pending_ck.withColumn("validated", F.lit(False))))
-        futures = [self._pool.submit(self.store.write, name, df, gen)
+        futures = [self._submit_bg(self.store.write, name, df, gen)
                    for name, df in (("seen", seen_ck),
                                     ("frontier", frontier_snapshot),
                                     ("fetch_log", fetch_log_new),

@@ -69,6 +69,20 @@ class StateStore:
     def _iceberg_name(self, table: str) -> str:
         return f"{self.catalog}.{self.namespace}.{table}"
 
+    def _conform(self, df: DataFrame, schema) -> DataFrame:
+        """Apply an explicit read schema on the catalog path: Iceberg reads
+        return the TABLE schema, so columns added after table creation
+        (e.g. the frontier ``validated`` flag) must be projected as typed
+        NULLs when reading older tables, and the column order must match
+        the caller's schema — mirrors what ``spark.read.schema(...)`` does
+        for the parquet backend."""
+        if schema is None:
+            return df
+        for f in schema.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df.select([f.name for f in schema.fields])
+
     def write(self, table: str, df: DataFrame, generation: int) -> None:
         if self.catalog:
             name = self._iceberg_name(table)
@@ -84,8 +98,9 @@ class StateStore:
 
     def read(self, table: str, generation: int, schema=None) -> DataFrame:
         if self.catalog:
-            return (self.spark.read.table(self._iceberg_name(table))
-                    .filter(F.col("gen") == generation).drop("gen"))
+            return self._conform(
+                self.spark.read.table(self._iceberg_name(table))
+                .filter(F.col("gen") == generation).drop("gen"), schema)
         reader = self.spark.read.schema(schema) if schema else self.spark.read
         return reader.parquet(self._path(table, generation))
 
@@ -95,7 +110,9 @@ class StateStore:
         layout infers it; Iceberg stores it) — readers see identical schemas.
         """
         if self.catalog:
-            return self.spark.read.table(self._iceberg_name(table)).drop("gen")
+            return self._conform(
+                self.spark.read.table(self._iceberg_name(table)).drop("gen"),
+                schema)
         reader = self.spark.read.schema(schema) if schema else self.spark.read
         return reader.parquet(
             os.path.join(self.root, table)).drop("gen")
@@ -106,8 +123,9 @@ class StateStore:
         reader (e.g. the async seen-shard rebuild) never races a concurrent
         write of a newer generation's files."""
         if self.catalog:
-            return (self.spark.read.table(self._iceberg_name(table))
-                    .filter(F.col("gen") <= generation).drop("gen"))
+            return self._conform(
+                self.spark.read.table(self._iceberg_name(table))
+                .filter(F.col("gen") <= generation).drop("gen"), schema)
         paths = [self._path(table, g) for g in range(generation + 1)
                  if os.path.exists(self._path(table, g))]
         reader = self.spark.read.schema(schema) if schema else self.spark.read

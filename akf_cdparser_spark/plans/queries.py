@@ -472,8 +472,14 @@ def q40_crawl_schedule(spark, sf_dir):
                 .withColumn("depth", F.lit(0)))
     sched = schedule_generation(frontier, CRAWL_Q_BUDGET, n_salts=4)
     sched, _n = global_sequence(sched, ["next_fetch_time", "url_hash", "url"], 0)
-    return sched.select("scheduled_seq", "url", "host", "url_hash",
+    # materialize eagerly (tiny result), then release the range-sorted
+    # cache global_sequence exposes — mirroring the engine's cached-list
+    # handling; returning lazily would leak one persisted frame per call
+    out = (sched.select("scheduled_seq", "url", "host", "url_hash",
                         "next_fetch_time")
+           .localCheckpoint())
+    sched._ordered_cache.unpersist()
+    return out
 
 
 Q40_SQL = f"""

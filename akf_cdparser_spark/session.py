@@ -41,9 +41,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
-        # FAIR task scheduling: the crawl engine pipelines background state
-        # writes against the next generation's compute; FIFO would let a
-        # drained-later write job head-block the critical-path stages
+        # FAIR root scheduling: the crawl engine pipelines background state
+        # writes against the next generation's compute. The mode alone only
+        # enables fair sharing BETWEEN pools — the engine's writer threads
+        # tag their jobs with spark.scheduler.pool=crawl_background
+        # (CrawlEngine._submit_bg), so write jobs and critical-path stages
+        # sit in separate fair-shared pools instead of one FIFO default.
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -111,3 +111,50 @@ def test_dup_clusters_chain_and_cliques(spark):
     assert rows["x"].cluster_size == 2
     assert rows["a"].is_canonical and rows["x"].is_canonical
     assert not rows["b"].is_canonical
+
+
+def test_dup_clusters_star_matches_label_on_random_graphs(spark):
+    """Property test: the large-star/small-star path (the adversarial-depth
+    scale algorithm) and min-label propagation return IDENTICAL clusters on
+    random 200-node graphs — sparse, dense, and a 200-node path (worst-case
+    diameter, where label propagation needs its full O(diameter) rounds)."""
+    import random
+
+    def union_find(n, edges):
+        parent = list(range(n))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {f"n{i:03d}": f"n{min(find(i), i):03d}" for i in range(n)
+                if any(i in e for e in edges)}
+
+    cases = []
+    for seed, n_edges in ((7, 60), (11, 300)):
+        rng = random.Random(seed)
+        cases.append([(rng.randrange(200), rng.randrange(200))
+                      for _ in range(n_edges)])
+    # a 60-node path: diameter 59, where min-label propagation needs its
+    # full O(diameter) rounds but star converges in O(log^2 n)
+    cases.append([(i, i + 1) for i in range(59)])
+
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(
+            [(f"n{min(a, b):03d}", f"n{max(a, b):03d}") for a, b in edges],
+            "doc_a string, doc_b string")
+        label = {r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+                 for r in dedup.dup_clusters(pairs, max_iter=80).collect()}
+        star = {r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+                for r in dedup.dup_clusters(pairs,
+                                            algorithm="star").collect()}
+        assert star == label
+        truth = union_find(200, edges)
+        assert {d: c for d, (c, _, _) in label.items()} == truth

@@ -97,8 +97,29 @@ def test_multimodal_plumbing(spark):
 def test_decode_stub_raises_without_fake():
     import pytest
 
+    if multimodal._PILImage is not None:
+        pytest.skip("PIL present: real decode path active")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"xx", fake=False)
+
+
+def test_decode_real_path_when_pil_present():
+    """The operator upgrades itself the moment an image lib lands: real
+    decode produces the same 8-dim feature shape as the stub."""
+    import pytest
+
+    if multimodal._PILImage is None:
+        pytest.skip("no image library in this environment")
+    import io
+
+    img = multimodal._PILImage.new("RGB", (16, 8), (200, 100, 50))
+    buf = io.BytesIO()
+    img.save(buf, format="BMP")
+    feats = multimodal.decode_image(buf.getvalue(), fake=False)
+    assert len(feats) == 8
+    assert all(isinstance(v, float) for v in feats)
+    # deterministic: same bytes -> same features
+    assert feats == multimodal.decode_image(buf.getvalue(), fake=False)
 
 
 def test_corpus_variants_fire_distributed(spark):
