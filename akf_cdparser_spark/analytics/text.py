@@ -91,8 +91,9 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 
 # element classes per lib/lineSegmentAnalyzer.js:33-41; the segmentation
 # regex mirrors createLocalDataset's precedence (:115-240): brackets first,
-# then numbers, words, whitespace runs, anything else. zumsteinVector (a
-# special single-sector mode) is intentionally out of scope.
+# then numbers, words, whitespace runs, anything else. zumsteinVector (the
+# special single-sector mode, USE_ZUMSTEIN_VECTOR) is covered by
+# ``lse_zumstein_vector``/``lse_zumstein_histogram`` below.
 LSE_TOKEN_RE = (r"\(.*?\)"
                 r"|\d+([.,]\d+)?"
                 r"|[A-Za-zÄÖÜäöüß\-]+"
@@ -140,7 +141,55 @@ def lse_histogram(docs: DataFrame, n_sectors: int = 10) -> DataFrame:
             .agg(F.count("*").alias("occurrences")))
 
 
-def lse_grouped(docs: DataFrame, n_sectors: int = 10) -> DataFrame:
+# the reference's special-character class for zumsteinVector mode
+# (lib/lineSegmentAnalyzer.js:195): every run of characters outside this
+# set — including whitespace — is one match; the separator sign ¦ is
+# excluded because createLocalDataset injects it as its own marker
+ZUMSTEIN_SPECIAL_RE = r"[^a-zA-Z0-9üÜäÄöÖßé_.¦]+"
+
+
+def lse_zumstein_vector(docs: DataFrame) -> DataFrame:
+    """zumsteinVector mode (``USE_ZUMSTEIN_VECTOR``,
+    lib/lineSegmentAnalyzer.js:26,122-126,225-250): SEGMENT_NUM=1 and each
+    line contributes exactly ONE classified element whose content is the
+    concatenation of its TRIMMED special-character runs (whitespace inside
+    a run is dropped by the reference's ``.trim()``; the run order is
+    preserved). Empty lines are skipped (:137); a line with NO
+    special-character match is dropped — the reference would throw a
+    TypeError on ``null.length`` there (:228), and dropping is the only
+    total behavior (documented deviation; golden-locked for all non-crash
+    inputs in tests/test_lse_grouping.py).
+
+    Pure built-ins: regexp_extract_all + transform + array_join, codegen
+    end-to-end. The per-run trim is a regexp strip of ``\\s`` so tabs
+    behave as in JS ``String.trim`` (Spark's F.trim only strips ASCII
+    spaces); exotic JS-trimmed characters (NBSP, BOM) are out of scope."""
+    matches = F.regexp_extract_all("text", F.lit(ZUMSTEIN_SPECIAL_RE), 0)
+    vec = F.array_join(
+        F.transform(matches,
+                    lambda m: F.regexp_replace(m, r"^\s+|\s+$", "")), "")
+    return (docs.filter(F.col("text") != "")
+            .select("doc_id", F.lit(0).alias("sector"),
+                    F.lit("zumsteinVector").alias("token_class"),
+                    vec.alias("token"), F.size(matches).alias("_n"))
+            .filter(F.col("_n") > 0).drop("_n"))
+
+
+def lse_zumstein_histogram(docs: DataFrame) -> DataFrame:
+    """Sector histogram in zumstein mode. ``analyzeDataset`` keys the
+    sectors holder by CONTENT for non-number/special/bracket classes
+    (:420-436), falling back to "WHITESPACE" when the key is falsy (:438-
+    440) — so a line whose special runs are all-whitespace (empty trimmed
+    concatenation) lands under WHITESPACE. One sector by construction."""
+    elems = lse_zumstein_vector(docs)
+    key = F.when(F.length("token") > 0,
+                 F.col("token")).otherwise(F.lit("WHITESPACE"))
+    return (elems.groupBy("sector", key.alias("zvector"))
+            .agg(F.count("*").alias("occurrences")))
+
+
+def lse_grouped(docs: DataFrame, n_sectors: int = 10,
+                coupled: bool = False) -> DataFrame:
     """Streak grouping over the sector histogram — the faithful port of the
     reference's imperative walk (GROUPING_RANGE=1,
     lib/lineSegmentAnalyzer.js:21,567-758; see analytics/lse_grouping.py for
@@ -152,10 +201,18 @@ def lse_grouped(docs: DataFrame, n_sectors: int = 10) -> DataFrame:
     ``group_size`` carries the reference's groupSize semantics: number of
     merged source sectors for group elements, 0 for untouched originals.
 
-    Documented deviation: the reference walks ALL keys through one shared
-    sectorsHolder, so its `nextElement` var-leak can couple DIFFERENT keys'
-    walks depending on JS object insertion order; here each token class
-    walks independently (the within-class leak is reproduced exactly).
+    ``coupled=False`` (default): each token class walks independently (the
+    within-class ``nextElement`` leak is reproduced exactly; classes cannot
+    couple). ``coupled=True`` reproduces the reference's SINGLE-WALK mode:
+    all classes thread through one shared sectorsHolder, so the hoisted
+    ``nextElement`` leak (lib/lineSegmentAnalyzer.js:605) can couple
+    DIFFERENT classes' walks — exactly as in the reference, where the walk
+    order is the holder's JS key-insertion order. That order is
+    data-arrival-dependent in the reference (object keys insert during the
+    line scan); here it is pinned to sorted(token_class) for determinism —
+    the one free parameter, documented. The coupled walk is a single tiny
+    group (<= n_sectors x n_classes histogram rows), so the Python stage
+    stays O(classes) regardless of corpus size.
     """
     import pandas as pd
 
@@ -163,6 +220,23 @@ def lse_grouped(docs: DataFrame, n_sectors: int = 10) -> DataFrame:
 
     hist = lse_histogram(docs, n_sectors)
     cols = ["token_class", "group_sector", "occurrences", "group_size"]
+    schema = ("token_class string, group_sector int, "
+              "occurrences long, group_size int")
+
+    if coupled:
+        def walk_all(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+            by_class: dict[str, dict[int, int]] = {}
+            for cls in sorted(pdf["token_class"].unique()):
+                sub = pdf[pdf["token_class"] == cls]
+                by_class[cls] = dict(zip(sub["sector"].astype(int),
+                                         sub["occurrences"].astype(int)))
+            rows = streak_grouping(by_class, n_sectors)
+            return pd.DataFrame(rows, columns=cols)
+
+        # one constant-keyed group (a literal in groupBy would be read as
+        # a group-by ORDINAL); the whole histogram is tiny by construction
+        return (hist.withColumn("_g", F.lit(1))
+                .groupBy("_g").applyInPandas(walk_all, schema))
 
     def walk(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         cls = key[0]
@@ -171,6 +245,4 @@ def lse_grouped(docs: DataFrame, n_sectors: int = 10) -> DataFrame:
                            pdf["occurrences"].astype(int)))}, n_sectors)
         return pd.DataFrame(rows, columns=cols)
 
-    return hist.groupBy("token_class").applyInPandas(
-        walk, "token_class string, group_sector int, "
-              "occurrences long, group_size int")
+    return hist.groupBy("token_class").applyInPandas(walk, schema)

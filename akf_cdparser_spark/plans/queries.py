@@ -760,6 +760,52 @@ Q29_SQL = (
 )
 
 
+def q50_lse_coupled(spark, sf_dir):
+    """A3 streak grouping in the reference's SINGLE-WALK mode: all token
+    classes thread through one shared sectorsHolder so the hoisted
+    nextElement leak couples classes (ref lib/lineSegmentAnalyzer.js:605;
+    walk order pinned to sorted class name — see analytics/text.py).
+    Oracle: pinned table from the sequential twin (DuckDB q28 histogram
+    through the Node-vm-locked walk, coupled)."""
+    return text.lse_grouped(_t(spark, sf_dir, "documents"), coupled=True)
+
+
+Q50_SQL = (
+    "SELECT token_class, CAST(group_sector AS INT) AS group_sector,\n"
+    "       CAST(occurrences AS BIGINT) AS occurrences,\n"
+    "       CAST(group_size AS INT) AS group_size\n"
+    "FROM (VALUES\n"
+    + ",\n".join(f"  ('{c}', {s}, {o}, {g})"
+                 for c, s, o, g in getattr(_pinned, "Q50_EXPECTED", []))
+    + "\n) AS t(token_class, group_sector, occurrences, group_size)"
+)
+
+
+def q51_lse_zumstein(spark, sf_dir):
+    """zumsteinVector mode (USE_ZUMSTEIN_VECTOR, ref
+    lib/lineSegmentAnalyzer.js:26,225-250): one special-characters element
+    per line, histogram keyed by the vector string (analyzeDataset keys
+    non-number classes by CONTENT, :420-440). Exact DuckDB twin below."""
+    return text.lse_zumstein_histogram(_t(spark, sf_dir, "documents"))
+
+
+Q51_SQL = r"""
+WITH vecs AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(
+           regexp_extract_all(text, '[^a-zA-Z0-9üÜäÄöÖßé_.¦]+'),
+           x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+           'string_agg', '') AS v,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9üÜäÄöÖßé_.¦]+')) AS n
+  FROM documents WHERE text <> ''),
+keyed AS (
+  SELECT CASE WHEN v IS NULL OR v = '' THEN 'WHITESPACE' ELSE v END AS zvector
+  FROM vecs WHERE n > 0)
+SELECT 0 AS sector, zvector, count(*) AS occurrences
+FROM keyed GROUP BY zvector
+"""
+
+
 # ---------------------------------------------------------------------------
 # extraction over the synthetic spans corpus (oracle = closed-form arithmetic)
 # ---------------------------------------------------------------------------
@@ -1354,7 +1400,7 @@ FROM labels l JOIN csizes c USING (cluster_id)
 # the scale the driver's correctness gate runs at; local parity tests must
 # run these at sf0.01 too (the other pinned query, q47, is sf-independent:
 # its corpus is the fixed 40-doc synthetic set)
-PINNED_SF01 = {"q29_lse_grouped", "q48_ann_recall"}
+PINNED_SF01 = {"q29_lse_grouped", "q48_ann_recall", "q50_lse_coupled"}
 
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
@@ -1406,4 +1452,6 @@ REGISTRY: dict[str, tuple] = {
     "q40_crawl_schedule": (q40_crawl_schedule, Q40_SQL),
     "q41_crawl_seen_antijoin": (q41_crawl_seen_antijoin, Q41_SQL),
     "q49_dup_clusters": (q49_dup_clusters, Q49_SQL),
+    "q50_lse_coupled": (q50_lse_coupled, Q50_SQL),
+    "q51_lse_zumstein": (q51_lse_zumstein, Q51_SQL),
 }

@@ -82,31 +82,43 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     # round 3 for ~1.3x wall time — compare crawl urls_per_sec, not
     # crawl_3gen seconds, across rounds)
     crawl_docs = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_DOCS", "64000"))
+    # round-over-round comparability: a second, SMALLER leg at the round-2
+    # corpus size so wall-time comparisons across rounds need no
+    # throughput normalization (VERDICT r3 bench-hygiene ask)
+    crawl_docs_small = int(os.environ.get(
+        "SPARK_GRAFT_BENCH_CRAWL_DOCS_SMALL", "8000"))
     # warm the crawl lane (stage types: schedule windows, bloom cogroup,
     # parse, snapshot writes) before the measured run
     with tempfile.TemporaryDirectory() as warm_dir:
         warm = CrawlEngine(spark, warm_dir, 300, host_budget=20, n_salts=4)
         warm.bootstrap(fixtures.seed_urls(30, 300), fixtures.robots_rules(300))
         warm.run(X.docs_dataframe(spark, 300), 2)
-    # best-of-2 fresh crawls: the shared host's neighbor load can inflate a
-    # single run 3x (documented in BENCH/BASELINE.md noise protocol)
-    crawl_wall, totals = None, None
-    for _rep in range(2):
-        with tempfile.TemporaryDirectory() as state_dir:
-            engine = CrawlEngine(spark, state_dir, crawl_docs,
-                                 host_budget=max(40, crawl_docs // 14),
-                                 n_shards=16, n_salts=4)
-            engine.bootstrap(
-                fixtures.seed_urls(max(50, crawl_docs // 10), crawl_docs),
-                fixtures.robots_rules(crawl_docs))
-            docs = X.docs_dataframe(spark, crawl_docs)
-            t0 = time.time()
-            tot = engine.run(docs, generations=3)
-            wall = time.time() - t0
-            engine.close()
-        if crawl_wall is None or wall < crawl_wall:
-            crawl_wall, totals = wall, tot
+
+    def crawl_leg(n_docs: int) -> tuple[float, dict]:
+        """Best-of-2 fresh crawls: the shared host's neighbor load can
+        inflate a single run 3x (BENCH/BASELINE.md noise protocol)."""
+        best_wall, best_tot = None, None
+        for _rep in range(2):
+            with tempfile.TemporaryDirectory() as state_dir:
+                engine = CrawlEngine(spark, state_dir, n_docs,
+                                     host_budget=max(40, n_docs // 14),
+                                     n_shards=16, n_salts=4)
+                engine.bootstrap(
+                    fixtures.seed_urls(max(50, n_docs // 10), n_docs),
+                    fixtures.robots_rules(n_docs))
+                docs = X.docs_dataframe(spark, n_docs)
+                t0 = time.time()
+                tot = engine.run(docs, generations=3)
+                wall = time.time() - t0
+                engine.close()
+            if best_wall is None or wall < best_wall:
+                best_wall, best_tot = wall, tot
+        return best_wall, best_tot
+
+    crawl_wall, totals = crawl_leg(crawl_docs)
     timings["crawl_3gen"] = round(crawl_wall, 3)
+    small_wall, small_tot = crawl_leg(crawl_docs_small)
+    timings["crawl_3gen_small"] = round(small_wall, 3)
 
     total = round(sum(timings.values()), 3)
     return {
@@ -123,6 +135,14 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
             "docs_parsed": totals["docs_parsed"],
             "urls_per_sec": round(totals["urls_scheduled"] / crawl_wall, 1),
             "docs_per_sec": round(totals["docs_parsed"] / crawl_wall, 1),
+            "corpus_docs": crawl_docs,
+        },
+        "crawl_small": {
+            "urls_scheduled": small_tot["urls_scheduled"],
+            "docs_parsed": small_tot["docs_parsed"],
+            "urls_per_sec": round(small_tot["urls_scheduled"] / small_wall, 1),
+            "docs_per_sec": round(small_tot["docs_parsed"] / small_wall, 1),
+            "corpus_docs": crawl_docs_small,
         },
     }
 

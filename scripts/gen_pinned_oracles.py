@@ -132,6 +132,26 @@ def q29_rows() -> list[tuple[str, int, int, int]]:
     return sorted(rows)
 
 
+def q50_rows() -> list[tuple[str, int, int, int]]:
+    """Sequential twin of q50: the SAME DuckDB histogram as q29, but all
+    classes thread through ONE coupled walk (sorted class order — the
+    engine's pinned ordering for the reference's insertion-order-dependent
+    single sectorsHolder)."""
+    import duckdb
+
+    from akf_cdparser_spark.analytics.lse_grouping import streak_grouping
+    from akf_cdparser_spark.plans.queries import Q28_SQL
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF001}/documents.parquet')")
+    hist: dict[str, dict[int, int]] = {}
+    for sector, cls, occ in con.execute(Q28_SQL).fetchall():
+        hist.setdefault(cls, {})[int(sector)] = int(occ)
+    coupled = {cls: hist[cls] for cls in sorted(hist)}
+    return sorted(streak_grouping(coupled))
+
+
 HEADER = '''"""GENERATED by scripts/gen_pinned_oracles.py — do not edit.
 
 Pinned expected tables for the q47/q48 oracles, computed through sequential
@@ -147,12 +167,16 @@ def main():
     q47 = q47_rows()
     q48 = q48_rows()
     q29 = q29_rows()
+    q50 = q50_rows()
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "akf_cdparser_spark", "plans", "pinned.py")
     with open(path, "w", encoding="utf-8") as fh:
         fh.write(HEADER)
         fh.write("Q29_EXPECTED = [\n")
         for r in q29:
+            fh.write(f"    {r!r},\n")
+        fh.write("]\n\nQ50_EXPECTED = [\n")
+        for r in q50:
             fh.write(f"    {r!r},\n")
         fh.write("]\n\nQ47_EXPECTED = [\n")
         for r in q47:
@@ -161,7 +185,8 @@ def main():
         for r in q48:
             fh.write(f"    {r!r},\n")
         fh.write("]\n")
-    print(f"wrote {path}: {len(q29)} q29, {len(q47)} q47, {len(q48)} q48 rows")
+    print(f"wrote {path}: {len(q29)} q29, {len(q50)} q50, "
+          f"{len(q47)} q47, {len(q48)} q48 rows")
     print("q48:", q48)
 
 

@@ -158,3 +158,55 @@ def test_dup_clusters_star_matches_label_on_random_graphs(spark):
         assert star == label
         truth = union_find(200, edges)
         assert {d: c for d, (c, _, _) in label.items()} == truth
+
+
+def test_lse_zumstein_vector_spark_matches_twin(spark):
+    """Spark zumsteinVector column vs the sequential twin that is itself
+    Node-vm golden-locked (tests/test_lse_grouping.py) — on punctuation-
+    rich lines where vectors are non-trivial."""
+    import re
+
+    from akf_cdparser_spark.analytics import text as T
+
+    lines = ["Fabrikstr. 45, 73207 Plochingen Tel:(07153) 6-0",
+             "a,b;c:d (x) 12,5%", "  spaces  only  ", "plainword", "",
+             "Grundkapital: EUR 12.500.000,-"]
+    docs = spark.createDataFrame(
+        [(f"d{i}", s) for i, s in enumerate(lines)],
+        "doc_id string, text string")
+    got = {r.doc_id: r.token
+           for r in T.lse_zumstein_vector(docs).collect()}
+
+    def twin(line):
+        runs = re.findall(T.ZUMSTEIN_SPECIAL_RE, line)
+        if not line or not runs:
+            return None
+        return "".join(re.sub(r"^\s+|\s+$", "", x) for x in runs)
+
+    expect = {f"d{i}": twin(s) for i, s in enumerate(lines)
+              if twin(s) is not None}
+    assert got == expect
+    assert got["d0"] == ",:()-"  # golden value from the Node harness
+
+    hist = {(r.sector, r.zvector): r.occurrences
+            for r in T.lse_zumstein_histogram(docs).collect()}
+    assert hist[(0, "WHITESPACE")] == 1  # the all-whitespace-runs line
+    assert hist[(0, ",:()-")] == 1
+
+
+def test_lse_coupled_spark_matches_sequential(spark):
+    """lse_grouped(coupled=True) == one sequential coupled walk over the
+    same histogram (sorted class order)."""
+    from akf_cdparser_spark.analytics import text as T
+    from akf_cdparser_spark.analytics.lse_grouping import streak_grouping
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "alpha beta (x) 12,5 gamma ; delta " * (i + 1))
+         for i in range(6)],
+        "doc_id string, text string")
+    hist = {}
+    for r in T.lse_histogram(docs).collect():
+        hist.setdefault(r.token_class, {})[r.sector] = r.occurrences
+    expect = sorted(streak_grouping({k: hist[k] for k in sorted(hist)}))
+    got = sorted(tuple(r) for r in T.lse_grouped(docs, coupled=True).collect())
+    assert got == expect

@@ -199,3 +199,37 @@ def test_exhausted_frontier_then_resume(spark, tmp_path_factory):
     log2 = sorted((r.scheduled_seq, r.url) for r in engine2.fetch_log().collect())
     assert log2 == log1
     engine2.close()
+
+
+def test_checkpoint_storage_bounded(spark, tmp_path_factory):
+    """ROADMAP #4 / VERDICT r3 #8: the per-generation localCheckpoint trio
+    (deferred/pending/seen) must not accumulate storage blocks — each
+    generation's Python refs replace the previous one's and the
+    ContextCleaner evicts the orphaned checkpoint RDDs. Run 20 generations
+    in 4 batches and assert the stored-RDD count is FLAT across batches
+    (steady state), not monotonically growing."""
+    import gc
+    import time
+
+    def stored_rdd_count():
+        gc.collect()  # drop Python-side DataFrame refs ...
+        spark.sparkContext._jvm.System.gc()  # ... then let the cleaner run
+        time.sleep(2)
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    path = tmp_path_factory.mktemp("crawl_ckpt")
+    n_docs = 2000
+    engine = CrawlEngine(spark, str(path), n_docs, host_budget=8, n_salts=2)
+    engine.bootstrap(fixtures.seed_urls(100, n_docs),
+                     fixtures.robots_rules(n_docs))
+    docs = X.docs_dataframe(spark, n_docs, partitions=8)
+    counts = []
+    for _batch in range(4):
+        totals = engine.run(docs, generations=5)
+        assert totals["urls_scheduled"] > 0  # frontier still live
+        counts.append(stored_rdd_count())
+    engine.close()
+    # steady state: later batches hold no more blocks than the first
+    # (+small slack for in-flight background writes at sample time)
+    assert counts[-1] <= counts[0] + 6, counts
+    assert counts[-2] <= counts[0] + 6, counts

@@ -86,3 +86,108 @@ def test_totals_preserved():
                       for s in rng.sample(range(10), rng.randint(1, 10))}}
         rows = streak_grouping(hist)
         assert sum(c for _, _, c, _ in rows) == sum(hist["k"].values())
+
+
+# cases where the COUPLED walk (all classes through one shared holder,
+# reproducing the reference's cross-class nextElement leak) provably
+# diverges from independent per-class walks — found by differential search
+CROSS_COUPLED = [
+    {"a": {9: 5, 8: 5, 6: 4, 0: 7}, "z": {0: 1, 3: 4, 7: 5, 4: 4, 9: 3}},
+    {"a": {2: 9, 4: 3, 9: 3}, "z": {2: 5, 9: 4, 8: 6, 0: 6}},
+    {"a": {9: 9, 6: 7, 8: 1}, "z": {2: 5, 6: 7, 9: 7, 0: 2}},
+    {"a": {9: 1, 7: 9, 1: 5, 2: 9}, "z": {3: 4, 9: 7, 8: 6}},
+    {"a": {1: 8, 3: 9, 9: 5, 8: 9, 4: 1}, "z": {7: 6, 9: 3}},
+]
+
+
+def test_coupled_walk_differs_from_per_class():
+    """The cross-class leak is REAL: these cases produce different rows
+    when classes share one walk vs walking independently."""
+    for case in CROSS_COUPLED:
+        coupled = _norm(streak_grouping({k: case[k] for k in sorted(case)}))
+        per = []
+        for k in sorted(case):
+            per.extend(streak_grouping({k: case[k]}))
+        assert coupled != _norm(per), case
+
+
+@pytest.mark.skipif(node is None, reason="node not available")
+def test_coupled_walk_matches_reference():
+    """The coupled walk is golden-locked against the verbatim reference
+    source on exactly the cases where cross-class coupling bites (the Node
+    harness threads all keys through ONE sectorsHolder — the reference's
+    only mode)."""
+    ordered = [{k: case[k] for k in sorted(case)} for case in CROSS_COUPLED]
+    golden = _reference(ordered)
+    for case, expect in zip(ordered, golden):
+        got = streak_grouping(case)
+        assert _norm(got) == _norm([tuple(r) for r in expect]), case
+
+
+@pytest.mark.skipif(node is None, reason="node not available")
+def test_coupled_walk_matches_reference_randomized_3class():
+    rng = random.Random(99)
+    cases = []
+    for _ in range(200):
+        case = {}
+        for key in ("a", "m", "z")[: rng.randint(2, 3)]:
+            sectors = rng.sample(range(10), rng.randint(1, 10))
+            case[key] = {s: rng.randint(1, 9) for s in sectors}
+        cases.append(case)
+    golden = _reference(cases)
+    for case, expect in zip(cases, golden):
+        got = streak_grouping(case)
+        assert _norm(got) == _norm([tuple(r) for r in expect]), case
+
+
+# -- zumsteinVector mode golden lock ----------------------------------------
+
+_ZJS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "scripts", "lse_zumstein_golden.js")
+
+ZUMSTEIN_RE = "[^a-zA-Z0-9üÜäÄöÖßé_.¦]+"
+
+
+def _py_zumstein(line: str):
+    """Sequential twin of the engine's lse_zumstein_vector column expr."""
+    import re
+
+    runs = re.findall(ZUMSTEIN_RE, line)
+    if not line or not runs:
+        return None  # dropped (reference throws on no-match lines)
+    return "".join(re.sub(r"^\s+|\s+$", "", r) for r in runs)
+
+
+@pytest.mark.skipif(node is None, reason="node not available")
+def test_zumstein_vector_matches_reference():
+    """zumsteinVector mode (USE_ZUMSTEIN_VECTOR) locked against the
+    verbatim createLocalDataset/sectorizeLineElements run in a Node vm:
+    per-line element content, type and sector must match; lines the
+    reference CRASHES on (no special-character match -> null.length) are
+    the lines the engine drops — the documented total-behavior deviation."""
+    rng = random.Random(5)
+    words = ["Fabrikstr.", "45", "Plochingen", "Tel", "GmbH", "Aktien",
+             "über", "straße", "x_y", "12,5%", "(07153)", "a-b", ";", "—"]
+    cases = []
+    for _ in range(120):
+        n = rng.randint(1, 6)
+        sep = rng.choice([" ", "  ", "\t", ", ", ":", " - "])
+        cases.append([sep.join(rng.choice(words) for _ in range(n))])
+    cases += [["  spaces  only  "], ["a,b;c:d (x) 12,5%"], ["abc"], [""]]
+
+    out = subprocess.run([node, _ZJS],
+                         input=json.dumps(cases).encode(),
+                         capture_output=True, check=True)
+    golden = json.loads(out.stdout)
+    for case, res in zip(cases, golden):
+        line = case[0]
+        mine = _py_zumstein(line)
+        if "error" in res:
+            assert mine is None, (line, res)
+            continue
+        if not res["elements"]:  # empty line skipped by the reference
+            assert line == "" and mine is None
+            continue
+        ((idx, typ, content, sector),) = res["elements"]
+        assert typ == "zumsteinVector" and sector == 0
+        assert mine == content, (line, mine, content)

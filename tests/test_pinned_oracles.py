@@ -33,6 +33,12 @@ def test_q29_pinned_matches_sequential_twin():
 
 @pytest.mark.skipif(not os.path.exists(gen.SF001),
                     reason="driver testdata not present")
+def test_q50_pinned_matches_sequential_twin():
+    assert gen.q50_rows() == pinned.Q50_EXPECTED
+
+
+@pytest.mark.skipif(not os.path.exists(gen.SF001),
+                    reason="driver testdata not present")
 def test_q48_pinned_matches_numpy_twin():
     assert gen.q48_rows() == pinned.Q48_EXPECTED
 
