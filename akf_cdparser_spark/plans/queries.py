@@ -806,6 +806,32 @@ FROM keyed GROUP BY zvector
 """
 
 
+def q52_validate_profiles(spark, sf_dir):
+    """S10 Ajv-validator twin (lib/validator.js:38-65 / schema.yml) over
+    the extraction corpus. Oracle: the synthetic corpus is closed-form —
+    status is 'Insolvenz' iff i%17==0 (fixtures.py:120) and every OTHER
+    schema rule holds for every synthetic record, so valid/errors reduce
+    to the status-pattern rule; any spurious firing of any other rule on
+    any doc breaks the value hash."""
+    from ..operators.validate import validate_profiles
+
+    recs = X.extract_records(X.docs_dataframe(spark, EXTRACT_N_DOCS))
+    v = validate_profiles(recs)
+    return v.select(
+        "doc_id", "valid",
+        F.size("errors").alias("n_errors"),
+        F.array_join("errors", "; ").alias("errors_joined"))
+
+
+Q52_SQL = f"""
+WITH base AS (SELECT i, {_DOCID_SQL} AS doc_id {_RANGE_SQL})
+SELECT doc_id, (i % 17 = 0) AS valid,
+       CAST(CASE WHEN i % 17 = 0 THEN 0 ELSE 1 END AS INT) AS n_errors,
+       CASE WHEN i % 17 = 0 THEN '' ELSE 'status pattern' END AS errors_joined
+FROM base
+"""
+
+
 # ---------------------------------------------------------------------------
 # extraction over the synthetic spans corpus (oracle = closed-form arithmetic)
 # ---------------------------------------------------------------------------
@@ -1454,4 +1480,5 @@ REGISTRY: dict[str, tuple] = {
     "q49_dup_clusters": (q49_dup_clusters, Q49_SQL),
     "q50_lse_coupled": (q50_lse_coupled, Q50_SQL),
     "q51_lse_zumstein": (q51_lse_zumstein, Q51_SQL),
+    "q52_validate_profiles": (q52_validate_profiles, Q52_SQL),
 }
