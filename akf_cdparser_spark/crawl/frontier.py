@@ -41,17 +41,28 @@ never to the accumulated crawl state):
   re-rank over <= budget*n_salts survivors; hosts within budget bypass both
   windows), and the global sequence is a range-partitioned sort with
   per-partition offsets — no single-partition window anywhere;
+* deferred rows carry a WAKE GENERATION (their politeness rank bounds the
+  earliest generation they could be scheduled — per-host order is fixed
+  and arrivals are monotone, so the bound is exact-conservative): rows
+  sleep outside the merge/window passes until their wake, making the
+  per-generation scheduling cost O(awake + new links) instead of
+  O(accumulated frontier); re-discovered sleeping URLs are woken by a
+  broadcast semi/anti join so the scheduled sequence stays byte-identical
+  (at 10^10, store the sleep tier wake-bucket-partitioned in Iceberg and
+  let partition pruning skip unripe buckets entirely);
 * state flows between generations through eager in-memory localCheckpoints
   of the already-cached next-gen frames (a block copy, not a recompute) —
   that is the plan-truncation point, so NOTHING durable sits on the
   critical path;
 * commits PIPELINE fully: every table write (frontier snapshot, seen delta,
   fetch_log, lineage, metrics) drains on a thread pool while the next
-  generation computes, and a generation's manifest record is appended only
+  generation computes — background jobs tagged into a separate FAIR
+  scheduler pool so they share the cluster with (never head-block) the
+  critical path — and a generation's manifest record is appended only
   once ALL of its writes landed (resume only ever sees fully-committed
-  generations; the async seen-shard rebuild reads explicit generation paths
-  and is submitted after that generation's seen write, FIFO, so it never
-  races an in-flight file).
+  generations; the async seen-shard rebuild reads explicit generation
+  paths and first awaits EVERY still-uncommitted generation's write
+  futures, so it never reads a partially-written seen delta).
 """
 
 from __future__ import annotations
@@ -88,9 +99,16 @@ SEEN_SCHEMA = T.StructType([
 
 _FCOLS = [f.name for f in FRONTIER_SCHEMA.fields]
 
-# frontier snapshots carry the deferred/pending split flag
+# frontier snapshots carry the deferred/pending split flag plus, for
+# deferred rows, the wake generation (earliest generation the row could
+# possibly be scheduled — see _schedule_tagged's _delay bound). Rows sleep
+# outside the per-generation scheduling until their wake generation, so
+# the politeness windows run over O(generation) rows instead of the whole
+# accumulated frontier. Legacy snapshots without the column read as NULL
+# -> wake 0 -> awake (idempotent, just un-optimized for one generation).
 FRONTIER_SNAP_SCHEMA = T.StructType(
-    list(FRONTIER_SCHEMA.fields) + [T.StructField("validated", T.BooleanType())])
+    list(FRONTIER_SCHEMA.fields) + [T.StructField("validated", T.BooleanType()),
+                                    T.StructField("wake_gen", T.LongType())])
 
 
 def _with_identity(df: DataFrame) -> DataFrame:
@@ -171,30 +189,50 @@ def _schedule_tagged(candidates: DataFrame, host_budget: int,
     bottleneck). The count split changes the physical plan only; the
     scheduled set is identical for any budget.
 
-    Returns the FULL candidate set tagged with ``_sched`` — the False rows
-    (over-budget leftovers) are exactly next generation's deferred frontier,
-    computed in the same window pass instead of a frontier-scale anti-join.
+    Returns the FULL candidate set tagged with ``_sched`` plus, for
+    unscheduled rows, ``_delay`` — a LOWER bound on how many generations
+    must pass before the row can possibly be scheduled. Politeness order
+    per host is fixed (next_fetch_time, url_hash, url) and new arrivals
+    always sort AFTER every existing frontier row of their host (their
+    next_fetch_time is the discovery generation, strictly greater), so a
+    row with >= r-1 rows ahead of it needs ceil(r/budget)-1 more
+    generations at maximum consumption: ``_delay`` = floor((r-1)/budget)
+    computed from the exact per-host rank where known (the re-rank phase)
+    and from the salt-slice rank otherwise (slice rank <= true rank, so
+    the bound stays conservative — rows only ever wake EARLY). The caller
+    turns ``_delay`` into an absolute ``wake_gen`` and lets far-future
+    rows sleep outside the per-generation scheduling entirely.
     Second return value: internal caches for the caller to unpersist."""
     order = [F.asc("next_fetch_time"), F.asc("url_hash"), F.asc("url")]
     host_counts = candidates.groupBy("host").agg(F.count("*").alias("_hc"))
     with_counts = candidates.join(F.broadcast(host_counts), "host")
     under = (with_counts.filter(F.col("_hc") <= host_budget).drop("_hc")
-             .withColumn("_sched", F.lit(True)))
+             .withColumn("_sched", F.lit(True))
+             .withColumn("_delay", F.lit(0)))
     over = with_counts.filter(F.col("_hc") > host_budget).drop("_hc")
+
+    def delay_of(rank_col: str):
+        return F.floor((F.col(rank_col) - 1) / F.lit(host_budget)) \
+            .cast("int")
 
     salted = over.withColumn(
         "salt", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int"))
     w1 = Window.partitionBy("host", "salt").orderBy(*order)
     r1 = salted.withColumn("_r1", F.row_number().over(w1)).persist()
-    cut1 = (r1.filter(F.col("_r1") > host_budget).drop("_r1", "salt")
-            .withColumn("_sched", F.lit(False)))
+    cut1 = (r1.filter(F.col("_r1") > host_budget)
+            .withColumn("_sched", F.lit(False))
+            .withColumn("_delay", delay_of("_r1"))
+            .drop("_r1", "salt"))
     w2 = Window.partitionBy("host").orderBy(*order)
     r2 = (r1.filter(F.col("_r1") <= host_budget)
           .withColumn("_r2", F.row_number().over(w2)))
     topk = (r2.filter(F.col("_r2") <= host_budget)
-            .drop("_r1", "_r2", "salt").withColumn("_sched", F.lit(True)))
+            .drop("_r1", "_r2", "salt").withColumn("_sched", F.lit(True))
+            .withColumn("_delay", F.lit(0)))
     cut2 = (r2.filter(F.col("_r2") > host_budget)
-            .drop("_r1", "_r2", "salt").withColumn("_sched", F.lit(False)))
+            .withColumn("_sched", F.lit(False))
+            .withColumn("_delay", delay_of("_r2"))
+            .drop("_r1", "_r2", "salt"))
     tagged = under.unionByName(topk).unionByName(cut1).unionByName(cut2)
     return tagged, [r1]
 
@@ -203,7 +241,7 @@ def schedule_generation(candidates: DataFrame, host_budget: int,
                         n_salts: int = 8) -> DataFrame:
     """The scheduled subset only (see ``_schedule_tagged``)."""
     tagged, cached = _schedule_tagged(candidates, host_budget, n_salts)
-    out = tagged.filter(F.col("_sched")).drop("_sched")
+    out = tagged.filter(F.col("_sched")).drop("_sched", "_delay")
     for c in cached:  # single-use path: let the pruned branches recompute
         c.unpersist()
     return out
@@ -356,7 +394,8 @@ class CrawlEngine:
         # schema evolution); legacy snapshots without the column still read
         # via the explicit snapshot schema + NULL-coalesce in _load_frontier.
         frontier = (seeds_frontier(self.spark, seeds)
-                    .withColumn("validated", F.lit(False)))
+                    .withColumn("validated", F.lit(False))
+                    .withColumn("wake_gen", F.lit(None).cast("long")))
         self.store.write("frontier", frontier, 0)
         # repartition(1) forces a schema-bearing part file for the empty
         # delta — a zero-partition write would leave an unreadable directory
@@ -548,10 +587,12 @@ class CrawlEngine:
         fr = self.store.read("frontier", gen, schema=FRONTIER_SNAP_SCHEMA)
         # bootstrap/legacy snapshots lack the flag on disk; with the explicit
         # read schema those rows surface as NULL — treat them as pending
-        # (re-validation is idempotent and exact)
+        # (re-validation is idempotent and exact). Legacy wake surfaces as
+        # NULL -> 0 -> immediately awake (exact, just un-tiered once).
         v = F.coalesce(F.col("validated"), F.lit(False))
-        return (fr.filter(v).select(_FCOLS),
-                fr.filter(~v).select(_FCOLS))
+        deferred = fr.filter(v).select(
+            *_FCOLS, F.coalesce("wake_gen", F.lit(0)).alias("wake_gen"))
+        return deferred, fr.filter(~v).select(_FCOLS)
 
     def _generation(self, gen: int, deferred: DataFrame | None,
                     pending: DataFrame, robots: DataFrame, docs: DataFrame,
@@ -568,6 +609,16 @@ class CrawlEngine:
                 _t = now
 
         cached: list[DataFrame] = []
+
+        # 0. wake tier: only deferred rows whose wake generation has come
+        # can possibly be scheduled (the _schedule_tagged rank bound), so
+        # the rest SLEEP outside this generation's merge/window passes —
+        # two filters over the cached checkpoint, no shuffle. Scheduling
+        # cost becomes O(awake + new links), not O(accumulated frontier).
+        awake = asleep = None
+        if deferred is not None:
+            awake = deferred.filter(F.col("wake_gen") <= gen).select(_FCOLS)
+            asleep = deferred.filter(F.col("wake_gen") > gen)
 
         # 1+2. NEW candidates only: dedupe + exact seen-probe fused into one
         # cogroup shuffle; residual anti-join against post-shard deltas.
@@ -596,13 +647,27 @@ class CrawlEngine:
         allowed_new = gated.filter(F.col("allowed")).drop("allowed")
         disallowed = gated.filter(~F.col("allowed")).drop("allowed")
 
-        # 4. merge with the carried-over deferred frontier; min-reduce dedupe
+        # 4. merge with the AWAKE deferred frontier; min-reduce dedupe
         # (a re-discovered deferred URL keeps its earlier next_fetch_time —
         # field-wise min is associative, so deferred's pre-reduced row
-        # composes exactly with this generation's copies)
+        # composes exactly with this generation's copies). A re-discovered
+        # SLEEPING URL must wake NOW: its fresh copy alone would
+        # queue-jump (the sleeping twin's earlier position is invisible to
+        # the windows), so sleeping rows matching a new link join the
+        # merge (semi) and leave the sleep tier (anti) — both broadcast
+        # joins on the generation-sized new-link keys, the frontier-scale
+        # side never shuffles.
         merged_in = allowed_new.select(_FCOLS)
-        if deferred is not None:
-            merged_in = deferred.select(_FCOLS).unionByName(merged_in)
+        if awake is not None:
+            merged_in = awake.unionByName(merged_in)
+        asleep_kept = asleep
+        if asleep is not None:
+            new_keys = allowed_new.select("url_hash")
+            woken_dups = (asleep.join(F.broadcast(new_keys), "url_hash",
+                                      "left_semi").select(_FCOLS))
+            asleep_kept = asleep.join(F.broadcast(new_keys), "url_hash",
+                                      "left_anti")
+            merged_in = merged_in.unionByName(woken_dups)
         merged = (merged_in.groupBy("url_hash")
                   .agg(F.min("url").alias("url"),
                        F.min("host").alias("host"),
@@ -618,8 +683,17 @@ class CrawlEngine:
         cached.extend(sched_cached)
         tagged = tagged.persist()
         cached.append(tagged)
-        scheduled_pre = tagged.filter(F.col("_sched")).drop("_sched")
-        deferred_next = tagged.filter(~F.col("_sched")).drop("_sched")
+        scheduled_pre = tagged.filter(F.col("_sched")).drop("_sched", "_delay")
+        # unscheduled rows re-enter deferral with their wake generation;
+        # still-sleeping rows carry straight through untouched
+        deferred_next = (tagged.filter(~F.col("_sched"))
+                         .withColumn("wake_gen",
+                                     F.lit(gen) + F.col("_delay").cast("long"))
+                         .drop("_sched", "_delay")
+                         .select(*_FCOLS, "wake_gen"))
+        if asleep_kept is not None:
+            deferred_next = asleep_kept.select(*_FCOLS, "wake_gen") \
+                .unionByName(deferred_next)
         scheduled, n_scheduled = global_sequence(
             scheduled_pre, ["next_fetch_time", "url_hash", "url"], seq_start)
         cached.append(scheduled._ordered_cache)
@@ -670,7 +744,8 @@ class CrawlEngine:
         deferred_ck, pending_ck, seen_ck = [f.result() for f in ck]
         frontier_snapshot = (
             deferred_ck.withColumn("validated", F.lit(True))
-            .unionByName(pending_ck.withColumn("validated", F.lit(False))))
+            .unionByName(pending_ck.withColumn("validated", F.lit(False))
+                         .withColumn("wake_gen", F.lit(None).cast("long"))))
         futures = [self._submit_bg(self.store.write, name, df, gen)
                    for name, df in (("seen", seen_ck),
                                     ("frontier", frontier_snapshot),

@@ -233,3 +233,43 @@ def test_checkpoint_storage_bounded(spark, tmp_path_factory):
     # (+small slack for in-flight background writes at sample time)
     assert counts[-1] <= counts[0] + 6, counts
     assert counts[-2] <= counts[0] + 6, counts
+
+
+def test_wake_tier_active_and_legacy_snapshot_resume(spark, tmp_path_factory,
+                                                     oracle_result):
+    """(a) The wake tier actually engages: with budget 3 and deep host
+    queues, some deferred rows sleep past the next generation. (b) A
+    round-3-format snapshot (no wake_gen column) resumes EXACTLY: legacy
+    wake reads as NULL -> 0 -> everything awake for one generation, then
+    re-tiers — final log and seen set still match the oracle."""
+    import shutil
+
+    path = tmp_path_factory.mktemp("crawl_wake")
+    engine = CrawlEngine(spark, str(path), N_DOCS, host_budget=HOST_BUDGET)
+    engine.bootstrap(SEEDS, ROBOTS)
+    docs = X.docs_dataframe(spark, N_DOCS, partitions=8)
+    engine.run(docs, 3)
+    engine.close()
+
+    snap_dir = str(path / "frontier" / "gen=3")
+    snap = spark.read.parquet(snap_dir)
+    assert snap.filter("validated AND wake_gen > 4").count() > 0, \
+        "sleep tier never engaged — wake bound vacuous"
+
+    # strip wake_gen on disk: simulate a legacy snapshot
+    legacy_dir = str(path / "frontier_legacy")
+    snap.drop("wake_gen").write.mode("overwrite").parquet(legacy_dir)
+    shutil.rmtree(snap_dir)
+    shutil.move(legacy_dir, snap_dir)
+
+    engine2 = CrawlEngine(spark, str(path), N_DOCS, host_budget=HOST_BUDGET)
+    engine2.run(docs, GENERATIONS - 3)
+    log = sorted(
+        (r.scheduled_seq, r.url_hash, r.url, r.doc_id, r.generation)
+        for r in engine2.fetch_log().collect())
+    seen = {r.url_hash: r.url for r in engine2.seen().collect()}
+    engine2.close()
+    expected = [(seq, h, url, doc_id, gen)
+                for seq, h, url, doc_id, gen in oracle_result["fetch_log"]]
+    assert [(r[0], r[1], r[2], r[3], r[4]) for r in log] == expected
+    assert seen == oracle_result["seen"]
