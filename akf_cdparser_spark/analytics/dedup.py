@@ -206,21 +206,43 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     # < 65536 tokens, far above any real document line count). Arithmetic
     # shift is lane-safe for g<16: sign-extension only reaches positions
     # >= 64-g, above the top lane's bit 48.
+    # Lane overflow guard: a 16-bit lane silently carries into its
+    # neighbour once a single aggregation group accumulates >= 65536 rows
+    # (true for multi-MB web documents, not for Aktienfuehrer pages — but
+    # this engine's contract is the general corpus). The fix is a two-level
+    # aggregation: chunk the exploded token rows into groups of <= 16384
+    # consecutive per-partition rows via monotonically_increasing_id() >> 14
+    # (mii is partition_prefix || row_number, so every chunk is STRUCTURALLY
+    # bounded — no data-dependent hash chunking whose worst case overflows;
+    # 16384 also caps the packed sum at ~2^62 so the TOP lane, weighted
+    # 2^48, cannot overflow the signed-long accumulator under ANSI mode),
+    # packed-sum per (doc_id, chunk), then unpack the four 16-bit lanes and
+    # sum exact 64-bit counts per doc. mii values vary across retries, but
+    # correctness only needs the chunk-size bound, not stable ids: any valid
+    # chunking yields identical final counts. The second aggregation sees
+    # ~one row per (doc, occupied partition) — negligible at any scale.
     lane_mask = F.lit(0x0001000100010001).cast("long")
     per_token = hashed.select(
         "doc_id",
+        F.shiftright(F.monotonically_increasing_id(), 14).alias("chunk"),
         *[(F.shiftright(h, g).bitwiseAND(lane_mask)).alias(f"g{g}")
           for g in range(16)])
-    summed = per_token.groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"),
+    partial = per_token.groupBy("doc_id", "chunk").agg(
+        F.count("*").alias("nt"),
         *[F.sum(f"g{g}").alias(f"c{g}") for g in range(16)])
+    unpacked = partial.select(
+        "doc_id", "nt",
+        *[(F.shiftright(F.col(f"c{b % 16}"), 16 * (b // 16))
+           .bitwiseAND(F.lit(0xFFFF))).alias(f"u{b}")
+          for b in range(bits)])
+    summed = unpacked.groupBy("doc_id").agg(
+        F.sum("nt").alias("n_tok"),
+        *[F.sum(f"u{b}").alias(f"u{b}") for b in range(bits)])
     acc = None
     for b in range(bits):
-        g, lane = b % 16, b // 16
-        ones = F.shiftright(F.col(f"c{g}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
         weight = -(1 << 63) if b == 63 else (1 << b)
         # votes = ones - (n - ones) > 0  <=>  2*ones > n
-        bitval = F.when(ones * 2 > F.col("n_tok"),
+        bitval = F.when(F.col(f"u{b}") * 2 > F.col("n_tok"),
                         F.lit(weight).cast("long")) \
             .otherwise(F.lit(0).cast("long"))
         acc = bitval if acc is None else acc + bitval
@@ -289,19 +311,34 @@ def _dup_clusters_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         return out.filter(F.col("u") != F.col("v")).distinct()
 
     def checksum(e: DataFrame) -> tuple:
-        # decimal(38,0) sum: exact and overflow-free under ANSI mode
+        # decimal(38,0) sums: exact and overflow-free under ANSI mode.
+        # Two INDEPENDENT hash-sums (different seed columns) — a collision
+        # must now hold simultaneously in both order-insensitive sums,
+        # and even then the exact diff below catches it (ADVICE r4: the
+        # single hash-sum alone made early termination merely
+        # overwhelmingly likely, not exact).
         row = e.agg(F.count("*").alias("n"),
                     F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
-                    .alias("h")).first()
-        return (row["n"], row["h"])
+                    .alias("h"),
+                    F.sum(F.xxhash64(F.lit(0x5eed), "u", "v")
+                          .cast("decimal(38,0)")).alias("h2")).first()
+        return (row["n"], row["h"], row["h2"])
 
+    prev_edges = edges
     prev = checksum(edges)
     for _ in range(max_iter):
         edges = star(star(edges, large=True), large=False).localCheckpoint()
         cur = checksum(edges)
         if cur == prev:
-            break
+            # checksum match is a cheap screen; confirm the fixpoint with
+            # ONE exact set comparison (both sides are distinct by
+            # construction, so symmetric-difference emptiness == equality).
+            # Runs once per converged call, not once per round.
+            if (edges.exceptAll(prev_edges).unionByName(
+                    prev_edges.exceptAll(edges)).isEmpty()):
+                break
         prev = cur
+        prev_edges = edges
     # star fixpoint: each non-minimum node has exactly its component min as
     # neighbor; minima label themselves
     point = edges.groupBy("u").agg(F.min("v").alias("label"))

@@ -77,7 +77,10 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
     """Image decode -> 8-dim feature vector.
 
     Real path (when PIL is importable): decode, resize to 2x2 grayscale
-    via a deterministic box filter, emit the 4 pixel intensities plus
+    via a box filter (deterministic within one Pillow release — resampling
+    internals may differ across releases, so these features must not feed
+    a hash-gated oracle across environments), emit the 4 pixel intensities
+    plus
     normalized width/height/aspect/fill — 8 floats, same shape as the
     stub. Without an image library, ``fake=True`` selects the
     deterministic byte-hash stub (keeps the Spark plumbing testable
@@ -94,7 +97,9 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
 
     img = _PILImage.open(io.BytesIO(content)).convert("L")
     w, h = img.size
-    small = img.resize((2, 2), _PILImage.BILINEAR)
+    # Resampling enum on Pillow >= 9.1, module constant before that
+    small = img.resize(
+        (2, 2), getattr(_PILImage, "Resampling", _PILImage).BOX)
     px = [p / 255.0 for p in small.getdata()]
     return px + [min(w, 4096) / 4096.0, min(h, 4096) / 4096.0,
                  w / max(h, 1) / 8.0, len(content or b"") / 1_048_576.0]

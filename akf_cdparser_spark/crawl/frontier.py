@@ -402,7 +402,9 @@ class CrawlEngine:
         self.store.write("seen", self._empty(SEEN_SCHEMA).repartition(1), 0)
         self.store.write("robots", self.spark.createDataFrame(
             robots_rules, "host string, rule string, allow boolean"), 0)
-        self.store.commit(0, ["frontier", "seen", "robots"], {"bootstrap": True})
+        self.store.commit(0, ["frontier", "seen", "robots"],
+                          {"bootstrap": True, "host_budget": self.host_budget,
+                           "n_salts": self.n_salts})
 
     def _auto_width(self, last_scheduled: int | None) -> int:
         """Shuffle width sized to generation row counts, floored at the
@@ -545,6 +547,17 @@ class CrawlEngine:
         self._load_recent(start_gen)
         deferred, pending_links = self._load_frontier(start_gen)
         stats0 = self.store.latest_stats()
+        # Persisted wake_gen values are lower bounds derived from
+        # floor((rank-1)/host_budget) — valid ONLY under the budget in force
+        # when they were written. Resuming with a LARGER budget would make
+        # sleeping rows wake too late and silently diverge from the
+        # sequential oracle. The manifest records the budget per commit; on
+        # mismatch (or a legacy manifest that predates the field) every
+        # deferred row wakes at the next generation — one un-tiered,
+        # frontier-proportional scheduling pass, exact by construction,
+        # after which fresh wake_gen values are derived under the new budget.
+        if stats0.get("host_budget") != self.host_budget:
+            deferred = deferred.withColumn("wake_gen", F.lit(0).cast("long"))
         seq_end = int(stats0.get("seq_end", 0))
         last_sched = stats0.get("urls_scheduled")
         pending_commits: list[dict] = []
@@ -561,6 +574,11 @@ class CrawlEngine:
                 seq_end += stats["urls_scheduled"]
                 stats["seq_end"] = seq_end
                 stats["wall_ms"] = int((time.time() - t0) * 1000)
+                # the manifest records the politeness params in force when
+                # this generation's wake_gen values were derived — resume
+                # validates against them (see run() budget-change handling)
+                stats["host_budget"] = self.host_budget
+                stats["n_salts"] = self.n_salts
                 pending_commits.append({"gen": gen, "stats": stats,
                                         "futures": futures, "cached": cached})
                 totals["urls_scheduled"] += stats["urls_scheduled"]

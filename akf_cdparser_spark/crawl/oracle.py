@@ -21,9 +21,15 @@ def _host(url: str) -> str:
 
 
 def crawl_oracle(n_docs: int, seeds: list[dict], robots_rules: list[dict],
-                 host_budget: int, generations: int) -> dict:
+                 host_budget, generations: int) -> dict:
     """Returns {"fetch_log": [(seq, url_hash, url, doc_id, gen)],
-    "seen": {url_hash: url}}."""
+    "seen": {url_hash: url}}.
+
+    ``host_budget`` is an int, or a callable ``gen -> int`` for runs whose
+    politeness budget changes mid-crawl (the engine's budget-change-resume
+    contract is oracled against this)."""
+    budget_for = host_budget if callable(host_budget) else (
+        lambda _gen: host_budget)
     name_index: dict[str, str] = {}
     for i in range(n_docs):
         name = fixtures.company_name(i)
@@ -63,7 +69,7 @@ def crawl_oracle(n_docs: int, seeds: list[dict], robots_rules: list[dict],
         scheduled = []
         for host, items in by_host.items():
             items.sort(key=lambda x: (x[3], x[0], x[1]))
-            scheduled.extend(items[:host_budget])
+            scheduled.extend(items[:budget_for(gen)])
         # global crawl order
         scheduled.sort(key=lambda x: (x[3], x[0], x[1]))
 

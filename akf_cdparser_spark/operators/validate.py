@@ -38,8 +38,11 @@ from pyspark.sql import functions as F
 
 from .profiles import PROFILE_SCHEMA
 
-# schema.yml definitions.Manager.funct pattern (anchored, as in Ajv)
-FUNCT_RE = r"^(Vors\.|stellv\. Vors\.)$"
+# schema.yml definitions.Manager.funct pattern, VERBATIM (schema.yml:20).
+# The dots are unescaped in the reference, so Ajv accepts e.g. "Vorsx" or
+# "stellv, Vors," — the twin must too (ADVICE r4: escaping them silently
+# tightened the contract). Java regex treats the unescaped dot identically.
+FUNCT_RE = r"^(?:Vors.|stellv. Vors.)$"
 # schema.yml phone/fax pattern, anchored as written there
 PHONE_RE = r"^[0-9\(\)\-\s]+$"
 

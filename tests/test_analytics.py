@@ -65,6 +65,43 @@ def test_simhash_near_dups(planted):
     assert all(not ({"d00", "d04"} <= set(p)) for p in pairs)
 
 
+def _py_simhash(tokens):
+    """Unpacked pure-Python reference for the 64-bit md5 simhash."""
+    import hashlib
+    counts = [0] * 64
+    for t in tokens:
+        md = hashlib.md5(t.encode()).hexdigest()
+        h = (int(md[8:16], 16) << 32) | int(md[0:8], 16)
+        for b in range(64):
+            counts[b] += (h >> b) & 1
+    n, acc = len(tokens), 0
+    for b in range(64):
+        if counts[b] * 2 > n:
+            acc += -(1 << 63) if b == 63 else (1 << b)
+    return acc
+
+
+def test_simhash_long_doc_no_lane_overflow(spark):
+    """A >65536-token document must not corrupt adjacent 16-bit lanes
+    (ADVICE r4: the packed counters silently carried once one aggregation
+    group held >= 65536 rows). Both a degenerate single-token doc (where
+    the old path provably flipped majority bits: 70000 mod 65536 = 4464,
+    2*4464 < 70000) and a mixed-token doc are pinned to an unpacked
+    pure-Python reference."""
+    repeated = ["tok"] * 70000
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    mixed = [vocab[i % len(vocab)] for i in range(66000)]
+    docs = spark.createDataFrame(
+        [("long0", " ".join(repeated)),
+         ("long1", " ".join(mixed)),
+         ("short", "tok")],
+        "doc_id string, text string")
+    got = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert got["long0"] == _py_simhash(repeated)
+    assert got["long0"] == got["short"]  # all-identical tokens => same hash
+    assert got["long1"] == _py_simhash(mixed)
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     dim = len(emb.select("embedding").head()[0])

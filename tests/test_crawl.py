@@ -91,6 +91,38 @@ def test_resume_from_checkpoint(spark, tmp_path_factory, oracle_result):
         oracle_result["fetch_log"]
 
 
+def test_resume_with_larger_budget_stays_exact(spark, tmp_path_factory):
+    """ADVICE r4 (medium): persisted wake_gen values are lower bounds only
+    under the budget they were derived with — resuming with a LARGER budget
+    used to wake sleeping rows too late and silently diverge. The manifest
+    now records host_budget per commit; on mismatch resume coalesces every
+    wake_gen to 0 (one un-tiered generation, exact by construction). Oracle:
+    the same sequential crawl with a per-generation budget schedule."""
+    path = tmp_path_factory.mktemp("crawl_budget_change")
+    engine = CrawlEngine(spark, str(path), N_DOCS, host_budget=HOST_BUDGET)
+    engine.bootstrap(SEEDS, ROBOTS)
+    docs = X.docs_dataframe(spark, N_DOCS, partitions=8)
+    engine.run(docs, 3)
+    engine.close()
+    # the divergence is only possible if rows are actually sleeping past
+    # the resume point under the OLD budget's wake bound
+    snap = spark.read.parquet(str(path / "frontier" / "gen=3"))
+    assert snap.filter("validated AND wake_gen > 4").count() > 0, \
+        "no rows asleep past gen 4 — scenario vacuous"
+    engine2 = CrawlEngine(spark, str(path), N_DOCS,
+                          host_budget=2 * HOST_BUDGET)
+    engine2.run(docs, 2)
+    log = sorted((r.scheduled_seq, r.url_hash, r.url, r.doc_id, r.generation)
+                 for r in engine2.fetch_log().collect())
+    mixed = crawl_oracle(
+        N_DOCS, SEEDS, ROBOTS,
+        lambda gen: HOST_BUDGET if gen <= 3 else 2 * HOST_BUDGET, 5)
+    assert [(r[0], r[1], r[2], r[3], r[4]) for r in log] == \
+        mixed["fetch_log"]
+    assert {r.url_hash: r.url for r in engine2.seen().collect()} == \
+        mixed["seen"]
+
+
 def test_robots_disallowed_never_fetched(engine_result):
     _, log, seen = engine_result
     fetched_urls = {r[2] for r in log}
