@@ -300,7 +300,8 @@ class CrawlEngine:
                  host_budget: int = 4, n_shards: int = 16, n_salts: int = 4,
                  bloom_rebuild_every: int = 2,
                  shuffle_partitions: int | None = None,
-                 catalog: str | None = None, namespace: str = "crawl"):
+                 catalog: str | None = None, namespace: str = "crawl",
+                 wake_tiering: bool = True):
         from concurrent.futures import ThreadPoolExecutor
 
         self.spark = spark
@@ -310,6 +311,15 @@ class CrawlEngine:
         self.host_budget = host_budget
         self.n_shards = n_shards
         self.n_salts = n_salts
+        # wake_tiering=False is the measurement control for the tier's
+        # benefit (every deferred row stays awake and re-enters every
+        # generation's merge/window passes — the pre-tier behavior; output
+        # is identical, scheduling cost becomes frontier-proportional).
+        self.wake_tiering = wake_tiering
+        # (generation, phase_label, seconds) per _generation pass — always
+        # recorded (append to a list, negligible), read by the scaling/
+        # phase-evidence scripts without parsing debug stdout
+        self.phase_log: list[tuple[int, str, float]] = []
         # stale shards are safe: the probe is exact AS OF the shard build,
         # and the residual anti-join against the post-build deltas covers
         # the rest — rebuilding every K generations (asynchronously) only
@@ -621,10 +631,11 @@ class CrawlEngine:
 
         def _mark(label):
             nonlocal _t
+            now = time.time()
+            self.phase_log.append((gen, label, now - _t))
             if _dbg:
-                now = time.time()
                 print(f"    gen{gen} {label}: {now - _t:.2f}s", flush=True)
-                _t = now
+            _t = now
 
         cached: list[DataFrame] = []
 
@@ -704,9 +715,10 @@ class CrawlEngine:
         scheduled_pre = tagged.filter(F.col("_sched")).drop("_sched", "_delay")
         # unscheduled rows re-enter deferral with their wake generation;
         # still-sleeping rows carry straight through untouched
+        wake_expr = (F.lit(gen) + F.col("_delay").cast("long")
+                     if self.wake_tiering else F.lit(0).cast("long"))
         deferred_next = (tagged.filter(~F.col("_sched"))
-                         .withColumn("wake_gen",
-                                     F.lit(gen) + F.col("_delay").cast("long"))
+                         .withColumn("wake_gen", wake_expr)
                          .drop("_sched", "_delay")
                          .select(*_FCOLS, "wake_gen"))
         if asleep_kept is not None:

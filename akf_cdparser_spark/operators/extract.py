@@ -141,6 +141,14 @@ EIGNER_STRUCT = T.StructType([
     T.StructField("bemerkung", T.StringType()),
 ])
 
+BETEILIGUNG_STRUCT = T.StructType([
+    T.StructField("ueberschrift", T.StringType()),
+    T.StructField("beteiliger", T.StringType()),
+    T.StructField("ort", T.StringType()),
+    T.StructField("anteil", T.StringType()),
+    T.StructField("bemerkung", T.StringType()),
+])
+
 SITZ_STRUCT = T.StructType([
     T.StructField("typ", T.StringType()),
     T.StructField("street", T.StringType()),
@@ -176,6 +184,7 @@ RECORDS_SCHEMA = T.StructType([
     T.StructField("ergebnisabfuehrung", T.ArrayType(ERGEBNIS_STRUCT)),
     T.StructField("anteilseigner", T.ArrayType(EIGNER_STRUCT)),
     T.StructField("sitz_all", T.ArrayType(SITZ_STRUCT)),
+    T.StructField("beteiligungen", T.ArrayType(BETEILIGUNG_STRUCT)),
     T.StructField("unparsed_chars", T.IntegerType()),
     T.StructField("fulltext_chars", T.IntegerType()),
     T.StructField("n_categories", T.IntegerType()),
@@ -420,8 +429,16 @@ def _typed_projections(rec: dict) -> dict:
                  "street_number": s.get("street_number"),
                  "zip": s.get("zip"), "city": s.get("city")}
                 for s in rec.get("Sitz") or []]
+    # E14 participations flattened (group heading repeated per row) —
+    # ref lib/parser_aktionaer_eigner_beteiligungen.js:207-290,490-528
+    beteiligungen = [
+        {"ueberschrift": grp.get("ueberschrift"),
+         **{f: z.get(f) for f in ("beteiliger", "ort", "anteil", "bemerkung")}}
+        for grp in rec.get("beteiligungen") or []
+        for z in grp.get("zeilen") or [] if isinstance(z, dict)]
 
     return {
+        "beteiligungen": beteiligungen or None,
         "dividenden": dividenden or None,
         "kennzahlen_rows": kenn_rows or None,
         "bilanzen_rows": bil_rows or None,

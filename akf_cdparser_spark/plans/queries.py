@@ -1428,6 +1428,88 @@ FROM labels l JOIN csizes c USING (cluster_id)
 # its corpus is the fixed 40-doc synthetic set)
 PINNED_SF01 = {"q29_lse_grouped", "q48_ann_recall", "q50_lse_coupled"}
 
+def q53_extract_vorstand(spark, sf_dir):
+    """E12 multi-person Vorstand extractor end-to-end over the distributed
+    corpus (ref lib/parser_persons.js:369-452): person k of the synthetic
+    board is _person(i, 3 + k) — posexplode pins position AND values."""
+    recs = _records(spark)
+    return (recs.select("doc_id", F.posexplode("vorstand").alias("k", "m"))
+            .select("doc_id", "k",
+                    F.coalesce(F.col("m.title"), F.lit("")).alias("title"),
+                    F.col("m.firstName").alias("first_name"),
+                    F.col("m.lastName").alias("last_name"),
+                    F.coalesce(F.col("m.funct"), F.lit("")).alias("funct"),
+                    F.col("m.cityAcc").alias("city")))
+
+
+Q53_SQL = f"""
+SELECT {_DOCID_SQL} AS doc_id,
+       k,
+       {_TITLES_SQL}[((i + k + 3) % 4) + 1] AS title,
+       {_FIRST_SQL}[((i * 3 + k + 3) % 8) + 1] AS first_name,
+       {_LAST_SQL}[((i * 5 + (k + 3) * 2) % 8) + 1] AS last_name,
+       '' AS funct,
+       {_CITIES_SQL}[((i + (k + 3) * 3) % 12) + 1] AS city
+FROM UNNEST(range(0, {EXTRACT_N_DOCS})) AS t(i),
+     UNNEST(range(0, 2)) AS u(k)
+"""
+
+
+def q54_extract_beteiligungen(spark, sf_dir):
+    """E14 participations extractor end-to-end (ref
+    lib/parser_aktionaer_eigner_beteiligungen.js:207-290,490-528): each
+    row's beteiliger/ort/anteil re-derived in closed form from the
+    fixture's target function (the crawl graph's out-links)."""
+    recs = _records(spark)
+    return (recs.select("doc_id", F.explode("beteiligungen").alias("b"))
+            .select("doc_id",
+                    F.col("b.ueberschrift").alias("gruppe"),
+                    F.col("b.beteiliger").alias("beteiliger"),
+                    F.coalesce(F.col("b.ort"), F.lit("")).alias("ort"),
+                    F.coalesce(F.col("b.anteil"), F.lit("")).alias("anteil")))
+
+
+Q54_SQL = f"""
+WITH tgt AS (
+  SELECT i, ((i * 7 + j * 13 + 1) % {EXTRACT_N_DOCS}) AS t
+  FROM UNNEST(range(0, {EXTRACT_N_DOCS})) AS a(i),
+       UNNEST(range(0, 5)) AS b(j)
+  WHERE j < 2 + i % 3 AND ((i * 7 + j * 13 + 1) % {EXTRACT_N_DOCS}) <> i)
+SELECT {_DOCID_SQL} AS doc_id,
+       'Wesentliche Unternehmensbeteiligungen' AS gruppe,
+       {_STEMS_SQL}[(t % 26) + 1] || printf(' %04d', t) ||
+         CASE WHEN t % 3 = 0 THEN ' International AG' ELSE ' AG' END
+         AS beteiliger,
+       {_CITIES_SQL}[(t % 12) + 1] AS ort,
+       CAST(50 + t % 50 AS VARCHAR) || '%' AS anteil
+FROM tgt
+"""
+
+
+def q55_extract_aktionaer(spark, sf_dir):
+    """E15 shareholders (Gesellschafter/Aktionäre) extractor end-to-end
+    (ref lib/parser_aktionaer_eigner_beteiligungen.js:26-128): the family
+    holder carries an ort, Streubesitz does not."""
+    recs = _records(spark)
+    return (recs.select("doc_id", F.explode("aktionaer").alias("a"))
+            .select("doc_id", F.col("a.name").alias("name"),
+                    F.coalesce(F.col("a.ort"), F.lit("")).alias("ort"),
+                    F.col("a.anteil").alias("anteil")))
+
+
+Q55_SQL = f"""
+WITH base AS (SELECT i, {_DOCID_SQL} AS doc_id {_RANGE_SQL})
+SELECT doc_id, 'Familie ' || {_LAST_SQL}[(i % 8) + 1] AS name,
+       {_CITIES_SQL}[(i % 12) + 1] AS ort,
+       printf('%d,%02d%%', 10 + i % 40, i % 100) AS anteil
+FROM base
+UNION ALL
+SELECT doc_id, 'Streubesitz' AS name, '' AS ort,
+       printf('%d,%02d%%', 50 + i % 40, (100 - i) % 100) AS anteil
+FROM base
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers": (q02_top_customers, Q02_SQL),
@@ -1481,4 +1563,7 @@ REGISTRY: dict[str, tuple] = {
     "q50_lse_coupled": (q50_lse_coupled, Q50_SQL),
     "q51_lse_zumstein": (q51_lse_zumstein, Q51_SQL),
     "q52_validate_profiles": (q52_validate_profiles, Q52_SQL),
+    "q53_extract_vorstand": (q53_extract_vorstand, Q53_SQL),
+    "q54_extract_beteiligungen": (q54_extract_beteiligungen, Q54_SQL),
+    "q55_extract_aktionaer": (q55_extract_aktionaer, Q55_SQL),
 }

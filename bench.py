@@ -49,8 +49,11 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         .write.format("noop").mode("overwrite").save()
 
     # median-of-3 per query: the sandbox host is shared, single-shot
-    # timings carry +-30% neighbor noise
+    # timings carry +-30% neighbor noise. The FULL spread is emitted too
+    # (VERDICT r4 #3: medians alone hid 3x host noise — a round-over-round
+    # delta smaller than the same round's own min..max says nothing).
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in headline:
         fn, _ = REGISTRY[name]
         runs = []
@@ -58,7 +61,10 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
+        runs.sort()
+        timings[name] = round(runs[1], 3)
+        spreads[name] = [round(runs[0], 3), round(runs[1], 3),
+                         round(runs[-1], 3)]
 
     # extraction throughput over the synthetic spans corpus (warm single
     # shot: the corpus synthesis dominates a repeat, medians would measure
@@ -127,6 +133,9 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-query [min, median, max] of the 3 reps — judge round-over-
+        # round deltas against THIS dispersion, not the medians alone
+        "spread": spreads,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
         "extract_docs_per_sec": extract_docs_per_sec,

@@ -267,6 +267,28 @@ def test_checkpoint_storage_bounded(spark, tmp_path_factory):
     assert counts[-2] <= counts[0] + 6, counts
 
 
+def test_wake_tiering_off_control_mode_exact(spark, tmp_path_factory,
+                                             oracle_result):
+    """wake_tiering=False (the measurement control for the tier's benefit:
+    every deferred row re-enters every generation's merge/window passes)
+    must produce the identical fetch_log — the tier is an optimization,
+    never a semantic switch."""
+    path = tmp_path_factory.mktemp("crawl_notier")
+    engine = CrawlEngine(spark, str(path), N_DOCS, host_budget=HOST_BUDGET,
+                         wake_tiering=False)
+    engine.bootstrap(SEEDS, ROBOTS)
+    docs = X.docs_dataframe(spark, N_DOCS, partitions=8)
+    engine.run(docs, GENERATIONS)
+    log = sorted((r.scheduled_seq, r.url_hash, r.url, r.doc_id, r.generation)
+                 for r in engine.fetch_log().collect())
+    engine.close()
+    assert [(r[0], r[1], r[2], r[3], r[4]) for r in log] == \
+        oracle_result["fetch_log"]
+    # phase log populated for the evidence scripts
+    assert any(label == "schedule+sequence" for _g, label, _s in
+               engine.phase_log)
+
+
 def test_wake_tier_active_and_legacy_snapshot_resume(spark, tmp_path_factory,
                                                      oracle_result):
     """(a) The wake tier actually engages: with budget 3 and deep host
