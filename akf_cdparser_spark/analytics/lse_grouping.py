@@ -104,18 +104,33 @@ class _Streak:
 
 def streak_grouping(class_sectors: dict[str, dict[int, int]],
                     n_sectors: int = 10,
-                    grouping_range: int = 1) -> list[tuple[str, int, int, int]]:
+                    grouping_range: int = 1,
+                    insertion_rank: dict | None = None,
+                    ) -> list[tuple[str, int, int, int]]:
     """Run the reference grouping over {token_class: {sector: ctr}}.
 
     Returns rows (token_class, sector, occurrences, group_size) of the final
     sectors holder — group_size is the number of merged source sectors for
     group elements and 0 for untouched originals (sectorOccurence defaults,
-    ref :72-78)."""
+    ref :72-78).
+
+    ``insertion_rank`` maps (key, sector) -> sortable rank and, when given,
+    reproduces the reference's per-sector JS key-insertion order (keys
+    insert into ``sectorsHolder[sectorPosition][key]`` the first time the
+    pair appears during the line scan, :440-447; the walk's inner
+    ``for key in sector`` then iterates that order, :580). Without it the
+    per-sector order is ``class_sectors`` dict order, class-major — the
+    historical pinning, kept for the independent per-class mode where
+    order cannot matter."""
+    entries = [(key, s, int(c))
+               for key, by_sector in class_sectors.items()
+               for s, c in by_sector.items()]
+    if insertion_rank is not None:
+        entries.sort(key=lambda e: insertion_rank[(e[0], e[1])])
     holder: list[dict] = [dict() for _ in range(n_sectors)]
-    for key, by_sector in class_sectors.items():
-        for s, c in by_sector.items():
-            holder[s][key] = {"ctr": int(c), "checked": False,
-                              "isGroup": False, "groupSize": 0}
+    for key, s, c in entries:
+        holder[s][key] = {"ctr": c, "checked": False,
+                          "isGroup": False, "groupSize": 0}
 
     # -- phase 1: find element streaks (ref :577-663) ------------------------
     streaks: list[_Streak] = []

@@ -128,7 +128,7 @@ def lse_elements(docs: DataFrame, n_sectors: int = 10) -> DataFrame:
         F.floor(F.col("pos") * n_sectors / F.greatest("n_elems", F.lit(1))),
         F.lit(n_sectors - 1)).cast("int")
     return elems.select("doc_id", sector.alias("sector"),
-                        klass.alias("token_class"), "token")
+                        klass.alias("token_class"), "token", "pos")
 
 
 def lse_histogram(docs: DataFrame, n_sectors: int = 10) -> DataFrame:
@@ -207,36 +207,52 @@ def lse_grouped(docs: DataFrame, n_sectors: int = 10,
     all classes thread through one shared sectorsHolder, so the hoisted
     ``nextElement`` leak (lib/lineSegmentAnalyzer.js:605) can couple
     DIFFERENT classes' walks — exactly as in the reference, where the walk
-    order is the holder's JS key-insertion order. That order is
-    data-arrival-dependent in the reference (object keys insert during the
-    line scan); here it is pinned to sorted(token_class) for determinism —
-    the one free parameter, documented. The coupled walk is a single tiny
-    group (<= n_sectors x n_classes histogram rows), so the Python stage
-    stays O(classes) regardless of corpus size.
+    order is the holder's JS key-insertion order: a (sector, key) pair
+    inserts the first time it appears during the line scan (:440-447), and
+    the grouping's inner ``for key in sector`` iterates that order (:580).
+    The same order is derived here distributively — min(struct(doc_id,
+    pos)) per (sector, class) in the SAME aggregation as the histogram
+    count (zero extra shuffles), with the corpus scan order pinned to
+    (doc_id asc, element pos asc); the sequential twin pins the identical
+    order via row_number() OVER (ORDER BY doc_id, pos). The coupled walk
+    is a single tiny group (<= n_sectors x n_classes histogram rows), so
+    the Python stage stays O(classes) regardless of corpus size.
     """
     import pandas as pd
 
     from .lse_grouping import streak_grouping
 
-    hist = lse_histogram(docs, n_sectors)
     cols = ["token_class", "group_sector", "occurrences", "group_size"]
     schema = ("token_class string, group_sector int, "
               "occurrences long, group_size int")
 
     if coupled:
+        elems = lse_elements(docs, n_sectors)
+        hist = (elems.groupBy("sector", "token_class")
+                .agg(F.count("*").alias("occurrences"),
+                     F.min(F.struct("doc_id", "pos")).alias("first_seen"))
+                .select("sector", "token_class", "occurrences",
+                        F.col("first_seen.doc_id").alias("first_doc"),
+                        F.col("first_seen.pos").alias("first_pos")))
+
         def walk_all(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
             by_class: dict[str, dict[int, int]] = {}
-            for cls in sorted(pdf["token_class"].unique()):
-                sub = pdf[pdf["token_class"] == cls]
-                by_class[cls] = dict(zip(sub["sector"].astype(int),
-                                         sub["occurrences"].astype(int)))
-            rows = streak_grouping(by_class, n_sectors)
+            rank: dict[tuple, tuple] = {}
+            for r in pdf.itertuples(index=False):
+                by_class.setdefault(r.token_class, {})[int(r.sector)] = \
+                    int(r.occurrences)
+                rank[(r.token_class, int(r.sector))] = \
+                    (r.first_doc, int(r.first_pos))
+            rows = streak_grouping(by_class, n_sectors,
+                                   insertion_rank=rank)
             return pd.DataFrame(rows, columns=cols)
 
         # one constant-keyed group (a literal in groupBy would be read as
         # a group-by ORDINAL); the whole histogram is tiny by construction
         return (hist.withColumn("_g", F.lit(1))
                 .groupBy("_g").applyInPandas(walk_all, schema))
+
+    hist = lse_histogram(docs, n_sectors)
 
     def walk(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         cls = key[0]

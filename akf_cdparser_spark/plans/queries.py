@@ -723,7 +723,8 @@ pos AS (
   SELECT doc_id, t[i] AS token, i - 1 AS pos, len(t) AS n_elems
   FROM elems, UNNEST(range(1, len(t) + 1)) AS u(i)),
 classed AS (
-  SELECT least(CAST(floor(pos * 10 / greatest(n_elems, 1)) AS INT), 9) AS sector,
+  SELECT doc_id, pos,
+         least(CAST(floor(pos * 10 / greatest(n_elems, 1)) AS INT), 9) AS sector,
          CASE WHEN regexp_full_match(token, '\(.*\)') THEN 'inBrackets'
               WHEN regexp_full_match(token, '\d+([.,]\d+)?') THEN 'number'
               WHEN regexp_full_match(token, '[A-Za-zÄÖÜäöüß\-]+') THEN 'word'
@@ -763,10 +764,12 @@ Q29_SQL = (
 def q50_lse_coupled(spark, sf_dir):
     """A3 streak grouping in the reference's SINGLE-WALK mode: all token
     classes thread through one shared sectorsHolder so the hoisted
-    nextElement leak couples classes (ref lib/lineSegmentAnalyzer.js:605;
-    walk order pinned to sorted class name — see analytics/text.py).
-    Oracle: pinned table from the sequential twin (DuckDB q28 histogram
-    through the Node-vm-locked walk, coupled)."""
+    nextElement leak couples classes (ref lib/lineSegmentAnalyzer.js:605).
+    Walk order = the reference's sectorsHolder key-insertion order, derived
+    distributively as min(struct(doc_id, pos)) per (sector, class) — see
+    analytics/text.py. Oracle: pinned table from the sequential twin
+    (DuckDB classed elements + row_number scan order through the
+    Node-vm-locked walk, coupled)."""
     return text.lse_grouped(_t(spark, sf_dir, "documents"), coupled=True)
 
 

@@ -133,23 +133,35 @@ def q29_rows() -> list[tuple[str, int, int, int]]:
 
 
 def q50_rows() -> list[tuple[str, int, int, int]]:
-    """Sequential twin of q50: the SAME DuckDB histogram as q29, but all
-    classes thread through ONE coupled walk (sorted class order — the
-    engine's pinned ordering for the reference's insertion-order-dependent
-    single sectorsHolder)."""
+    """Sequential twin of q50: the SAME DuckDB classed elements as q29,
+    but all classes thread through ONE coupled walk in the reference's
+    sectorsHolder key-insertion order — first appearance of each
+    (sector, key) pair during the corpus scan (doc_id asc, element pos
+    asc), derived here as min(row_number() OVER that order) per pair,
+    mirroring the engine's min(struct(doc_id, pos)) aggregation."""
     import duckdb
 
     from akf_cdparser_spark.analytics.lse_grouping import streak_grouping
-    from akf_cdparser_spark.plans.queries import Q28_SQL
+    from akf_cdparser_spark.plans.queries import _LSE_CLASSED_SQL
 
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF001}/documents.parquet')")
+    sql = f"""
+    WITH {_LSE_CLASSED_SQL},
+    ranked AS (
+      SELECT sector, token_class,
+             row_number() OVER (ORDER BY doc_id, pos) AS rn
+      FROM classed)
+    SELECT sector, token_class, count(*) AS occurrences, min(rn) AS first_rn
+    FROM ranked GROUP BY sector, token_class
+    """
     hist: dict[str, dict[int, int]] = {}
-    for sector, cls, occ in con.execute(Q28_SQL).fetchall():
+    rank: dict[tuple, int] = {}
+    for sector, cls, occ, first_rn in con.execute(sql).fetchall():
         hist.setdefault(cls, {})[int(sector)] = int(occ)
-    coupled = {cls: hist[cls] for cls in sorted(hist)}
-    return sorted(streak_grouping(coupled))
+        rank[(cls, int(sector))] = int(first_rn)
+    return sorted(streak_grouping(hist, insertion_rank=rank))
 
 
 HEADER = '''"""GENERATED by scripts/gen_pinned_oracles.py — do not edit.

@@ -42,6 +42,18 @@ for (const classSectors of cases) {
   const N = 10;
   const holder = [];
   for (let s = 0; s < N; s++) holder.push({});
+  if (Array.isArray(classSectors.__entries__)) {
+    // explicit per-(key, sector) insertion order: [[key, sector, ctr], ...]
+    // inserted in list order — models the reference's line-scan insertion
+    // (sectorsHolder[sectorPosition][key] created at first appearance),
+    // which the class-major object form below cannot express
+    for (const [key, s, ctr] of classSectors.__entries__) {
+      holder[Number(s)][key] = {
+        ctr: ctr, content: [], groupingChecked: false,
+        isGroup: false, groupSize: 0,
+      };
+    }
+  } else {
   for (const key of Object.keys(classSectors)) {
     const bySector = classSectors[key];
     for (const s of Object.keys(bySector)) {
@@ -50,6 +62,7 @@ for (const classSectors of cases) {
         isGroup: false, groupSize: 0,
       };
     }
+  }
   }
   const ctx = { console: { log: () => {} }, _sectorsHolder: holder };
   vm.createContext(ctx);

@@ -140,6 +140,84 @@ def test_coupled_walk_matches_reference_randomized_3class():
         assert _norm(got) == _norm([tuple(r) for r in expect]), case
 
 
+# a pinned histogram where per-sector insertion ORDER alone changes the
+# result (found by differential search over shuffled entry orders): the
+# walk order flips whether b's sector-9 singleton gets wrapped by the
+# stale-nextElement leak
+ORDER_SENSITIVE_ENTRIES = [
+    ("a", 3, 4), ("a", 7, 8), ("a", 8, 4), ("a", 9, 2),
+    ("b", 0, 4), ("b", 3, 6), ("b", 7, 8), ("b", 9, 1),
+]
+ORDER_A = [("b", 0), ("a", 7), ("b", 3), ("a", 8),
+           ("a", 3), ("a", 9), ("b", 9), ("b", 7)]
+ORDER_B = [("a", 9), ("b", 7), ("a", 7), ("b", 3),
+           ("b", 9), ("a", 3), ("b", 0), ("a", 8)]
+
+
+def _hist_and_rank(order):
+    ctr = {(k, s): c for k, s, c in ORDER_SENSITIVE_ENTRIES}
+    hist: dict = {}
+    for k, s, c in ORDER_SENSITIVE_ENTRIES:
+        hist.setdefault(k, {})[s] = c
+    return hist, {ks: i for i, ks in enumerate(order)}, \
+        [[k, s, ctr[(k, s)]] for k, s in order]
+
+
+def test_insertion_order_is_load_bearing():
+    """Two insertion orders of the SAME histogram produce different rows —
+    the order the coupled walk derives from the corpus scan is not a
+    cosmetic choice."""
+    hist, rank_a, _ = _hist_and_rank(ORDER_A)
+    _, rank_b, _ = _hist_and_rank(ORDER_B)
+    out_a = _norm(streak_grouping(hist, insertion_rank=rank_a))
+    out_b = _norm(streak_grouping(hist, insertion_rank=rank_b))
+    assert out_a != out_b
+
+
+@pytest.mark.skipif(node is None, reason="node not available")
+def test_insertion_order_matches_reference_pinned():
+    """Both orders of the load-bearing case match the verbatim reference
+    run with the SAME explicit holder insertion order."""
+    cases, ranks = [], []
+    for order in (ORDER_A, ORDER_B):
+        hist, rank, entries = _hist_and_rank(order)
+        cases.append({"__entries__": entries})
+        ranks.append((hist, rank))
+    golden = _reference(cases)
+    for (hist, rank), expect in zip(ranks, golden):
+        got = streak_grouping(hist, insertion_rank=rank)
+        assert _norm(got) == _norm([tuple(r) for r in expect])
+
+
+@pytest.mark.skipif(node is None, reason="node not available")
+def test_insertion_order_matches_reference_randomized():
+    """Randomized entry ORDERS (not just histograms): the port under
+    insertion_rank must track the reference under the identical explicit
+    holder insertion sequence."""
+    rng = random.Random(77)
+    cases, sides = [], []
+    for _ in range(120):
+        entries = []
+        for cls in ("a", "b", "c")[: rng.randint(2, 3)]:
+            for s in range(10):
+                if rng.random() < 0.45:
+                    entries.append([cls, s, rng.randint(1, 9)])
+        if not entries:
+            entries = [["a", 0, 1]]
+        rng.shuffle(entries)
+        hist: dict = {}
+        rank: dict = {}
+        for i, (k, s, c) in enumerate(entries):
+            hist.setdefault(k, {})[s] = c
+            rank[(k, s)] = i
+        cases.append({"__entries__": entries})
+        sides.append((hist, rank))
+    golden = _reference(cases)
+    for (hist, rank), expect in zip(sides, golden):
+        got = streak_grouping(hist, insertion_rank=rank)
+        assert _norm(got) == _norm([tuple(r) for r in expect])
+
+
 # -- zumsteinVector mode golden lock ----------------------------------------
 
 _ZJS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
