@@ -149,6 +149,24 @@ BETEILIGUNG_STRUCT = T.StructType([
     T.StructField("bemerkung", T.StringType()),
 ])
 
+LK_STRUCT = T.StructType([
+    T.StructField("firstname", T.StringType()),
+    T.StructField("lastname", T.StringType()),
+    T.StructField("phone", T.StringType()),
+    T.StructField("fax", T.StringType()),
+    T.StructField("email", T.StringType()),
+])
+
+# investorRelations/publicRelations entry (ref lib/parser_persons.js:276-367:
+# each person is a LIST of partial one-key dicts, merged here into one row)
+RELATIONS_STRUCT = T.StructType([
+    T.StructField("name", T.StringType()),
+    T.StructField("telefon", T.StringType()),
+    T.StructField("fax", T.StringType()),
+    T.StructField("email", T.StringType()),
+    T.StructField("funct", T.StringType()),
+])
+
 SITZ_STRUCT = T.StructType([
     T.StructField("typ", T.StringType()),
     T.StructField("street", T.StringType()),
@@ -185,6 +203,9 @@ RECORDS_SCHEMA = T.StructType([
     T.StructField("anteilseigner", T.ArrayType(EIGNER_STRUCT)),
     T.StructField("sitz_all", T.ArrayType(SITZ_STRUCT)),
     T.StructField("beteiligungen", T.ArrayType(BETEILIGUNG_STRUCT)),
+    T.StructField("leitung_kommunikation", T.ArrayType(LK_STRUCT)),
+    T.StructField("public_relations", T.ArrayType(RELATIONS_STRUCT)),
+    T.StructField("investor_relations", T.ArrayType(RELATIONS_STRUCT)),
     T.StructField("unparsed_chars", T.IntegerType()),
     T.StructField("fulltext_chars", T.IntegerType()),
     T.StructField("n_categories", T.IntegerType()),
@@ -436,9 +457,29 @@ def _typed_projections(rec: dict) -> dict:
          **{f: z.get(f) for f in ("beteiliger", "ort", "anteil", "bemerkung")}}
         for grp in rec.get("beteiligungen") or []
         for z in grp.get("zeilen") or [] if isinstance(z, dict)]
+    # E10 Leitung Kommunikation (ref lib/parser_persons.js:460-529)
+    lk = [_fill(LK_STRUCT, p)
+          for p in (rec.get("leitung_kommunikation") or {}).get("leiter") or []
+          if isinstance(p, dict)]
+
+    # E20 investor/public relations (ref lib/parser_persons.js:276-367):
+    # the kernel emits each person as a LIST of one-key partial dicts —
+    # merge them into one typed row per person
+    def _relations(key):
+        out = []
+        for person in rec.get(key) or []:
+            merged: dict = {}
+            for d in person if isinstance(person, list) else [person]:
+                if isinstance(d, dict):
+                    merged.update(d)
+            out.append(_fill(RELATIONS_STRUCT, merged))
+        return out
 
     return {
         "beteiligungen": beteiligungen or None,
+        "leitung_kommunikation": lk or None,
+        "public_relations": _relations("publicRelations") or None,
+        "investor_relations": _relations("investorRelations") or None,
         "dividenden": dividenden or None,
         "kennzahlen_rows": kenn_rows or None,
         "bilanzen_rows": bil_rows or None,

@@ -1513,6 +1513,64 @@ FROM base
 """
 
 
+def q56_extract_activity(spark, sf_dir):
+    """E3 activity description (ref lib/parser.js:387-417): accumulate
+    until the next centered headline, <br> -> newline."""
+    recs = _records(spark)
+    return recs.select("doc_id", "activity_description")
+
+
+_ACTIVITIES_SQL = "['" + "','".join(fixtures._ACTIVITIES) + "']"
+
+Q56_SQL = f"""
+SELECT {_DOCID_SQL} AS doc_id,
+       {_ACTIVITIES_SQL}[(i % 4) + 1] || '.' || chr(10)
+         AS activity_description
+{_RANGE_SQL}
+"""
+
+
+def q57_extract_leitung_kommunikation(spark, sf_dir):
+    """E10 Leitung Kommunikation (ref lib/parser.js:707-738,
+    lib/parser_persons.js:460-529): phone split off via the from-to
+    matcher, remainder person-parsed."""
+    recs = _records(spark)
+    return (recs.select("doc_id", F.explode("leitung_kommunikation")
+                        .alias("p"))
+            .select("doc_id", F.col("p.firstname").alias("firstname"),
+                    F.col("p.lastname").alias("lastname"),
+                    F.col("p.phone").alias("phone")))
+
+
+Q57_SQL = f"""
+WITH base AS (SELECT i, {_DOCID_SQL} AS doc_id {_RANGE_SQL}
+              WHERE i % 8 = 3)
+SELECT doc_id, {_FIRST_SQL}[((i + 1) % 8) + 1] AS firstname,
+       {_LAST_SQL}[((i + 2) % 8) + 1] AS lastname,
+       '0' || CAST(i % 97 AS VARCHAR) || '-11' AS phone
+FROM base
+"""
+
+
+def q58_extract_public_relations(spark, sf_dir):
+    """E20 Public Relations (ref lib/parser.js:895-943,
+    lib/parser_persons.js:276-367): '; Fax' glue repair, split ';',
+    telefon via matchFromStringToString, name = rest."""
+    recs = _records(spark)
+    return (recs.select("doc_id", F.explode("public_relations").alias("p"))
+            .select("doc_id", F.col("p.name").alias("name"),
+                    F.col("p.telefon").alias("telefon")))
+
+
+Q58_SQL = f"""
+WITH base AS (SELECT i, {_DOCID_SQL} AS doc_id {_RANGE_SQL}
+              WHERE i % 8 = 5)
+SELECT doc_id, {_FIRST_SQL}[8] || ' ' || {_LAST_SQL}[1] AS name,
+       printf('(071%02d) 22-0', i % 90) AS telefon
+FROM base
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers": (q02_top_customers, Q02_SQL),
@@ -1569,4 +1627,9 @@ REGISTRY: dict[str, tuple] = {
     "q53_extract_vorstand": (q53_extract_vorstand, Q53_SQL),
     "q54_extract_beteiligungen": (q54_extract_beteiligungen, Q54_SQL),
     "q55_extract_aktionaer": (q55_extract_aktionaer, Q55_SQL),
+    "q56_extract_activity": (q56_extract_activity, Q56_SQL),
+    "q57_extract_leitung_kommunikation": (
+        q57_extract_leitung_kommunikation, Q57_SQL),
+    "q58_extract_public_relations": (
+        q58_extract_public_relations, Q58_SQL),
 }

@@ -41,8 +41,15 @@ from akf_cdparser_spark.operators import extract as X
 from akf_cdparser_spark.crawl.frontier import CrawlEngine
 from akf_cdparser_spark import fixtures
 
+import os as _os
+# VERDICT r4 #6 contention experiment: spark.task.cpus=K makes each task
+# reserve K cores, halving (K=2) concurrent tasks per level — so a crawl
+# task's JVM thread + its Arrow Python worker stop oversubscribing the
+# host at high core counts. Opt-in; default 1 = historical behavior.
+_task_cpus = _os.environ.get("AKF_SCALING_TASK_CPUS", "1")
 spark = get_spark(app_name=f"scal{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=max(4, int(cpus)))
+                  shuffle_partitions=max(4, int(cpus)),
+                  extra_conf={"spark.task.cpus": _task_cpus})
 parts = int(cpus)  # one balanced wave: minimal per-task overhead
 
 def fused(batches):
@@ -214,6 +221,11 @@ Raw: `python scripts/scaling.py {n_docs} {crawl_mult} {' '.join(str(c) for c in 
 {json.dumps(report, indent=2)}
 ```
 """
+    if os.environ.get("AKF_SCALING_TASK_CPUS", "1") != "1":
+        # contention-experiment mode: print-only, never overwrite the
+        # canonical baseline sweep (task.cpus changes the workload shape)
+        print("AKF_SCALING_TASK_CPUS set — skipping BENCH/BASELINE.md write")
+        return
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w", encoding="utf-8") as fh:
         fh.write(md)
