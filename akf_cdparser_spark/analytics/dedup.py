@@ -186,11 +186,11 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     The per-bit votes are COLUMNS of one token row aggregated by ``bits``
     sums in a single groupBy — exploding by bit id would multiply shuffle
     rows x64. Engine-portable (md5 + integer ops only)."""
-    # bind the md5-derived 64-bit hash to ONE projected column: the 16 lane
+    # bind the md5-derived 64-bit hash to ONE projected column: the lane
     # expressions below each reference it, and relying on Catalyst CSE to
     # dedupe repeated textual F.md5("token")/F.conv subtrees is fragile
     # (q26 carried measurable slack from it). CollapseProject will not
-    # inline a non-cheap alias referenced 16 times, so ``h`` is computed
+    # inline a non-cheap alias referenced 32 times, so ``h`` is computed
     # exactly once per token row.
     toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
     hashed_md = toks.select("doc_id", F.md5("token").alias("md"))
@@ -199,50 +199,34 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     hashed = hashed_md.select("doc_id",
                               F.shiftleft(hi, 32).bitwiseOR(lo).alias("h"))
     h = F.col("h")
-    # lane-packed bit counting: (h >> g) & 0x0001000100010001 accumulates
-    # the per-doc ONES count of bits g, g+16, g+32, g+48 in four 16-bit
-    # lanes of ONE long — 16 sum columns instead of 64 vote columns (4x
-    # less per-token expression work; lanes cannot cross while a doc has
-    # < 65536 tokens, far above any real document line count). Arithmetic
-    # shift is lane-safe for g<16: sign-extension only reaches positions
-    # >= 64-g, above the top lane's bit 48.
-    # Lane overflow guard: a 16-bit lane silently carries into its
-    # neighbour once a single aggregation group accumulates >= 65536 rows
-    # (true for multi-MB web documents, not for Aktienfuehrer pages — but
-    # this engine's contract is the general corpus). The fix is a two-level
-    # aggregation: chunk the exploded token rows into groups of <= 16384
-    # consecutive per-partition rows via monotonically_increasing_id() >> 14
-    # (mii is partition_prefix || row_number, so every chunk is STRUCTURALLY
-    # bounded — no data-dependent hash chunking whose worst case overflows;
-    # 16384 also caps the packed sum at ~2^62 so the TOP lane, weighted
-    # 2^48, cannot overflow the signed-long accumulator under ANSI mode),
-    # packed-sum per (doc_id, chunk), then unpack the four 16-bit lanes and
-    # sum exact 64-bit counts per doc. mii values vary across retries, but
-    # correctness only needs the chunk-size bound, not stable ids: any valid
-    # chunking yields identical final counts. The second aggregation sees
-    # ~one row per (doc, occupied partition) — negligible at any scale.
-    lane_mask = F.lit(0x0001000100010001).cast("long")
+    # lane-packed bit counting: (h >> g) & 0x0000000100000001 accumulates
+    # the per-doc ONES count of bits g and g+32 in two 32-BIT lanes of one
+    # long — 32 sum columns instead of 64 vote columns, ONE aggregation.
+    # 32-bit lanes are overflow-exact for ANY representable document: a
+    # Spark string caps at 2 GiB, so a doc has < 2^31 tokens, the low lane
+    # stays below 2^31 and the packed sum below n*(2^32+1) < 2^63 — no
+    # 16-bit-lane carry hazard (ADVICE r4) and no ANSI long overflow. The
+    # 16-lane/4-per-long packing needed a second chunked aggregation level
+    # to stay exact, whose extra exchange cost ~25% on q26 at bench scale;
+    # per-row cost is md5-dominated, so doubling the lane columns is the
+    # cheaper trade. Arithmetic shift is lane-safe for g<32:
+    # sign-extension only reaches bit positions >= 64-g > 32, above the
+    # top lane's bit 32.
+    lane_mask = F.lit(0x0000000100000001).cast("long")
     per_token = hashed.select(
         "doc_id",
-        F.shiftright(F.monotonically_increasing_id(), 14).alias("chunk"),
         *[(F.shiftright(h, g).bitwiseAND(lane_mask)).alias(f"g{g}")
-          for g in range(16)])
-    partial = per_token.groupBy("doc_id", "chunk").agg(
-        F.count("*").alias("nt"),
-        *[F.sum(f"g{g}").alias(f"c{g}") for g in range(16)])
-    unpacked = partial.select(
-        "doc_id", "nt",
-        *[(F.shiftright(F.col(f"c{b % 16}"), 16 * (b // 16))
-           .bitwiseAND(F.lit(0xFFFF))).alias(f"u{b}")
-          for b in range(bits)])
-    summed = unpacked.groupBy("doc_id").agg(
-        F.sum("nt").alias("n_tok"),
-        *[F.sum(f"u{b}").alias(f"u{b}") for b in range(bits)])
+          for g in range(32)])
+    summed = per_token.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        *[F.sum(f"g{g}").alias(f"c{g}") for g in range(32)])
     acc = None
     for b in range(bits):
+        g, lane = b % 32, b // 32
+        ones = F.shiftright(F.col(f"c{g}"), 32 * lane)             .bitwiseAND(F.lit(0xFFFFFFFF))
         weight = -(1 << 63) if b == 63 else (1 << b)
         # votes = ones - (n - ones) > 0  <=>  2*ones > n
-        bitval = F.when(F.col(f"u{b}") * 2 > F.col("n_tok"),
+        bitval = F.when(ones * 2 > F.col("n_tok"),
                         F.lit(weight).cast("long")) \
             .otherwise(F.lit(0).cast("long"))
         acc = bitval if acc is None else acc + bitval

@@ -206,6 +206,8 @@ RECORDS_SCHEMA = T.StructType([
     T.StructField("leitung_kommunikation", T.ArrayType(LK_STRUCT)),
     T.StructField("public_relations", T.ArrayType(RELATIONS_STRUCT)),
     T.StructField("investor_relations", T.ArrayType(RELATIONS_STRUCT)),
+    T.StructField("geschleitung", T.ArrayType(MANAGER_STRUCT)),
+    T.StructField("unternehmens_vertraege", T.ArrayType(T.StringType())),
     T.StructField("unparsed_chars", T.IntegerType()),
     T.StructField("fulltext_chars", T.IntegerType()),
     T.StructField("n_categories", T.IntegerType()),
@@ -239,6 +241,26 @@ def docs_dataframe(spark: SparkSession, n_docs: int,
                     "doc_id": fixtures.doc_id_for(i),
                     "spans": fixtures.html_to_spans(fixtures.synth_html(i, n_docs)),
                 })
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return base.mapInPandas(gen, DOCS_SCHEMA)
+
+
+def docs_from_synth(spark: SparkSession, n_docs: int, html_fn, id_fn,
+                    partitions: int | None = None) -> DataFrame:
+    """Docs table from an arbitrary deterministic per-index HTML
+    synthesizer — same distributed construction as ``docs_dataframe``
+    (each partition renders its own documents; no driver-side corpus).
+    Used by queries that need a purpose-built mini-corpus exercising a
+    section the shared corpus does not contain (e.g. E9/E19)."""
+    partitions = partitions or max(2, min(64, n_docs // 64 or 2))
+    base = spark.range(0, n_docs, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [{"doc_id": id_fn(int(i)),
+                     "spans": fixtures.html_to_spans(html_fn(int(i)))}
+                    for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
     return base.mapInPandas(gen, DOCS_SCHEMA)
@@ -475,11 +497,19 @@ def _typed_projections(rec: dict) -> dict:
             out.append(_fill(RELATIONS_STRUCT, merged))
         return out
 
+    # E9 Geschäftsleitung (ref lib/parser.js:743-777): flat person list
+    gl = [_fill(MANAGER_STRUCT, m)
+          for m in rec.get("geschleitung") or [] if isinstance(m, dict)]
+    uv = [v for v in rec.get("unternehmensVertraege") or []
+          if isinstance(v, str)]
+
     return {
         "beteiligungen": beteiligungen or None,
         "leitung_kommunikation": lk or None,
         "public_relations": _relations("publicRelations") or None,
         "investor_relations": _relations("investorRelations") or None,
+        "geschleitung": gl or None,
+        "unternehmens_vertraege": uv or None,
         "dividenden": dividenden or None,
         "kennzahlen_rows": kenn_rows or None,
         "bilanzen_rows": bil_rows or None,

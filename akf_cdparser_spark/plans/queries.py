@@ -1571,6 +1571,109 @@ FROM base
 """
 
 
+# --- E9/E19 mini-corpus: the shared corpus has no Geschäftsleitung /
+# Unternehmensverträge sections, so these two queries synthesize their own
+# deterministic docs (same distributed spans construction) and run the
+# SAME extraction operator over them.
+
+E9_N_DOCS = 24
+
+
+def _e9_doc_id(i: int) -> str:
+    return f"uv/{i:04d}"
+
+
+def _e9_html(i: int) -> str:
+    fx = fixtures
+    t = fx._TITLES[i % 4]
+    persons = [f"{(t + ' ') if t else ''}{fx._FIRST[i % 8]} "
+               f"{fx._LAST[(i * 3) % 8]}, {fx._CITIES[i % 12]}"]
+    if i % 2 == 0:
+        persons.append(f"{fx._FIRST[(i + 1) % 8]} "
+                       f"{fx._LAST[(i * 3 + 2) % 8]}, "
+                       f"{fx._CITIES[(i + 5) % 12]}")
+    contracts = [f"Beherrschungsvertrag mit der "
+                 f"{fx._COMPANY_STEMS[i % 26]} Holding AG"]
+    if i % 3 == 0:
+        contracts.append(f"Gewinnabführungsvertrag seit {1990 + i % 10}")
+    return "\n".join([
+        "<html><head></head><body>",
+        f"<center><b>{fx.company_name(i)}</b></center>",
+        "<b>Geschäftsleitung:</b><br>",
+        "; ".join(persons) + "<br>",
+        "<br><center><h5><table><tr>",
+        '<td align="center"><b>Unternehmensverträge</b></td></tr>'
+        "</table></h5></center>",
+        "<br>".join(contracts),
+        "",
+        "<br><center><h5><table><tr>",
+        '<td align="center"><b>Sonstige Angaben</b></td></tr>'
+        "</table></h5></center>",
+        "<b>Geschäftsjahr: </b>Kalenderjahr<br>",
+        "</body></html>"])
+
+
+def _e9_records(spark):
+    return X.extract_records(
+        X.docs_from_synth(spark, E9_N_DOCS, _e9_html, _e9_doc_id))
+
+
+def q59_extract_geschleitung(spark, sf_dir):
+    """E9 Geschäftsleitung (ref lib/parser.js:743-777): semicolon split +
+    person-parse, run distributed over the E9/E19 mini-corpus."""
+    return (_e9_records(spark)
+            .select("doc_id", F.posexplode("geschleitung").alias("k", "m"))
+            .select("doc_id", "k",
+                    F.coalesce(F.col("m.title"), F.lit("")).alias("title"),
+                    F.col("m.firstName").alias("first_name"),
+                    F.col("m.lastName").alias("last_name"),
+                    F.col("m.cityAcc").alias("city")))
+
+
+_E9_DOCID_SQL = "printf('uv/%04d', i)"
+
+Q59_SQL = f"""
+WITH base AS (SELECT i FROM UNNEST(range(0, {E9_N_DOCS})) AS t(i))
+SELECT {_E9_DOCID_SQL} AS doc_id, 0 AS k,
+       {_TITLES_SQL}[(i % 4) + 1] AS title,
+       {_FIRST_SQL}[(i % 8) + 1] AS first_name,
+       {_LAST_SQL}[((i * 3) % 8) + 1] AS last_name,
+       {_CITIES_SQL}[(i % 12) + 1] AS city
+FROM base
+UNION ALL
+SELECT {_E9_DOCID_SQL} AS doc_id, 1 AS k,
+       '' AS title,
+       {_FIRST_SQL}[((i + 1) % 8) + 1] AS first_name,
+       {_LAST_SQL}[((i * 3 + 2) % 8) + 1] AS last_name,
+       {_CITIES_SQL}[((i + 5) % 12) + 1] AS city
+FROM base WHERE i % 2 = 0
+"""
+
+
+def q60_extract_unternehmensvertraege(spark, sf_dir):
+    """E19 Unternehmensverträge (ref lib/parser.js:1195-1230): raw line
+    collection until the next centered headline, <br> sub-splitting."""
+    return (_e9_records(spark)
+            .select("doc_id", F.posexplode("unternehmens_vertraege")
+                    .alias("k", "vertrag")))
+
+
+_STEMS26_SQL = _STEMS_SQL
+
+Q60_SQL = f"""
+WITH base AS (SELECT i FROM UNNEST(range(0, {E9_N_DOCS})) AS t(i))
+SELECT {_E9_DOCID_SQL} AS doc_id, 0 AS k,
+       'Beherrschungsvertrag mit der ' || {_STEMS26_SQL}[(i % 26) + 1]
+         || ' Holding AG' AS vertrag
+FROM base
+UNION ALL
+SELECT {_E9_DOCID_SQL} AS doc_id, 1 AS k,
+       'Gewinnabführungsvertrag seit ' || CAST(1990 + i % 10 AS VARCHAR)
+         AS vertrag
+FROM base WHERE i % 3 = 0
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers": (q02_top_customers, Q02_SQL),
@@ -1632,4 +1735,7 @@ REGISTRY: dict[str, tuple] = {
         q57_extract_leitung_kommunikation, Q57_SQL),
     "q58_extract_public_relations": (
         q58_extract_public_relations, Q58_SQL),
+    "q59_extract_geschleitung": (q59_extract_geschleitung, Q59_SQL),
+    "q60_extract_unternehmensvertraege": (
+        q60_extract_unternehmensvertraege, Q60_SQL),
 }

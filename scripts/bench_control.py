@@ -42,6 +42,11 @@ REGISTRY[names[0]][0](spark, sf_dir) \
 out = {}
 for name in names:
     fn, _ = REGISTRY[name]
+    # discard the first run: it pays per-JVM codegen/plan compile, a
+    # one-time cost that round-over-round comparisons must not bill to
+    # the steady-state operator (plans with more generated code would
+    # read as regressions). The recorded run is warm.
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     out[name] = round(time.time() - t0, 3)
