@@ -68,10 +68,13 @@ def test_simhash_near_dups(planted):
 def _py_simhash(tokens):
     """Unpacked pure-Python reference for the 64-bit md5 simhash."""
     import hashlib
+    hcache = {}
     counts = [0] * 64
     for t in tokens:
-        md = hashlib.md5(t.encode()).hexdigest()
-        h = (int(md[8:16], 16) << 32) | int(md[0:8], 16)
+        h = hcache.get(t)
+        if h is None:
+            md = hashlib.md5(t.encode()).hexdigest()
+            h = hcache[t] = (int(md[8:16], 16) << 32) | int(md[0:8], 16)
         for b in range(64):
             counts[b] += (h >> b) & 1
     n, acc = len(tokens), 0
@@ -100,6 +103,28 @@ def test_simhash_long_doc_no_lane_overflow(spark):
     assert got["long0"] == _py_simhash(repeated)
     assert got["long0"] == got["short"]  # all-identical tokens => same hash
     assert got["long1"] == _py_simhash(mixed)
+
+
+def test_simhash_randomized_vs_python_reference(spark):
+    """Randomized docs across size boundaries (1 token up to >65536 — the
+    old 16-bit-lane carry point) must match the unpacked reference
+    exactly: the 32-bit lane packing is an encoding, never an
+    approximation."""
+    import random as _random
+    rng = _random.Random(42)
+    vocab = [f"w{j}" for j in range(50)]
+    rows, exp = [], {}
+    for d, n in enumerate([1, 2, 7, 100, 1000, 9999, 16384, 16385,
+                           40000, 70001]):
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+        did = f"r{d:02d}"
+        rows.append((did, " ".join(toks)))
+        exp[did] = _py_simhash(toks)
+    got = {r.doc_id: r.simhash
+           for r in dedup.simhash(
+               spark.createDataFrame(rows, "doc_id string, text string")
+           ).collect()}
+    assert got == exp
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark):
