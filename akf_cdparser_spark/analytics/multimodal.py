@@ -1,13 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container has no image/audio libraries, so the decode step is STUBBED —
-``decode_image`` raises NotImplementedError unless ``fake=True`` selects the
-deterministic fake decoder. Everything Spark-side is real and tested: the
-schema, the Arrow batch shape through ``mapInPandas``, the partition-size
-control (media blobs dominate partition bytes — repartition by blob size
-budget before the UDF), and the metadata projection that lets Catalyst
-prune the binary column when only metadata is queried.
+Decode tiers:
+* **netpbm (P5/P6)** — a dependency-free pure-Python decoder below:
+  REAL decode, runs in any environment, exact integer arithmetic
+  (deterministic across platforms, safe to feed hash-gated oracles).
+  ``synth_media`` emits real P6 payloads so the full
+  decode->feature pipeline is exercised end-to-end in-sandbox.
+* **PIL** (optional import) — all other formats when an image library is
+  present; resampling internals may differ across Pillow releases, so
+  this tier must not feed cross-environment hash oracles.
+* **fake=True** — deterministic byte-hash stub, kept for plumbing tests.
+
+Everything Spark-side is real and tested: the schema, the Arrow batch
+shape through ``mapInPandas``, the partition-size control (media blobs
+dominate partition bytes — repartition by blob size budget before the
+UDF), and the metadata projection that lets Catalyst prune the binary
+column when only metadata is queried.
 """
 
 from __future__ import annotations
@@ -54,17 +63,29 @@ def synth_media(spark: SparkSession, docs: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
-                seed = hashlib.sha256(ref.encode()).digest()
-                payload = (seed * 64)[:2048]
+                payload, w, h = synth_ppm(ref)
                 rows.append({
                     "media_ref": ref, "doc_id": doc_id, "kind": "image",
                     "content": payload,
-                    "meta": {"width": 64 + seed[0], "height": 64 + seed[1],
-                             "n_bytes": len(payload), "mime": "image/bmp"},
+                    "meta": {"width": w, "height": h,
+                             "n_bytes": len(payload),
+                             "mime": "image/x-portable-pixmap"},
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return refs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synth_ppm(ref: str) -> tuple[bytes, int, int]:
+    """Deterministic REAL P6 image for a media ref: geometry and raster
+    derive from the ref's sha256, so the decode->feature pipeline runs a
+    true parse end-to-end with no image library. Returns
+    (payload, width, height)."""
+    seed = hashlib.sha256(ref.encode()).digest()
+    w, h = 8 + seed[0] % 9, 6 + seed[1] % 7
+    header = f"P6\n# synth {w}x{h}\n{w} {h}\n255\n".encode()
+    raster = (seed * ((w * h * 3) // len(seed) + 1))[:w * h * 3]
+    return header + raster, w, h
 
 
 try:  # optional: the operator upgrades itself the moment PIL lands
@@ -73,26 +94,86 @@ except ImportError:  # pragma: no cover - sandbox has no image library
     _PILImage = None
 
 
-def decode_image(content: bytes, fake: bool = False) -> list[float]:
-    """Image decode -> 8-dim feature vector.
+def _netpbm_decode(content: bytes) -> tuple[int, int, int, list[int]]:
+    """Dependency-free binary netpbm (P5 gray / P6 RGB, maxval <= 255)
+    decode -> (width, height, maxval, grayscale pixel list, row-major).
+    P6 RGB collapses to gray via the integer ITU-R 601 luma
+    (299R + 587G + 114B) // 1000 — exact, platform-independent."""
+    if content[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm payload")
+    rgb = content[:2] == b"P6"
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(content):
+            raise ValueError("truncated netpbm header")
+        c = content[pos:pos + 1]
+        if c == b"#":  # comment to end of line
+            nl = content.find(b"\n", pos)
+            pos = len(content) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(content) and not content[end:end + 1].isspace():
+                end += 1
+            fields.append(int(content[pos:end]))
+            pos = end
+    w, h, maxval = fields
+    if not (0 < maxval <= 255) or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported netpbm geometry {w}x{h}/{maxval}")
+    pos += 1  # the single whitespace byte after maxval
+    need = w * h * (3 if rgb else 1)
+    raster = content[pos:pos + need]
+    if len(raster) < need:
+        raise ValueError("truncated netpbm raster")
+    if rgb:
+        px = [(299 * raster[i] + 587 * raster[i + 1] + 114 * raster[i + 2])
+              // 1000 for i in range(0, need, 3)]
+    else:
+        px = list(raster)
+    return w, h, maxval, px
 
-    Real path (when PIL is importable): decode, resize to 2x2 grayscale
-    via a box filter (deterministic within one Pillow release — resampling
-    internals may differ across releases, so these features must not feed
-    a hash-gated oracle across environments), emit the 4 pixel intensities
-    plus
-    normalized width/height/aspect/fill — 8 floats, same shape as the
-    stub. Without an image library, ``fake=True`` selects the
-    deterministic byte-hash stub (keeps the Spark plumbing testable
-    end-to-end); ``fake=False`` raises so a silent no-op can never pose
-    as a decode."""
+
+def _half(n: int, q: int) -> tuple[int, int]:
+    """Integer bounds of half ``q`` (0/1) of ``n`` cells; a 1-cell axis
+    contributes its single cell to both halves."""
+    lo, hi = (n * q) // 2, (n * (q + 1)) // 2
+    return (0, n) if lo == hi else (lo, hi)
+
+
+def decode_image(content: bytes, fake: bool = False) -> list[float]:
+    """Image decode -> 8-dim feature vector: 4 quadrant mean intensities
+    (2x2 box downsample, normalized by maxval) + normalized
+    width/height/aspect/fill.
+
+    Decode tier selection (module docstring): netpbm payloads take the
+    dependency-free exact pure-Python path; other formats need PIL
+    (deterministic only within one Pillow release); ``fake=True`` selects
+    the byte-hash stub. Without a usable decoder, ``fake=False`` raises
+    so a silent no-op can never pose as a decode."""
     if fake:
         digest = hashlib.sha256(content or b"").digest()
         return [b / 255.0 for b in digest[:8]]
+    tail = [0.0, 0.0, 0.0, len(content or b"") / 1_048_576.0]
+    if content[:2] in (b"P5", b"P6"):
+        w, h, maxval, px = _netpbm_decode(content)
+        quads = []
+        for qy in (0, 1):
+            y0, y1 = _half(h, qy)
+            for qx in (0, 1):
+                x0, x1 = _half(w, qx)
+                s = sum(px[y * w + x]
+                        for y in range(y0, y1) for x in range(x0, x1))
+                quads.append(s / ((y1 - y0) * (x1 - x0)) / maxval)
+        tail[0] = min(w, 4096) / 4096.0
+        tail[1] = min(h, 4096) / 4096.0
+        tail[2] = w / max(h, 1) / 8.0
+        return quads + tail
     if _PILImage is None:
         raise NotImplementedError(
-            "image decoding requires an image library not present in this "
-            "environment; pass fake=True for the deterministic stub")
+            "non-netpbm image decoding requires an image library not "
+            "present in this environment; pass fake=True for the "
+            "deterministic stub")
     import io
 
     img = _PILImage.open(io.BytesIO(content)).convert("L")
@@ -101,8 +182,10 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
     small = img.resize(
         (2, 2), getattr(_PILImage, "Resampling", _PILImage).BOX)
     px = [p / 255.0 for p in small.getdata()]
-    return px + [min(w, 4096) / 4096.0, min(h, 4096) / 4096.0,
-                 w / max(h, 1) / 8.0, len(content or b"") / 1_048_576.0]
+    tail[0] = min(w, 4096) / 4096.0
+    tail[1] = min(h, 4096) / 4096.0
+    tail[2] = w / max(h, 1) / 8.0
+    return px + tail
 
 
 def extract_features(media: DataFrame, fake: bool = True,

@@ -1674,6 +1674,35 @@ FROM base WHERE i % 3 = 0
 """
 
 
+def q61_media_features(spark, sf_dir):
+    """Multimodal plane end-to-end with REAL decode: synth media (true P6
+    payloads) -> Arrow-batched extract_features -> dependency-free netpbm
+    decode (analytics/multimodal.py). Oracle: pinned table from the
+    sequential pure-Python twin (same payload synthesis + decode, no
+    Spark; floats pass through the schema's float32 before HALF_UP
+    rounding)."""
+    from ..analytics import multimodal
+
+    docs = X.docs_dataframe(spark, EXTRACT_N_DOCS)
+    media = multimodal.synth_media(spark, docs)
+    feats = multimodal.extract_features(media, fake=False)
+    return feats.select(
+        "media_ref", "doc_id", "sha256", "n_bytes",
+        *[F.round(F.col("features")[i].cast("double"), 6).alias(f"f{i}")
+          for i in range(8)])
+
+
+Q61_SQL = (
+    "SELECT media_ref, doc_id, sha256, CAST(n_bytes AS INT) AS n_bytes,\n"
+    + ",\n".join(f"       CAST(f{i} AS DOUBLE) AS f{i}" for i in range(8))
+    + "\nFROM (VALUES\n"
+    + ",\n".join("  (" + ", ".join(repr(v) for v in row) + ")"
+                 for row in getattr(_pinned, "Q61_EXPECTED", []))
+    + "\n) AS t(media_ref, doc_id, sha256, n_bytes, "
+    + ", ".join(f"f{i}" for i in range(8)) + ")"
+)
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers": (q02_top_customers, Q02_SQL),
@@ -1738,4 +1767,5 @@ REGISTRY: dict[str, tuple] = {
     "q59_extract_geschleitung": (q59_extract_geschleitung, Q59_SQL),
     "q60_extract_unternehmensvertraege": (
         q60_extract_unternehmensvertraege, Q60_SQL),
+    "q61_media_features": (q61_media_features, Q61_SQL),
 }

@@ -164,6 +164,34 @@ def q50_rows() -> list[tuple[str, int, int, int]]:
     return sorted(streak_grouping(hist, insertion_rank=rank))
 
 
+def q61_rows() -> list[tuple]:
+    """Sequential twin of q61 (multimodal features): per doc, the media
+    refs from the synthetic spans, each ref's REAL P6 payload and the
+    dependency-free netpbm decode — no Spark anywhere. Feature floats go
+    through float32 (the FEATURE_SCHEMA element type) before rounding so
+    the literal equals the engine's stored value rounded the same way."""
+    import hashlib
+
+    from akf_cdparser_spark import fixtures
+    from akf_cdparser_spark.analytics import multimodal as mm
+    from akf_cdparser_spark.plans.queries import EXTRACT_N_DOCS
+
+    rows = []
+    for i in range(EXTRACT_N_DOCS):
+        spans = fixtures.html_to_spans(fixtures.synth_html(i, EXTRACT_N_DOCS))
+        for s in spans:
+            if s["kind"] != "media":
+                continue
+            ref = s["media_ref"]
+            payload, _w, _h = mm.synth_ppm(ref)
+            feats = mm.decode_image(payload, fake=False)
+            rows.append((ref, fixtures.doc_id_for(i),
+                         hashlib.sha256(payload).hexdigest(), len(payload),
+                         *[spark_round(float(np.float32(v)), 6)
+                           for v in feats]))
+    return sorted(rows)
+
+
 HEADER = '''"""GENERATED by scripts/gen_pinned_oracles.py — do not edit.
 
 Pinned expected tables for the q47/q48 oracles, computed through sequential
@@ -180,6 +208,7 @@ def main():
     q48 = q48_rows()
     q29 = q29_rows()
     q50 = q50_rows()
+    q61 = q61_rows()
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "akf_cdparser_spark", "plans", "pinned.py")
     with open(path, "w", encoding="utf-8") as fh:
@@ -196,9 +225,12 @@ def main():
         fh.write("]\n\nQ48_EXPECTED = [\n")
         for r in q48:
             fh.write(f"    {r!r},\n")
+        fh.write("]\n\nQ61_EXPECTED = [\n")
+        for r in q61:
+            fh.write(f"    {r!r},\n")
         fh.write("]\n")
     print(f"wrote {path}: {len(q29)} q29, {len(q50)} q50, "
-          f"{len(q47)} q47, {len(q48)} q48 rows")
+          f"{len(q47)} q47, {len(q48)} q48, {len(q61)} q61 rows")
     print("q48:", q48)
 
 

@@ -83,7 +83,9 @@ def test_multimodal_plumbing(spark):
     assert media.count() == N  # one chart per doc
     feats = multimodal.extract_features(media, fake=True).collect()
     assert all(len(f.features) == 8 for f in feats)
-    assert all(f.n_bytes == 2048 for f in feats)
+    n_by_ref = {r.media_ref: r.n_bytes
+                for r in media.select("media_ref", "meta.n_bytes").collect()}
+    assert all(f.n_bytes == n_by_ref[f.media_ref] > 0 for f in feats)
     # metadata-only projection prunes the binary column at the scan
     meta = multimodal.metadata_only(media)
     assert "content" not in meta.columns
@@ -101,6 +103,42 @@ def test_decode_stub_raises_without_fake():
         pytest.skip("PIL present: real decode path active")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"xx", fake=False)
+
+
+def test_netpbm_real_decode_known_quadrants():
+    """Dependency-free REAL decode: a handcrafted 2x2 P6 with known pixels
+    must produce the exact quadrant means (integer ITU-R 601 luma)."""
+    # pixels: (255,0,0) (0,255,0) / (0,0,255) (255,255,255)
+    raster = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    payload = b"P6\n# c\n2 2\n255\n" + raster
+    f = multimodal.decode_image(payload, fake=False)
+    lumas = [(299 * 255) // 1000, (587 * 255) // 1000,
+             (114 * 255) // 1000, 255]
+    assert f[:4] == [v / 255 for v in lumas]
+    assert f[4] == 2 / 4096.0 and f[5] == 2 / 4096.0
+    # P5 grayscale and comment/whitespace handling
+    g = multimodal.decode_image(b"P5\n#x\n 1 2\n255\n" + bytes([10, 20]),
+                                fake=False)
+    assert g[:4] == [10 / 255, 10 / 255, 20 / 255, 20 / 255]
+    import pytest
+    with pytest.raises(ValueError):
+        multimodal._netpbm_decode(b"P6\n2 2\n255\n" + bytes(3))  # truncated
+
+
+def test_multimodal_real_decode_end_to_end(spark):
+    """extract_features(fake=False) runs the REAL netpbm decode over the
+    distributed synth media and matches a pure-Python twin exactly."""
+    docs = X.docs_dataframe(spark, N)
+    media = multimodal.synth_media(spark, docs)
+    got = {f.media_ref: f.features
+           for f in multimodal.extract_features(media, fake=False).collect()}
+    assert len(got) == N
+    import pytest
+    for ref, features in got.items():
+        payload, _w, _h = multimodal.synth_ppm(ref)
+        exp = multimodal.decode_image(payload, fake=False)
+        # schema carries float32: compare at float32 precision
+        assert features == pytest.approx(exp, abs=1e-6), ref
 
 
 def test_decode_real_path_when_pil_present():

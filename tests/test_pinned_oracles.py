@@ -43,6 +43,10 @@ def test_q48_pinned_matches_numpy_twin():
     assert gen.q48_rows() == pinned.Q48_EXPECTED
 
 
+def test_q61_pinned_matches_sequential_twin():
+    assert gen.q61_rows() == pinned.Q61_EXPECTED
+
+
 def test_q48_recall_meets_semantic_gate():
     vals = [r for _, r in pinned.Q48_EXPECTED]
     assert sum(vals) / len(vals) >= 0.8
