@@ -134,6 +134,105 @@ def _netpbm_decode(content: bytes) -> tuple[int, int, int, list[int]]:
     return w, h, maxval, px
 
 
+def _wav_decode(content: bytes) -> tuple[int, int, list[int]]:
+    """Dependency-free RIFF/WAVE 16-bit PCM decode ->
+    (sample_rate, n_channels, interleaved int16 samples). Chunk-walks the
+    container (fmt / data; other chunks skipped), little-endian
+    throughout — exact and platform-independent."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAVE encoding fmt={fmt} "
+                                 f"bits={bits} (PCM16 only)")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("truncated WAVE: missing fmt or data chunk")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[:2 * n]))
+    return rate, channels, samples
+
+
+def decode_audio(content: bytes, fake: bool = False) -> list[float]:
+    """Audio decode -> 8-dim feature vector (same shape as the image
+    features): [rms, peak, zero-crossing rate, mean, duration/3600s,
+    rate/48kHz, channels/8, bytes/MiB] — all normalized to ~[0, 1],
+    exact deterministic arithmetic (IEEE sqrt is correctly rounded)."""
+    if fake:
+        digest = hashlib.sha256(content or b"").digest()
+        return [b / 255.0 for b in digest[:8]]
+    rate, channels, s = _wav_decode(content)
+    n = len(s)
+    if n == 0:
+        core = [0.0, 0.0, 0.0, 0.0]
+    else:
+        rms = (sum(v * v for v in s) / n) ** 0.5 / 32768.0
+        peak = max(abs(v) for v in s) / 32768.0
+        zc = sum(1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0))
+        zcr = zc / (n - 1) if n > 1 else 0.0
+        mean = sum(s) / n / 32768.0
+        core = [rms, peak, zcr, mean]
+    frames = n // max(channels, 1)
+    dur = frames / rate if rate else 0.0
+    return core + [min(dur, 3600.0) / 3600.0, min(rate, 48000) / 48000.0,
+                   min(channels, 8) / 8.0,
+                   len(content or b"") / 1_048_576.0]
+
+
+def synth_wav(ref: str) -> tuple[bytes, int, int]:
+    """Deterministic REAL 16-bit PCM mono WAV for a media ref (geometry +
+    samples from the ref's sha256). Returns (payload, rate, n_frames)."""
+    import struct
+
+    seed = hashlib.sha256(ref.encode()).digest()
+    rate = 8000 + (seed[0] % 8) * 1000
+    n = 400 + seed[1] * 3
+    raw = (seed * ((2 * n) // len(seed) + 1))[:2 * n]
+    data = bytes(raw)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    payload = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+               + b"WAVE"
+               + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(data)) + data)
+    return payload, rate, n
+
+
+def synth_audio(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Deterministic audio media table: one REAL PCM16 WAV per doc media
+    ref (kind=audio) — the audio twin of ``synth_media``."""
+    refs = (docs.select("doc_id", F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "media")
+            .select("doc_id", F.col("s.media_ref").alias("media_ref")))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                payload, _rate, _n = synth_wav(ref)
+                rows.append({
+                    "media_ref": ref, "doc_id": doc_id, "kind": "audio",
+                    "content": payload,
+                    # width/height are image-plane metadata: typed NULLs
+                    "meta": {"width": None, "height": None,
+                             "n_bytes": len(payload),
+                             "mime": "audio/wav"},
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return refs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def _half(n: int, q: int) -> tuple[int, int]:
     """Integer bounds of half ``q`` (0/1) of ``n`` cells; a 1-cell axis
     contributes its single cell to both halves."""
@@ -205,14 +304,16 @@ def extract_features(media: DataFrame, fake: bool = True,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for ref, doc_id, content in zip(pdf["media_ref"], pdf["doc_id"],
-                                            pdf["content"]):
+            for ref, doc_id, kind, content in zip(
+                    pdf["media_ref"], pdf["doc_id"], pdf["kind"],
+                    pdf["content"]):
                 blob = bytes(content) if content is not None else b""
+                decode = decode_audio if kind == "audio" else decode_image
                 rows.append({
                     "media_ref": ref, "doc_id": doc_id,
                     "sha256": hashlib.sha256(blob).hexdigest(),
                     "n_bytes": len(blob),
-                    "features": decode_image(blob, fake=fake),
+                    "features": decode(blob, fake=fake),
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 

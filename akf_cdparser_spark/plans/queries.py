@@ -1692,15 +1692,38 @@ def q61_media_features(spark, sf_dir):
           for i in range(8)])
 
 
-Q61_SQL = (
-    "SELECT media_ref, doc_id, sha256, CAST(n_bytes AS INT) AS n_bytes,\n"
-    + ",\n".join(f"       CAST(f{i} AS DOUBLE) AS f{i}" for i in range(8))
-    + "\nFROM (VALUES\n"
-    + ",\n".join("  (" + ", ".join(repr(v) for v in row) + ")"
-                 for row in getattr(_pinned, "Q61_EXPECTED", []))
-    + "\n) AS t(media_ref, doc_id, sha256, n_bytes, "
-    + ", ".join(f"f{i}" for i in range(8)) + ")"
-)
+def _media_values_sql(rows) -> str:
+    return (
+        "SELECT media_ref, doc_id, sha256, CAST(n_bytes AS INT) AS n_bytes,\n"
+        + ",\n".join(f"       CAST(f{i} AS DOUBLE) AS f{i}" for i in range(8))
+        + "\nFROM (VALUES\n"
+        + ",\n".join("  (" + ", ".join(repr(v) for v in row) + ")"
+                     for row in rows)
+        + "\n) AS t(media_ref, doc_id, sha256, n_bytes, "
+        + ", ".join(f"f{i}" for i in range(8)) + ")"
+    )
+
+
+Q61_SQL = _media_values_sql(getattr(_pinned, "Q61_EXPECTED", []))
+
+
+def q62_audio_features(spark, sf_dir):
+    """Audio plane end-to-end with REAL decode: synth audio (true PCM16
+    WAV payloads) -> kind-dispatched extract_features -> dependency-free
+    RIFF/WAVE decode. Oracle: pinned pure-Python twin (same synthesis +
+    decode; floats through float32 before HALF_UP rounding)."""
+    from ..analytics import multimodal
+
+    docs = X.docs_dataframe(spark, EXTRACT_N_DOCS)
+    audio = multimodal.synth_audio(spark, docs)
+    feats = multimodal.extract_features(audio, fake=False)
+    return feats.select(
+        "media_ref", "doc_id", "sha256", "n_bytes",
+        *[F.round(F.col("features")[i].cast("double"), 6).alias(f"f{i}")
+          for i in range(8)])
+
+
+Q62_SQL = _media_values_sql(getattr(_pinned, "Q62_EXPECTED", []))
 
 
 REGISTRY: dict[str, tuple] = {
@@ -1768,4 +1791,5 @@ REGISTRY: dict[str, tuple] = {
     "q60_extract_unternehmensvertraege": (
         q60_extract_unternehmensvertraege, Q60_SQL),
     "q61_media_features": (q61_media_features, Q61_SQL),
+    "q62_audio_features": (q62_audio_features, Q62_SQL),
 }

@@ -125,6 +125,43 @@ def test_netpbm_real_decode_known_quadrants():
         multimodal._netpbm_decode(b"P6\n2 2\n255\n" + bytes(3))  # truncated
 
 
+def test_wav_real_decode_known_samples():
+    """Dependency-free REAL audio decode: a handcrafted PCM16 WAV with
+    known samples must produce the exact normalized features."""
+    import struct
+    samples = [16384, -16384, 0, 32767]
+    data = struct.pack("<4h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    f = multimodal.decode_audio(wav, fake=False)
+    assert f[0] == (sum(v * v for v in samples) / 4) ** 0.5 / 32768.0
+    assert f[1] == 32767 / 32768.0
+    assert f[2] == 2 / 3          # sign changes at 0->1 and 1->2 only
+    assert f[3] == 32767 / 4 / 32768.0
+    assert f[4] == (4 / 8000) / 3600.0
+    assert f[5] == 8000 / 48000.0 and f[6] == 1 / 8.0
+    import pytest
+    with pytest.raises(ValueError):
+        multimodal.decode_audio(b"RIFFxxxxNOPE", fake=False)
+
+
+def test_multimodal_audio_end_to_end(spark):
+    """extract_features(fake=False) dispatches on kind: REAL WAV decode
+    over the distributed synth audio matches the pure-Python twin."""
+    import pytest
+    docs = X.docs_dataframe(spark, N)
+    audio = multimodal.synth_audio(spark, docs)
+    got = {f.media_ref: f.features
+           for f in multimodal.extract_features(audio, fake=False).collect()}
+    assert len(got) == N
+    for ref, features in got.items():
+        payload, _r, _n = multimodal.synth_wav(ref)
+        exp = multimodal.decode_audio(payload, fake=False)
+        assert features == pytest.approx(exp, abs=1e-6), ref
+
+
 def test_multimodal_real_decode_end_to_end(spark):
     """extract_features(fake=False) runs the REAL netpbm decode over the
     distributed synth media and matches a pure-Python twin exactly."""
