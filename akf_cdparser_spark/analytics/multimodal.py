@@ -1,16 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-Decode tiers:
-* **netpbm (P5/P6)** — a dependency-free pure-Python decoder below:
-  REAL decode, runs in any environment, exact integer arithmetic
-  (deterministic across platforms, safe to feed hash-gated oracles).
-  ``synth_media`` emits real P6 payloads so the full
+Decode tiers (all three modalities have a REAL dependency-free path):
+* **image: netpbm (P5/P6)** — pure-Python decoder below: exact integer
+  arithmetic (deterministic across platforms, safe to feed hash-gated
+  oracles). ``synth_media`` emits real P6 payloads so the full
   decode->feature pipeline is exercised end-to-end in-sandbox.
-* **PIL** (optional import) — all other formats when an image library is
-  present; resampling internals may differ across Pillow releases, so
+* **audio: RIFF/WAVE PCM16** — pure-Python chunk walker + struct
+  unpacking; rms/peak/zero-crossing/mean/duration features.
+* **video: YUV4MPEG2 (y4m)** — pure-Python header + frame parser with
+  FRAME SAMPLING (only every k-th frame's luma plane is touched).
+* **PIL** (optional import) — other image formats when an image library
+  is present; resampling internals may differ across Pillow releases, so
   this tier must not feed cross-environment hash oracles.
 * **fake=True** — deterministic byte-hash stub, kept for plumbing tests.
+``extract_features`` dispatches the tier on the ``kind`` column.
 
 Everything Spark-side is real and tested: the schema, the Arrow batch
 shape through ``mapInPandas``, the partition-size control (media blobs
@@ -233,6 +237,102 @@ def synth_audio(spark: SparkSession, docs: DataFrame) -> DataFrame:
     return refs.mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def _y4m_decode(content: bytes) -> tuple[int, int, int, int, list[bytes]]:
+    """Dependency-free YUV4MPEG2 (y4m) decode ->
+    (width, height, fps_num, fps_den, luma plane per frame). Handles
+    Cmono (luma-only) and C420* (chroma skipped — features use luma)."""
+    nl = content.find(b"\n")
+    if nl < 0 or not content.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fn, fd, cs = 25, 1, "C420"
+    for tok in content[:nl].decode("ascii", "replace").split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            fn, fd = (int(x) for x in tok[1:].split(":"))
+        elif tok[0] == "C":
+            cs = tok
+    if not w or not h or w <= 0 or h <= 0:
+        raise ValueError("missing y4m geometry")
+    frame_size = w * h if cs == "Cmono" else w * h + 2 * ((w // 2) * (h // 2))
+    pos, frames = nl + 1, []
+    while pos < len(content):
+        fnl = content.find(b"\n", pos)
+        if fnl < 0 or not content[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("malformed y4m frame marker")
+        data = content[fnl + 1:fnl + 1 + frame_size]
+        if len(data) < frame_size:
+            raise ValueError("truncated y4m frame")
+        frames.append(data[:w * h])  # luma plane only
+        pos = fnl + 1 + frame_size
+    return w, h, fn, fd, frames
+
+
+def decode_video(content: bytes, fake: bool = False,
+                 sample_every: int = 2) -> list[float]:
+    """Video decode with FRAME SAMPLING -> 8-dim features: [mean sampled
+    luma, first sampled frame luma, last sampled frame luma, mean
+    inter-frame luma delta (motion proxy), frames/1000, fps/60, width/4096,
+    bytes/MiB]. Only every ``sample_every``-th frame is touched — the
+    production lever for not decoding 30 fps x hours. Exact integer sums,
+    deterministic on any platform."""
+    if fake:
+        digest = hashlib.sha256(content or b"").digest()
+        return [b / 255.0 for b in digest[:8]]
+    w, h, fn, fd, frames = _y4m_decode(content)
+    sampled = frames[::max(1, sample_every)]
+    means = [sum(f) / len(f) / 255.0 for f in sampled]
+    motion = (sum(abs(a - b) for a, b in zip(means, means[1:]))
+              / (len(means) - 1) if len(means) > 1 else 0.0)
+    avg = sum(means) / len(means) if means else 0.0
+    fps = fn / fd if fd else 0.0
+    return [avg, means[0] if means else 0.0, means[-1] if means else 0.0,
+            motion, min(len(frames), 1000) / 1000.0,
+            min(fps, 60.0) / 60.0, min(w, 4096) / 4096.0,
+            len(content or b"") / 1_048_576.0]
+
+
+def synth_y4m(ref: str) -> tuple[bytes, int, int, int]:
+    """Deterministic REAL Cmono y4m clip for a media ref. Returns
+    (payload, width, height, n_frames)."""
+    seed = hashlib.sha256(ref.encode()).digest()
+    w, h = 6 + seed[0] % 11, 4 + seed[1] % 9
+    n_frames, fps = 4 + seed[2] % 7, 10 + seed[3] % 21
+    header = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 Cmono\n".encode()
+    out = [header]
+    for k in range(n_frames):
+        luma = (seed[k % 32:] + seed) * ((w * h) // 32 + 2)
+        out.append(b"FRAME\n" + bytes(luma[:w * h]))
+    return b"".join(out), w, h, n_frames
+
+
+def synth_video(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Deterministic video media table: one REAL Cmono y4m clip per doc
+    media ref (kind=video) — the video twin of ``synth_media``."""
+    refs = (docs.select("doc_id", F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "media")
+            .select("doc_id", F.col("s.media_ref").alias("media_ref")))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                payload, w, h, _n = synth_y4m(ref)
+                rows.append({
+                    "media_ref": ref, "doc_id": doc_id, "kind": "video",
+                    "content": payload,
+                    "meta": {"width": w, "height": h,
+                             "n_bytes": len(payload),
+                             "mime": "video/x-yuv4mpeg"},
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return refs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def _half(n: int, q: int) -> tuple[int, int]:
     """Integer bounds of half ``q`` (0/1) of ``n`` cells; a 1-cell axis
     contributes its single cell to both halves."""
@@ -308,7 +408,8 @@ def extract_features(media: DataFrame, fake: bool = True,
                     pdf["media_ref"], pdf["doc_id"], pdf["kind"],
                     pdf["content"]):
                 blob = bytes(content) if content is not None else b""
-                decode = decode_audio if kind == "audio" else decode_image
+                decode = {"audio": decode_audio,
+                          "video": decode_video}.get(kind, decode_image)
                 rows.append({
                     "media_ref": ref, "doc_id": doc_id,
                     "sha256": hashlib.sha256(blob).hexdigest(),

@@ -1726,6 +1726,25 @@ def q62_audio_features(spark, sf_dir):
 Q62_SQL = _media_values_sql(getattr(_pinned, "Q62_EXPECTED", []))
 
 
+def q63_video_features(spark, sf_dir):
+    """Video plane end-to-end with REAL decode + frame sampling: synth
+    video (true Cmono y4m clips) -> kind-dispatched extract_features ->
+    dependency-free YUV4MPEG2 parser touching every 2nd frame's luma
+    plane. Oracle: pinned pure-Python twin."""
+    from ..analytics import multimodal
+
+    docs = X.docs_dataframe(spark, EXTRACT_N_DOCS)
+    video = multimodal.synth_video(spark, docs)
+    feats = multimodal.extract_features(video, fake=False)
+    return feats.select(
+        "media_ref", "doc_id", "sha256", "n_bytes",
+        *[F.round(F.col("features")[i].cast("double"), 6).alias(f"f{i}")
+          for i in range(8)])
+
+
+Q63_SQL = _media_values_sql(getattr(_pinned, "Q63_EXPECTED", []))
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers": (q02_top_customers, Q02_SQL),
@@ -1792,4 +1811,5 @@ REGISTRY: dict[str, tuple] = {
         q60_extract_unternehmensvertraege, Q60_SQL),
     "q61_media_features": (q61_media_features, Q61_SQL),
     "q62_audio_features": (q62_audio_features, Q62_SQL),
+    "q63_video_features": (q63_video_features, Q63_SQL),
 }

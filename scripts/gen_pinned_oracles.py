@@ -217,6 +217,31 @@ def q62_rows() -> list[tuple]:
     return sorted(rows)
 
 
+def q63_rows() -> list[tuple]:
+    """Sequential twin of q63 (video features): synth_y4m + the
+    dependency-free frame-sampling decode."""
+    import hashlib
+
+    from akf_cdparser_spark import fixtures
+    from akf_cdparser_spark.analytics import multimodal as mm
+    from akf_cdparser_spark.plans.queries import EXTRACT_N_DOCS
+
+    rows = []
+    for i in range(EXTRACT_N_DOCS):
+        spans = fixtures.html_to_spans(fixtures.synth_html(i, EXTRACT_N_DOCS))
+        for s in spans:
+            if s["kind"] != "media":
+                continue
+            ref = s["media_ref"]
+            payload, _w, _h, _n = mm.synth_y4m(ref)
+            feats = mm.decode_video(payload, fake=False)
+            rows.append((ref, fixtures.doc_id_for(i),
+                         hashlib.sha256(payload).hexdigest(), len(payload),
+                         *[spark_round(float(np.float32(v)), 6)
+                           for v in feats]))
+    return sorted(rows)
+
+
 HEADER = '''"""GENERATED by scripts/gen_pinned_oracles.py — do not edit.
 
 Pinned expected tables for the q47/q48 oracles, computed through sequential
@@ -235,6 +260,7 @@ def main():
     q50 = q50_rows()
     q61 = q61_rows()
     q62 = q62_rows()
+    q63 = q63_rows()
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "akf_cdparser_spark", "plans", "pinned.py")
     with open(path, "w", encoding="utf-8") as fh:
@@ -257,10 +283,13 @@ def main():
         fh.write("]\n\nQ62_EXPECTED = [\n")
         for r in q62:
             fh.write(f"    {r!r},\n")
+        fh.write("]\n\nQ63_EXPECTED = [\n")
+        for r in q63:
+            fh.write(f"    {r!r},\n")
         fh.write("]\n")
     print(f"wrote {path}: {len(q29)} q29, {len(q50)} q50, "
           f"{len(q47)} q47, {len(q48)} q48, {len(q61)} q61, "
-          f"{len(q62)} q62 rows")
+          f"{len(q62)} q62, {len(q63)} q63 rows")
     print("q48:", q48)
 
 

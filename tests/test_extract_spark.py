@@ -162,6 +162,42 @@ def test_multimodal_audio_end_to_end(spark):
         assert features == pytest.approx(exp, abs=1e-6), ref
 
 
+def test_y4m_real_decode_and_frame_sampling():
+    """Handcrafted 2-pixel Cmono y4m: exact sampled-luma features, and
+    sample_every actually skips frames (the 30fps-x-hours lever)."""
+    frames = [bytes([0, 0]), bytes([255, 255]), bytes([100, 200]),
+              bytes([50, 50])]
+    payload = (b"YUV4MPEG2 W2 H1 F30:1 Ip A1:1 Cmono\n"
+               + b"".join(b"FRAME\n" + f for f in frames))
+    f = multimodal.decode_video(payload, fake=False, sample_every=2)
+    m0, m2 = 0.0, 150 / 255  # frames 0 and 2 sampled
+    assert f[0] == (m0 + m2) / 2 and f[1] == m0 and f[2] == m2
+    assert f[3] == m2 - m0          # one inter-frame delta
+    assert f[4] == 4 / 1000 and f[5] == 30 / 60 and f[6] == 2 / 4096
+    # sample_every=1 sees every frame
+    g = multimodal.decode_video(payload, fake=False, sample_every=1)
+    assert g[1] == 0.0 and g[2] == 50 / 255
+    import pytest
+    with pytest.raises(ValueError):
+        multimodal.decode_video(b"YUV4MPEG2 W2 H1 Cmono\nFRAME\n\x00",
+                                fake=False)  # truncated frame
+
+
+def test_multimodal_video_end_to_end(spark):
+    """Kind-dispatched REAL y4m decode over distributed synth video
+    matches the pure-Python twin."""
+    import pytest
+    docs = X.docs_dataframe(spark, N)
+    video = multimodal.synth_video(spark, docs)
+    got = {f.media_ref: f.features
+           for f in multimodal.extract_features(video, fake=False).collect()}
+    assert len(got) == N
+    for ref, features in got.items():
+        payload, _w, _h, _n = multimodal.synth_y4m(ref)
+        exp = multimodal.decode_video(payload, fake=False)
+        assert features == pytest.approx(exp, abs=1e-6), ref
+
+
 def test_multimodal_real_decode_end_to_end(spark):
     """extract_features(fake=False) runs the REAL netpbm decode over the
     distributed synth media and matches a pure-Python twin exactly."""

@@ -51,6 +51,10 @@ def test_q62_pinned_matches_sequential_twin():
     assert gen.q62_rows() == pinned.Q62_EXPECTED
 
 
+def test_q63_pinned_matches_sequential_twin():
+    assert gen.q63_rows() == pinned.Q63_EXPECTED
+
+
 def test_q48_recall_meets_semantic_gate():
     vals = [r for _, r in pinned.Q48_EXPECTED]
     assert sum(vals) / len(vals) >= 0.8
