@@ -63,6 +63,33 @@ def test_multimodal_binary_pruned(spark):
     assert out and "content" not in out.group(0)
 
 
+def test_q26_simhash_single_exchange(spark):
+    """The simhash overflow guard must stay FREE: one aggregation pair
+    (partial + final) around exactly ONE shuffle, scan pruned to
+    (doc_id, text). Regression guard for the 32-bit-lane design — the
+    chunked two-level variants all cost a measurable extra exchange
+    (BENCH/BASELINE.md round-5 control table)."""
+    from akf_cdparser_spark.analytics import dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(spark, dedup.simhash(docs))
+    # formatted mode prints each node in the tree AND a detail section —
+    # count the detail headers "(N) Exchange"
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2  # partial+final
+
+
+def test_q61_media_features_plan(spark):
+    """The media feature pipeline stays a single Arrow stage per input
+    split: no shuffle between the spans scan and the feature UDF (the
+    repartition width is data-size derived, one Exchange at most)."""
+    df = REGISTRY["q61_media_features"][0](spark, SF)
+    p = _plan(spark, df)
+    # mapInPandas stages for synthesis + media + features; the only
+    # exchange is the byte-budget repartition before the decode UDF
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1, p
+
+
 def test_q06_filters_pushed(spark):
     p = _plan(spark, REGISTRY["q06_revenue_filter"][0](spark, SF))
     assert "PushedFilters: [IsNotNull" in p
