@@ -208,6 +208,8 @@ RECORDS_SCHEMA = T.StructType([
     T.StructField("investor_relations", T.ArrayType(RELATIONS_STRUCT)),
     T.StructField("geschleitung", T.ArrayType(MANAGER_STRUCT)),
     T.StructField("unternehmens_vertraege", T.ArrayType(T.StringType())),
+    T.StructField("sonstige_angaben",
+                  T.ArrayType(T.ArrayType(T.StringType()))),
     T.StructField("unparsed_chars", T.IntegerType()),
     T.StructField("fulltext_chars", T.IntegerType()),
     T.StructField("n_categories", T.IntegerType()),
@@ -510,6 +512,11 @@ def _typed_projections(rec: dict) -> dict:
         "investor_relations": _relations("investorRelations") or None,
         "geschleitung": gl or None,
         "unternehmens_vertraege": uv or None,
+        # E6 key-value pairs (ref lib/parser.js:481-508): split(':') lists
+        "sonstige_angaben": [
+            [str(x) for x in pair]
+            for pair in rec.get("sonstigeAngaben") or []
+            if isinstance(pair, list)] or None,
         "dividenden": dividenden or None,
         "kennzahlen_rows": kenn_rows or None,
         "bilanzen_rows": bil_rows or None,

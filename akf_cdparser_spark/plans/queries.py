@@ -1745,6 +1745,29 @@ def q63_video_features(spark, sf_dir):
 Q63_SQL = _media_values_sql(getattr(_pinned, "Q63_EXPECTED", []))
 
 
+def q64_extract_sonstige(spark, sf_dir):
+    """E6 Sonstige Angaben (ref lib/parser.js:481-508): bold lines
+    tag-stripped, split(':'). The oracle encodes the SEGMENT-INTERACTION
+    that previously kept this un-oracled: when the second-exchange block
+    (i%5==0) is the LAST section before Sonstige — i odd kills the
+    dividend/i%4/i%8 sections, i%3!=0 kills the Kennzahlen section — the
+    Börsenbewertung segment runs to end-of-document and swallows the
+    headline (its text lands in notizen_kennzahlen; verified in lineage,
+    dispatch parity pinned by q35), so those docs emit NO rows."""
+    recs = _records(spark)
+    return (recs.select("doc_id", F.explode("sonstige_angaben").alias("e"))
+            .select("doc_id", F.col("e")[0].alias("key"),
+                    F.col("e")[1].alias("value")))
+
+
+Q64_SQL = f"""
+SELECT {_DOCID_SQL} AS doc_id, 'Geschäftsjahr' AS key,
+       ' Kalenderjahr' AS value
+{_RANGE_SQL}
+WHERE NOT (i % 5 = 0 AND i % 2 = 1 AND i % 3 <> 0)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers": (q02_top_customers, Q02_SQL),
@@ -1812,4 +1835,5 @@ REGISTRY: dict[str, tuple] = {
     "q61_media_features": (q61_media_features, Q61_SQL),
     "q62_audio_features": (q62_audio_features, Q62_SQL),
     "q63_video_features": (q63_video_features, Q63_SQL),
+    "q64_extract_sonstige": (q64_extract_sonstige, Q64_SQL),
 }
