@@ -47,9 +47,42 @@ import os as _os
 # task's JVM thread + its Arrow Python worker stop oversubscribing the
 # host at high core counts. Opt-in; default 1 = historical behavior.
 _task_cpus = _os.environ.get("AKF_SCALING_TASK_CPUS", "1")
-spark = get_spark(app_name=f"scal{cpus}", master=f"local[{cpus}]",
+_extra = {"spark.task.cpus": _task_cpus}
+if _os.environ.get("AKF_SCALING_MODE") == "cluster":
+    # TRUE multi-executor levels: cpus/2 SEPARATE executor JVMs x 2 cores
+    # (the north rule's "N and 4N executors" read literally) — package
+    # shipped to executors via the --py-files zip mechanism
+    import tempfile, zipfile
+    _zip = _os.path.join(tempfile.mkdtemp(), "akf_pkg.zip")
+    _repo = _os.getcwd()
+    with zipfile.ZipFile(_zip, "w") as _zf:
+        for _root, _dirs, _files in _os.walk(
+                _os.path.join(_repo, "akf_cdparser_spark")):
+            if "__pycache__" in _root:
+                continue
+            for _f in _files:
+                _full = _os.path.join(_root, _f)
+                _zf.write(_full, _os.path.relpath(_full, _repo))
+    import pyspark as _ps
+    _os.environ.setdefault("SPARK_HOME", _os.path.dirname(
+        _os.path.abspath(_ps.__file__)))
+    # 6 GiB heap per executor, CONSTANT across levels (a real cluster
+    # scales executor COUNT, not per-executor memory): the 1-executor
+    # level holds the full 480k-doc crawl working set in one JVM, and the
+    # 8-executor level peaks at 8 x 6 GiB = 48 GiB on the 128 GiB host.
+    # NOTE the local-cluster[...] memory field only sizes the WORKER's
+    # advertised allocation; the executor JVM heap itself comes from
+    # spark.executor.memory (default 1g — a 1-executor run OOMed there).
+    _master = f"local-cluster[{max(1, int(cpus) // 2)},2,6144]"
+    _extra["spark.executor.memory"] = "6g"
+    _extra["spark.submit.pyFiles"] = _zip
+else:
+    _master = f"local[{cpus}]"
+spark = get_spark(app_name=f"scal{cpus}", master=_master,
                   shuffle_partitions=max(4, int(cpus)),
-                  extra_conf={"spark.task.cpus": _task_cpus})
+                  extra_conf=_extra)
+if _os.environ.get("AKF_SCALING_MODE") == "cluster":
+    spark.sparkContext.addPyFile(_extra["spark.submit.pyFiles"])
 parts = int(cpus)  # one balanced wave: minimal per-task overhead
 
 def fused(batches):
@@ -221,10 +254,11 @@ Raw: `python scripts/scaling.py {n_docs} {crawl_mult} {' '.join(str(c) for c in 
 {json.dumps(report, indent=2)}
 ```
 """
-    if os.environ.get("AKF_SCALING_TASK_CPUS", "1") != "1":
-        # contention-experiment mode: print-only, never overwrite the
-        # canonical baseline sweep (task.cpus changes the workload shape)
-        print("AKF_SCALING_TASK_CPUS set — skipping BENCH/BASELINE.md write")
+    if (os.environ.get("AKF_SCALING_TASK_CPUS", "1") != "1"
+            or os.environ.get("AKF_SCALING_MODE") == "cluster"):
+        # experiment modes: print-only, never overwrite the canonical
+        # baseline sweep (they change the workload/deployment shape)
+        print("experiment mode — skipping BENCH/BASELINE.md write")
         return
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w", encoding="utf-8") as fh:
