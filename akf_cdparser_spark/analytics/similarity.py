@@ -163,6 +163,139 @@ def ann_recall_vs_bruteforce(embeddings: DataFrame, query_ids: list[int],
                             / F.col("n_true"), 4).alias("recall")))
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to banded LSH
+# ---------------------------------------------------------------------------
+
+IVF_N_LISTS = 16
+IVF_N_ASSIGN = 3
+IVF_N_PROBE = 4
+
+
+def ivf_centroid_row(embeddings: DataFrame, n_lists: int = IVF_N_LISTS) -> DataFrame:
+    """Deterministic sampling coarse quantizer, collapsed to ONE row holding
+    ``cents: array<struct<list_id int, c_emb array<float>>>``.
+
+    The ``n_lists`` corpus vectors ranked first by ``(md5(vec_id), vec_id)``
+    become the list centroids (a data-dependent pseudo-random sample with no
+    RNG state — reproducible on any engine). ``orderBy().limit()`` plans as
+    TakeOrderedAndProject (per-partition top-n, no global sort), and the
+    collapse to one row costs one tiny final aggregation; the nondeterministic
+    ``collect_list`` order is erased by ``array_sort`` on the md5 rank key.
+
+    Lloyd refinement is deliberately NOT part of this quantizer: float
+    averages are partition-order-nondeterministic (unsafe under a hash-gated
+    oracle), and on the isotropic synthetic embeddings a measured 3-iteration
+    Lloyd pass LOWERED recall@5 (0.76 -> 0.68 at 16/2/4) — the classic
+    behavior for data with no cluster structure. On a clustered production
+    corpus, refine offline and feed the refined centroids via
+    ``ivf_topk(..., centroid_row=...)``.
+    """
+    cents = (embeddings
+             .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+             .limit(n_lists)
+             .select(F.md5(F.col("vec_id").cast("string")).alias("_key"),
+                     F.col("vec_id").alias("_vid"), "embedding"))
+    ordered = F.array_sort(F.collect_list(
+        F.struct(F.col("_key"), F.col("_vid"), F.col("embedding"))))
+    return cents.agg(
+        F.transform(ordered,
+                    lambda c, i: F.struct(i.alias("list_id"),
+                                          c["embedding"].alias("c_emb")))
+        .alias("cents"))
+
+
+def _list_scores(emb_col, cents_col):
+    """array<struct<ccos double, list_id int>> sorted by (ccos desc,
+    list_id asc); ccos rounded to 6 dp so the ranking is reproducible on any
+    engine that computes the fold in a different summation order."""
+    scored = F.transform(cents_col, lambda c: F.struct(
+        F.round(_dot(emb_col, c["c_emb"])
+                / (_norm(emb_col) * _norm(c["c_emb"])), 6).alias("ccos"),
+        c["list_id"].alias("list_id")))
+    return F.array_sort(
+        scored,
+        lambda l, r: F.when(l["ccos"] > r["ccos"], F.lit(-1))
+                      .when(l["ccos"] < r["ccos"], F.lit(1))
+                      .otherwise(l["list_id"] - r["list_id"]))
+
+
+def ivf_inverted_lists(embeddings: DataFrame, n_lists: int = IVF_N_LISTS,
+                       n_assign: int = IVF_N_ASSIGN,
+                       centroid_row: DataFrame | None = None) -> DataFrame:
+    """Multi-assignment inverted lists: each vector appears in its
+    ``n_assign`` nearest coarse lists (FAISS-style multi-assignment — the
+    recall lever that works even on isotropic data, where single-assignment
+    IVF caps out near recall 0.5).
+
+    Scale shape: the centroid row is a one-row broadcast, scoring + top-a
+    selection are pure higher-order-function projections inside codegen, and
+    the output is ``explode`` of an ``n_assign``-element slice — NO shuffle
+    anywhere. At 100 TB the result is what you'd write out bucketed by
+    ``list_id``.
+    """
+    cents = centroid_row if centroid_row is not None \
+        else ivf_centroid_row(embeddings, n_lists)
+    return (embeddings.join(F.broadcast(cents))
+            .withColumn("_lists", F.slice(
+                _list_scores(F.col("embedding"), F.col("cents")), 1, n_assign))
+            .select("vec_id", "embedding",
+                    F.explode(F.col("_lists.list_id")).alias("list_id")))
+
+
+def cosine_topk_ivf(embeddings: DataFrame, query_ids: list[int],
+                    k: int = 5, n_lists: int = IVF_N_LISTS,
+                    n_assign: int = IVF_N_ASSIGN, n_probe: int = IVF_N_PROBE,
+                    round_to: int = 4) -> DataFrame:
+    """ANN via an inverted-file index: candidates = corpus vectors whose
+    assignment lists intersect the query's ``n_probe`` nearest lists; exact
+    cosine ranks the candidates. The probe is an equi-join on ``list_id``
+    against the (tiny, broadcast) exploded query-probe table — never a cross
+    product. Same candidate-then-exact contract as the LSH variants."""
+    cents = ivf_centroid_row(embeddings, n_lists)
+    inv = ivf_inverted_lists(embeddings, n_lists, n_assign, centroid_row=cents)
+    queries = (embeddings.filter(F.col("vec_id").isin(query_ids))
+               .join(F.broadcast(cents))
+               .withColumn("_probes", F.slice(
+                   _list_scores(F.col("embedding"), F.col("cents")), 1, n_probe))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb"),
+                       F.explode(F.col("_probes.list_id")).alias("list_id")))
+    cands = (inv.join(F.broadcast(queries), "list_id")
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "q_emb", "vec_id", "embedding")
+             .dropDuplicates(["query_id", "vec_id"]))
+    scored = cands.withColumn(
+        "cosine", F.round(_dot("q_emb", "embedding")
+                          / (_norm("q_emb") * _norm("embedding")), round_to))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def ivf_recall_vs_bruteforce(embeddings: DataFrame, query_ids: list[int],
+                             k: int = 5, n_lists: int = IVF_N_LISTS,
+                             n_assign: int = IVF_N_ASSIGN,
+                             n_probe: int = IVF_N_PROBE) -> DataFrame:
+    """Continuous gate for the IVF scale path: per-query recall@k of the
+    IVF top-k against the brute-force oracle (same contract as
+    ``ann_recall_vs_bruteforce``)."""
+    brute = (cosine_topk_bruteforce(embeddings, query_ids, k)
+             .select("query_id", "vec_id"))
+    ivf = (cosine_topk_ivf(embeddings, query_ids, k, n_lists, n_assign,
+                           n_probe)
+           .select("query_id", F.col("vec_id").alias("ivf_vec_id")))
+    hits = brute.join(ivf, (brute.query_id == ivf.query_id)
+                      & (brute.vec_id == ivf.ivf_vec_id), "left_semi")
+    return (brute.groupBy("query_id").agg(F.count("*").alias("n_true"))
+            .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+                  "query_id", "left")
+            .select("query_id",
+                    F.round(F.coalesce(F.col("n_hit"), F.lit(0))
+                            / F.col("n_true"), 4).alias("recall")))
+
+
 def embedding_near_dups(embeddings: DataFrame, *, dim: int,
                         threshold: float = 0.97, n_planes: int = 6,
                         round_to: int = 4) -> DataFrame:

@@ -1429,7 +1429,32 @@ FROM labels l JOIN csizes c USING (cluster_id)
 # the scale the driver's correctness gate runs at; local parity tests must
 # run these at sf0.01 too (the other pinned query, q47, is sf-independent:
 # its corpus is the fixed 40-doc synthetic set)
-PINNED_SF01 = {"q29_lse_grouped", "q48_ann_recall", "q50_lse_coupled"}
+PINNED_SF01 = {"q29_lse_grouped", "q48_ann_recall", "q50_lse_coupled",
+               "q65_ivf_recall"}
+
+
+def q65_ivf_recall(spark, sf_dir):
+    """IVF (inverted-file) ANN scale path gated against the brute-force
+    oracle: recall@5 per query with the default 16-list / 3-assignment /
+    4-probe config (multi-assignment is the recall lever — single-assignment
+    IVF caps near 0.5 on these isotropic embeddings). Oracle: pinned recall
+    vector from the numpy twin of the sampling quantizer + multi-assignment
+    probe (scripts/gen_pinned_oracles.py q65_rows). Valid at sf0.01 — the
+    scale the driver runs oracles at; tests/test_analytics.py additionally
+    asserts mean recall >= 0.8 as the semantic gate."""
+    from ..analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_recall_vs_bruteforce(emb, EMB_QUERY_IDS, k=5)
+
+
+Q65_SQL = (
+    "SELECT CAST(query_id AS BIGINT) AS query_id,\n"
+    "       CAST(recall AS DOUBLE) AS recall\n"
+    "FROM (VALUES\n"
+    + ",\n".join(f"  ({q}, {r!r})" for q, r in _pinned.Q65_EXPECTED)
+    + "\n) AS t(query_id, recall)"
+)
 
 def q53_extract_vorstand(spark, sf_dir):
     """E12 multi-person Vorstand extractor end-to-end over the distributed
@@ -1836,4 +1861,5 @@ REGISTRY: dict[str, tuple] = {
     "q62_audio_features": (q62_audio_features, Q62_SQL),
     "q63_video_features": (q63_video_features, Q63_SQL),
     "q64_extract_sonstige": (q64_extract_sonstige, Q64_SQL),
+    "q65_ivf_recall": (q65_ivf_recall, Q65_SQL),
 }

@@ -110,6 +110,61 @@ def q48_rows(query_ids=(0, 7, 42, 99, 123), k=5, n_bands=8,
     return rows
 
 
+def q65_rows(query_ids=(0, 7, 42, 99, 123), k=5, n_lists=16, n_assign=3,
+             n_probe=4) -> list[tuple[int, float]]:
+    """Numpy twin of the IVF ANN recall gate (analytics.similarity
+    cosine_topk_ivf): sampling coarse quantizer = the n_lists vectors ranked
+    first by (md5(str(vec_id)) hex, vec_id); centroid cosines rounded half-up
+    to 6 dp before ranking; each corpus vector sits in its n_assign nearest
+    lists (ties -> lower list_id), queries probe their n_probe nearest;
+    candidates = any shared list; exact cosine (4 dp, desc, vec_id asc)
+    ranks. Independent of the DataFrame code; pinned AT sf0.01 only."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF001, "embeddings.parquet"))
+    vec_ids = t.column("vec_id").to_numpy()
+    emb = np.array([np.asarray(v, dtype=np.float64)
+                    for v in t.column("embedding").to_pylist()])
+    order = np.argsort(vec_ids)
+    vec_ids, emb = vec_ids[order], emb[order]
+    norms = np.sqrt((emb * emb).sum(axis=1))
+    n = len(emb)
+
+    def topk(qid: int, cand_mask: np.ndarray) -> list[int]:
+        qi = int(np.searchsorted(vec_ids, qid))
+        assert vec_ids[qi] == qid
+        mask = cand_mask.copy()
+        mask[qi] = False
+        idx = np.nonzero(mask)[0]
+        cos = (emb[idx] @ emb[qi]) / (norms[idx] * norms[qi])
+        cos = np.array([spark_round(c, 4) for c in cos])
+        sel = sorted(range(len(idx)), key=lambda j: (-cos[j], vec_ids[idx[j]]))
+        return [int(vec_ids[idx[j]]) for j in sel[:k]]
+
+    key = sorted(range(n), key=lambda i: (
+        hashlib.md5(str(int(vec_ids[i])).encode()).hexdigest(), vec_ids[i]))
+    cents = emb[key[:n_lists]]
+    c_norms = np.sqrt((cents * cents).sum(axis=1))
+    ccos = (emb @ cents.T) / np.outer(norms, c_norms)
+    ccos = np.vectorize(lambda c: spark_round(c, 6))(ccos)
+
+    def top_lists(i: int, m: int) -> list[int]:
+        return sorted(range(n_lists), key=lambda l: (-ccos[i, l], l))[:m]
+
+    assign_sets = [set(top_lists(i, n_assign)) for i in range(n)]
+    all_mask = np.ones(n, dtype=bool)
+    rows = []
+    for qid in query_ids:
+        qi = int(np.searchsorted(vec_ids, qid))
+        probes = set(top_lists(qi, n_probe))
+        mask = np.array([bool(assign_sets[i] & probes) for i in range(n)])
+        true_k = topk(qid, all_mask)
+        ivf_k = topk(qid, mask)
+        recall = spark_round(len(set(true_k) & set(ivf_k)) / len(true_k), 4)
+        rows.append((int(qid), recall))
+    return rows
+
+
 def q29_rows() -> list[tuple[str, int, int, int]]:
     """Sequential twin of the q29 streak grouping at sf0.01: the histogram
     comes from DuckDB running the SAME classed-elements SQL the (green) q28
@@ -256,6 +311,7 @@ gate. Q48 values are valid for the sf0.01 embeddings table only.
 def main():
     q47 = q47_rows()
     q48 = q48_rows()
+    q65 = q65_rows()
     q29 = q29_rows()
     q50 = q50_rows()
     q61 = q61_rows()
@@ -277,6 +333,9 @@ def main():
         fh.write("]\n\nQ48_EXPECTED = [\n")
         for r in q48:
             fh.write(f"    {r!r},\n")
+        fh.write("]\n\nQ65_EXPECTED = [\n")
+        for r in q65:
+            fh.write(f"    {r!r},\n")
         fh.write("]\n\nQ61_EXPECTED = [\n")
         for r in q61:
             fh.write(f"    {r!r},\n")
@@ -288,9 +347,10 @@ def main():
             fh.write(f"    {r!r},\n")
         fh.write("]\n")
     print(f"wrote {path}: {len(q29)} q29, {len(q50)} q50, "
-          f"{len(q47)} q47, {len(q48)} q48, {len(q61)} q61, "
-          f"{len(q62)} q62, {len(q63)} q63 rows")
+          f"{len(q47)} q47, {len(q48)} q48, {len(q65)} q65, "
+          f"{len(q61)} q61, {len(q62)} q62, {len(q63)} q63 rows")
     print("q48:", q48)
+    print("q65:", q65)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,17 @@ def test_q48_pinned_matches_numpy_twin():
     assert gen.q48_rows() == pinned.Q48_EXPECTED
 
 
+@pytest.mark.skipif(not os.path.exists(gen.SF001),
+                    reason="driver testdata not present")
+def test_q65_pinned_matches_numpy_twin():
+    assert gen.q65_rows() == pinned.Q65_EXPECTED
+
+
+def test_q65_recall_meets_semantic_gate():
+    vals = [r for _, r in pinned.Q65_EXPECTED]
+    assert sum(vals) / len(vals) >= 0.8
+
+
 def test_q61_pinned_matches_sequential_twin():
     assert gen.q61_rows() == pinned.Q61_EXPECTED
 
