@@ -90,6 +90,21 @@ def test_q61_media_features_plan(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1, p
 
 
+def test_ivf_inverted_lists_shuffle_free(spark):
+    """The IVF assignment stage (similarity.ivf_inverted_lists) must build
+    the multi-assignment inverted lists without shuffling the corpus: the
+    centroid row arrives by broadcast, scoring/top-a are higher-order
+    projections, explode fans out in place. The only allowed Exchanges are
+    on the (tiny) centroid subplan feeding TakeOrderedAndProject /
+    the one-row collapse — never a hashpartitioning of the corpus by
+    vec_id or list_id."""
+    from akf_cdparser_spark.analytics import similarity
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(spark, similarity.ivf_inverted_lists(emb, n_lists=8, n_assign=2))
+    assert "BroadcastExchange" in p
+    assert not re.search(r"Exchange hashpartitioning\((vec_id|list_id)", p), p
+
+
 def test_q06_filters_pushed(spark):
     p = _plan(spark, REGISTRY["q06_revenue_filter"][0](spark, SF))
     assert "PushedFilters: [IsNotNull" in p
