@@ -157,8 +157,9 @@ def lse_zumstein_vector(docs: DataFrame) -> DataFrame:
     preserved). Empty lines are skipped (:137); a line with NO
     special-character match is dropped — the reference would throw a
     TypeError on ``null.length`` there (:228), and dropping is the only
-    total behavior (documented deviation; golden-locked for all non-crash
-    inputs in tests/test_lse_grouping.py).
+    total behavior (golden-locked for all non-crash inputs in
+    tests/test_lse_grouping.py; ``lse_zumstein_throw_audit`` surfaces
+    every dropped-where-reference-crashes line, oracle-gated as q66).
 
     Pure built-ins: regexp_extract_all + transform + array_join, codegen
     end-to-end. The per-run trim is a regexp strip of ``\\s`` so tabs
@@ -173,6 +174,23 @@ def lse_zumstein_vector(docs: DataFrame) -> DataFrame:
                     F.lit("zumsteinVector").alias("token_class"),
                     vec.alias("token"), F.size(matches).alias("_n"))
             .filter(F.col("_n") > 0).drop("_n"))
+
+
+def lse_zumstein_throw_audit(docs: DataFrame) -> DataFrame:
+    """Crash-parity channel for zumsteinVector mode: the reference THROWS a
+    TypeError on ``null.length`` (lib/lineSegmentAnalyzer.js:228) for any
+    non-empty line with ZERO special-character matches (e.g. a line that is
+    pure ``[a-zA-Z0-9...]`` word characters); ``lse_zumstein_vector`` drops
+    such lines — the only total behavior for a distributed job (same S7
+    error-channel contract as extraction: the job never dies, the anomaly
+    is surfaced). ``would_throw`` is true exactly where the reference would
+    crash, so an all-false audit certifies parity INCLUDING
+    crash-equivalence on the corpus; a true row pinpoints the line the
+    sequential reference could never get past."""
+    matches = F.regexp_extract_all("text", F.lit(ZUMSTEIN_SPECIAL_RE), 0)
+    return docs.select(
+        "doc_id",
+        ((F.col("text") != "") & (F.size(matches) == 0)).alias("would_throw"))
 
 
 def lse_zumstein_histogram(docs: DataFrame) -> DataFrame:

@@ -809,6 +809,24 @@ FROM keyed GROUP BY zvector
 """
 
 
+def q66_lse_throw_audit(spark, sf_dir):
+    """Crash-parity channel for zumsteinVector mode (ref
+    lib/lineSegmentAnalyzer.js:228 throws TypeError on a no-special-match
+    line; the engine drops + surfaces instead — S7 contract). All-false
+    over this corpus == the reference would have survived it, closing the
+    last documented LSE deviation with a value-hashed audit instead of a
+    prose note."""
+    return text.lse_zumstein_throw_audit(_t(spark, sf_dir, "documents"))
+
+
+Q66_SQL = r"""
+SELECT doc_id,
+       (text <> '' AND len(regexp_extract_all(
+          text, '[^a-zA-Z0-9üÜäÄöÖßé_.¦]+')) = 0) AS would_throw
+FROM documents
+"""
+
+
 def q52_validate_profiles(spark, sf_dir):
     """S10 Ajv-validator twin (lib/validator.js:38-65 / schema.yml) over
     the extraction corpus. Oracle: the synthetic corpus is closed-form —
@@ -1862,4 +1880,5 @@ REGISTRY: dict[str, tuple] = {
     "q63_video_features": (q63_video_features, Q63_SQL),
     "q64_extract_sonstige": (q64_extract_sonstige, Q64_SQL),
     "q65_ivf_recall": (q65_ivf_recall, Q65_SQL),
+    "q66_lse_throw_audit": (q66_lse_throw_audit, Q66_SQL),
 }

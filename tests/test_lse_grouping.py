@@ -269,3 +269,24 @@ def test_zumstein_vector_matches_reference():
         ((idx, typ, content, sector),) = res["elements"]
         assert typ == "zumsteinVector" and sector == 0
         assert mine == content, (line, mine, content)
+
+
+def test_zumstein_throw_audit_marks_exactly_the_crash_lines(spark):
+    """q66 channel: would_throw == true exactly on non-empty lines with no
+    special-character match (where the reference TypeErrors), and those are
+    exactly the lines lse_zumstein_vector drops."""
+    from akf_cdparser_spark.analytics import text as T
+
+    rows = [("d0", "abc"),            # pure word chars -> reference throws
+            ("d1", "a b"),            # whitespace run -> fine
+            ("d2", ""),               # empty -> skipped, NOT a throw
+            ("d3", "Wort123._"),      # all in the allowed set -> throws
+            ("d4", ";;;")]            # pure special -> fine
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    audit = {r.doc_id: r.would_throw
+             for r in T.lse_zumstein_throw_audit(docs).collect()}
+    assert audit == {"d0": True, "d1": False, "d2": False,
+                     "d3": True, "d4": False}
+    kept = {r.doc_id for r in T.lse_zumstein_vector(docs).collect()}
+    dropped_nonempty = {d for d, t in rows if t} - kept
+    assert dropped_nonempty == {d for d, would in audit.items() if would}
