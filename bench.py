@@ -37,6 +37,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "q09_sessionize", "q12_range_join", "q13_event_pivot",
         "q21_quality", "q24_dedup_exact", "q25_minhash_bands",
         "q26_simhash", "q27_embedding_topk", "q28_lse_histogram",
+        "q65_ivf_recall",
     ]
 
     # warm-up: JVM/codegen/parquet-footer/Python-worker startup must not be
