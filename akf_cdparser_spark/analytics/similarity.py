@@ -296,6 +296,55 @@ def ivf_recall_vs_bruteforce(embeddings: DataFrame, query_ids: list[int],
                             / F.col("n_true"), 4).alias("recall")))
 
 
+def write_ivf_index(embeddings: DataFrame, path: str,
+                    n_lists: int = IVF_N_LISTS,
+                    n_assign: int = IVF_N_ASSIGN) -> None:
+    """Materialize the IVF index: inverted lists written
+    ``partitionBy("list_id")`` (so a probe reads ONLY its ``n_probe``
+    partitions via partition pruning — at 100 TB that is the difference
+    between scanning the whole index and scanning n_probe/n_lists of it)
+    plus the one-row centroid table next to them. Build once, probe many
+    times — the production counterpart of the self-contained
+    ``cosine_topk_ivf`` (which re-derives the quantizer per query plan)."""
+    cents = ivf_centroid_row(embeddings, n_lists)
+    inv = ivf_inverted_lists(embeddings, n_lists, n_assign, centroid_row=cents)
+    inv.write.partitionBy("list_id").mode("overwrite") \
+        .parquet(f"{path}/lists")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def cosine_topk_ivf_index(spark, path: str, queries: DataFrame,
+                          k: int = 5, n_probe: int = IVF_N_PROBE,
+                          round_to: int = 4) -> DataFrame:
+    """Probe a persisted IVF index: ``queries`` is any
+    ``(query_id, q_emb)`` frame (it need not come from the indexed corpus).
+    The broadcast join on the partition column triggers DYNAMIC PARTITION
+    PRUNING — the scan's PartitionFilters carry a
+    ``dynamicpruningexpression(list_id IN ...)`` subquery, so only the
+    probed ``list_id=`` directories are read (plan-guarded in
+    tests/test_plans.py). Result contract matches ``cosine_topk_ivf``
+    (corpus vector equal to the query_id is excluded, exact cosine at
+    ``round_to`` dp, (cosine desc, vec_id asc) tie order)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    probes = (queries.join(F.broadcast(cents))
+              .withColumn("_probes", F.slice(
+                  _list_scores(F.col("q_emb"), F.col("cents")), 1, n_probe))
+              .select("query_id", "q_emb",
+                      F.explode(F.col("_probes.list_id")).alias("list_id")))
+    inv = spark.read.parquet(f"{path}/lists")
+    cands = (inv.join(F.broadcast(probes), "list_id")
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "q_emb", "vec_id", "embedding")
+             .dropDuplicates(["query_id", "vec_id"]))
+    scored = cands.withColumn(
+        "cosine", F.round(_dot("q_emb", "embedding")
+                          / (_norm("q_emb") * _norm("embedding")), round_to))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
 def embedding_near_dups(embeddings: DataFrame, *, dim: int,
                         threshold: float = 0.97, n_planes: int = 6,
                         round_to: int = 4) -> DataFrame:

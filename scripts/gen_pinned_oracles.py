@@ -299,10 +299,11 @@ def q63_rows() -> list[tuple]:
 
 HEADER = '''"""GENERATED by scripts/gen_pinned_oracles.py — do not edit.
 
-Pinned expected tables for the q47/q48 oracles, computed through sequential
-non-Spark twins (local kernel / numpy LSH). See the generator's docstring
-for the independence argument; tests/test_pinned_oracles.py is the drift
-gate. Q48 values are valid for the sf0.01 embeddings table only.
+Pinned expected tables for the q29/q47/q48/q50/q61-q63/q65 oracles, computed
+through sequential non-Spark twins (local kernel / DuckDB+walk / numpy LSH /
+numpy IVF / pure-Python media decoders). See the generator's docstring for
+the independence argument; tests/test_pinned_oracles.py is the drift gate.
+Q29/Q48/Q50/Q65 values are valid for the sf0.01 tables only.
 """
 
 '''

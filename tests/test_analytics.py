@@ -184,6 +184,29 @@ def test_ivf_inverted_lists_shape(spark):
                            and r.hi < 8 for r in per_vec)
 
 
+def test_ivf_index_roundtrip_matches_direct(spark, tmp_path):
+    """The persisted IVF index (write partitionBy(list_id) + probe) returns
+    EXACTLY what the self-contained operator returns, and probing only
+    touches the probed list partitions via dynamic partition pruning."""
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, path, n_lists=8, n_assign=2)
+    queries = (emb.filter(F.col("vec_id").isin([0, 3]))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb")))
+    via_index = similarity.cosine_topk_ivf_index(spark, path, queries,
+                                                 k=3, n_probe=2)
+    direct = similarity.cosine_topk_ivf(emb, [0, 3], k=3, n_lists=8,
+                                        n_assign=2, n_probe=2)
+    assert sorted(map(tuple, via_index.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    p = via_index._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "dynamicpruningexpression(list_id" in p, p
+
+
 def test_embedding_near_dups_are_symmetric_free(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     dim = len(emb.select("embedding").head()[0])
