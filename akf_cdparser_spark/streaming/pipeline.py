@@ -57,6 +57,31 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                     "n", "sum_value"))
 
 
+def stream_exact_dedup(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Ingestion-time exact dedup — the streaming twin of
+    ``analytics.dedup.exact_dedup``'s keep-list: one row per content
+    fingerprint (md5 of the SAME normalized-text expression as the batch
+    operator), first arrival wins.
+
+    Streaming state is BOUNDED: ``dropDuplicatesWithinWatermark`` evicts a
+    fingerprint once the watermark passes it, so at 100 TB/day the state
+    store holds one 16-byte hash per distinct doc inside the horizon —
+    never the full history (re-ingesting an old doc after the horizon is
+    the deliberate trade; run the batch ``exact_dedup`` over the store for
+    the exact global answer). The event-time column is the ingest
+    timestamp; on a batch frame the same call degrades to plain
+    ``dropDuplicates`` (exact, no horizon)."""
+    from ..analytics.dedup import _norm_text
+
+    keyed = docs.withColumn("fingerprint", F.md5(_norm_text()))
+    if not keyed.isStreaming:
+        return keyed.dropDuplicates(["fingerprint"])
+    return (keyed
+            .withColumn("ingest_ts", F.current_timestamp())
+            .withWatermark("ingest_ts", watermark)
+            .dropDuplicatesWithinWatermark(["fingerprint"]))
+
+
 SESSION_OUTPUT_SCHEMA = (
     "user_id bigint, session_id int, n_events bigint, sum_value double")
 SESSION_STATE_SCHEMA = "session_id int, n_events bigint, sum_value double"

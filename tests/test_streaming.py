@@ -65,3 +65,37 @@ def test_sessionize_stream_state(spark, tmp_path):
         assert {u: n for u, (n, _s) in rows.items()} == expected
     finally:
         q.stop()
+
+
+def test_stream_exact_dedup_matches_batch_keeplist(spark, tmp_path):
+    """Streaming exact dedup keeps exactly one row per content fingerprint
+    and agrees with the batch keep-set (canonical members of
+    analytics.dedup.exact_dedup) on fingerprints — first-arrival choice of
+    doc_id may differ, the fingerprint set may not."""
+    from akf_cdparser_spark.analytics import dedup
+
+    docs_dir = str(tmp_path / "docs_dedup")
+    base = spark.createDataFrame(
+        [("a", "Hello  World"), ("b", "hello world"),   # dup after norm
+         ("c", "Other Doc"), ("d", "OTHER   doc"),      # dup after norm
+         ("e", "unique one")],
+        "doc_id string, text string")
+    base.write.parquet(docs_dir)
+
+    batch_keep = {r.fingerprint for r in
+                  dedup.exact_dedup(base).filter("is_canonical").collect()}
+
+    stream = (spark.readStream.schema("doc_id string, text string")
+              .parquet(docs_dir))
+    q = (pipeline.stream_exact_dedup(stream)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("t_dedup").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT fingerprint FROM t_dedup").collect()
+        assert len(got) == 3
+        assert {r.fingerprint for r in got} == batch_keep
+    finally:
+        q.stop()
+    # batch fallback: same operator, exact, no watermark state
+    assert pipeline.stream_exact_dedup(base).count() == 3
