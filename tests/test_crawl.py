@@ -327,3 +327,37 @@ def test_wake_tier_active_and_legacy_snapshot_resume(spark, tmp_path_factory,
                 for seq, h, url, doc_id, gen in oracle_result["fetch_log"]]
     assert [(r[0], r[1], r[2], r[3], r[4]) for r in log] == expected
     assert seen == oracle_result["seen"]
+
+
+def test_canonicalize_idempotent_property():
+    """Idempotence is load-bearing: a canonicalized URL that is later
+    re-discovered must canonicalize to ITSELF, or the url_hash dedupe plane
+    splits one URL into two frontier rows. Property-checked over composed
+    adversarial URLs (case, default ports, dot segments, duplicate slashes,
+    unsorted query, fragments)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seg = st.sampled_from(["a", "B", "tief", ".", "..", "", "x-y_z", "%2F"])
+    pair = st.sampled_from(["a=1", "b=2", "Z=9", "k", ""])
+
+    @st.composite
+    def urls(draw):
+        scheme = draw(st.sampled_from(["http", "HTTP", "https", "akf"]))
+        host = draw(st.sampled_from(
+            ["Example.COM", "cd2005", "x.de", "A.b.C"]))
+        port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+        path = "/".join(draw(st.lists(seg, max_size=6)))
+        q = "&".join(draw(st.lists(pair, max_size=4)))
+        frag = draw(st.sampled_from(["", "#frag", "#"]))
+        sep = draw(st.sampled_from(["/", "//", ""]))
+        return f"{scheme}://{host}{port}{sep}{path}" + \
+            (f"?{q}" if q else "") + frag
+
+    @given(urls())
+    @settings(max_examples=300, deadline=None)
+    def check(u):
+        once = canonicalize_url(u)
+        assert canonicalize_url(once) == once, (u, once)
+
+    check()
