@@ -9,7 +9,7 @@ in plans/queries.py so the driver's oracle can value-hash it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # deterministic tiny stopword lists for the language-ID heuristic
@@ -87,6 +87,50 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fingerprint64"),
     )
+
+
+def curate_training_mix(docs: DataFrame, *, min_tokens: int = 5,
+                        max_punct_ratio: float = 0.3,
+                        keep_langs: tuple[str, ...] = ("de", "en"),
+                        n_shards: int = 8) -> DataFrame:
+    """The nightly pass a 100-TB training-data pipeline actually runs,
+    composed in ONE declarative plan: exact-dedup keep-list (md5
+    fingerprint window) -> quality gate (token floor + punctuation
+    ceiling) -> language filter -> deterministic shard assignment (md5-
+    derived, engine-portable — NOT xxhash64, which the oracle could not
+    reproduce). Output is the per-doc keep-list a packing job consumes:
+    (doc_id, lang_guess, n_tokens, fingerprint, shard).
+
+    Scale shape: a single shuffle (the fingerprint window, 16-byte key);
+    quality/langid/tokens/shard are projections fused into the same
+    codegen stage, and the filters land before the window's second pass
+    consumer so pruned docs never flow further."""
+    n_tokens = F.size(tokens_col())
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    de = _count_hits(DE_STOPWORDS)
+    en = _count_hits(EN_STOPWORDS)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = F.md5(norm)
+    base = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 6)
+        .alias("punct_ratio"),
+        F.when(de > en, "de").when(en > de, "en").otherwise("und")
+        .alias("lang_guess"),
+        fp.alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    shard = F.pmod(F.conv(F.substring("fingerprint", 1, 15), 16, 10)
+                   .cast("long"), F.lit(n_shards)).cast("int")
+    return (base
+            .withColumn("is_canonical",
+                        F.col("doc_id") == F.min("doc_id").over(w))
+            .filter(F.col("is_canonical")
+                    & (F.col("n_tokens") >= min_tokens)
+                    & (F.col("punct_ratio") < max_punct_ratio)
+                    & F.col("lang_guess").isin(*keep_langs))
+            .select("doc_id", "lang_guess", "n_tokens", "fingerprint",
+                    shard.alias("shard")))
 
 
 # element classes per lib/lineSegmentAnalyzer.js:33-41; the segmentation

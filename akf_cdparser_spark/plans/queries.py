@@ -827,6 +827,40 @@ FROM documents
 """
 
 
+def q67_training_mix(spark, sf_dir):
+    """Capstone composition — the curation pass a training-data pipeline
+    runs nightly, in ONE plan: exact-dedup keep-list + quality gate +
+    language filter + md5-derived shard assignment (engine-portable, so
+    the oracle reproduces shards bit-for-bit). Single shuffle (the
+    16-byte-fingerprint window)."""
+    return text.curate_training_mix(_t(spark, sf_dir, "documents"))
+
+
+Q67_SQL = r"""
+WITH padded AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents),
+base AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+               / greatest(length(text), 1), 6) AS punct_ratio,
+         CASE WHEN {de} > {en} THEN 'de'
+              WHEN {en} > {de} THEN 'en' ELSE 'und' END AS lang_guess,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM padded),
+dd AS (
+  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
+            AS is_canonical
+  FROM base)
+SELECT doc_id, lang_guess, n_tokens, fingerprint,
+       CAST(CAST(concat('0x', substr(fingerprint, 1, 15)) AS BIGINT) % 8
+            AS INT) AS shard
+FROM dd
+WHERE is_canonical AND n_tokens >= 5 AND punct_ratio < 0.3
+  AND lang_guess IN ('de', 'en')
+""".format(de=_sql_hits(_DE), en=_sql_hits(_EN))
+
+
 def q52_validate_profiles(spark, sf_dir):
     """S10 Ajv-validator twin (lib/validator.js:38-65 / schema.yml) over
     the extraction corpus. Oracle: the synthetic corpus is closed-form —
@@ -1881,4 +1915,5 @@ REGISTRY: dict[str, tuple] = {
     "q64_extract_sonstige": (q64_extract_sonstige, Q64_SQL),
     "q65_ivf_recall": (q65_ivf_recall, Q65_SQL),
     "q66_lse_throw_audit": (q66_lse_throw_audit, Q66_SQL),
+    "q67_training_mix": (q67_training_mix, Q67_SQL),
 }

@@ -105,6 +105,14 @@ def test_ivf_inverted_lists_shuffle_free(spark):
     assert not re.search(r"Exchange hashpartitioning\((vec_id|list_id)", p), p
 
 
+def test_q67_training_mix_single_exchange(spark):
+    """The composed curation pass (dedup + quality + langid + sharding)
+    promises ONE shuffle — the fingerprint window. More Exchanges would
+    mean the composition degraded into per-feature joins."""
+    p = _plan(spark, REGISTRY["q67_training_mix"][0](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
 def test_q06_filters_pushed(spark):
     p = _plan(spark, REGISTRY["q06_revenue_filter"][0](spark, SF))
     assert "PushedFilters: [IsNotNull" in p
