@@ -102,9 +102,10 @@ def curate_training_mix(docs: DataFrame, *, min_tokens: int = 5,
     (doc_id, lang_guess, n_tokens, fingerprint, shard).
 
     Scale shape: a single shuffle (the fingerprint window, 16-byte key);
-    quality/langid/tokens/shard are projections fused into the same
-    codegen stage, and the filters land before the window's second pass
-    consumer so pruned docs never flow further."""
+    quality/langid/tokens/shard are projections fused into the codegen
+    stages on either side of it (the canonical flag needs the window, so
+    the gate applies just after — everything downstream of this operator
+    sees only the kept rows). Plan-guarded to exactly one Exchange."""
     n_tokens = F.size(tokens_col())
     n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
     de = _count_hits(DE_STOPWORDS)
