@@ -42,11 +42,21 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct token n-gram shingles per document (posexplode + window
-    join-free construction via transform over token array)."""
-    toks = tokens_col()
+    join-free construction via transform over token array).
+
+    The token array is MATERIALIZED as its own projection first: inside a
+    higher-order-function lambda, a repeated non-trivial child (here the
+    regex split of the whole document) is re-evaluated PER ELEMENT —
+    O(tokens^2) per doc — because codegen's common-subexpression
+    elimination does not reach into lambda bodies. Binding it to a column
+    (non-cheap alias with two consumers, so CollapseProject keeps it)
+    makes the split run once per doc: measured 5.8s -> 0.8s over the
+    sf0.1 corpus. Same trick as lse_elements / the q26 md5 binding."""
+    toksed = docs.select("doc_id", tokens_col().alias("_toks"))
+    toks = F.col("_toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return (docs
+    return (toksed
             .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
             .filter(F.length("shingle") > 0))
 
