@@ -205,13 +205,20 @@ def ivf_centroid_row(embeddings: DataFrame, n_lists: int = IVF_N_LISTS) -> DataF
         .alias("cents"))
 
 
-def _list_scores(emb_col, cents_col):
+def _list_scores(emb_col, cents_col, norm_col=None):
     """array<struct<ccos double, list_id int>> sorted by (ccos desc,
     list_id asc); ccos rounded to 6 dp so the ranking is reproducible on any
-    engine that computes the fold in a different summation order."""
+    engine that computes the fold in a different summation order.
+
+    Pass ``norm_col`` bound to a projected column: the vector's own norm
+    sits INSIDE the per-centroid lambda, and codegen CSE does not reach
+    into lambda bodies, so an inline norm is re-folded once per centroid —
+    O(n_lists * dim) instead of O(dim) (measured 1.91s -> 1.41s on the
+    sf0.1 assignment; same lambda-CSE class as the dedup.shingles fix)."""
+    own_norm = norm_col if norm_col is not None else _norm(emb_col)
     scored = F.transform(cents_col, lambda c: F.struct(
         F.round(_dot(emb_col, c["c_emb"])
-                / (_norm(emb_col) * _norm(c["c_emb"])), 6).alias("ccos"),
+                / (own_norm * _norm(c["c_emb"])), 6).alias("ccos"),
         c["list_id"].alias("list_id")))
     return F.array_sort(
         scored,
@@ -236,9 +243,11 @@ def ivf_inverted_lists(embeddings: DataFrame, n_lists: int = IVF_N_LISTS,
     """
     cents = centroid_row if centroid_row is not None \
         else ivf_centroid_row(embeddings, n_lists)
-    return (embeddings.join(F.broadcast(cents))
+    return (embeddings.withColumn("_nrm", _norm(F.col("embedding")))
+            .join(F.broadcast(cents))
             .withColumn("_lists", F.slice(
-                _list_scores(F.col("embedding"), F.col("cents")), 1, n_assign))
+                _list_scores(F.col("embedding"), F.col("cents"),
+                             norm_col=F.col("_nrm")), 1, n_assign))
             .select("vec_id", "embedding",
                     F.explode(F.col("_lists.list_id")).alias("list_id")))
 
@@ -255,9 +264,11 @@ def cosine_topk_ivf(embeddings: DataFrame, query_ids: list[int],
     cents = ivf_centroid_row(embeddings, n_lists)
     inv = ivf_inverted_lists(embeddings, n_lists, n_assign, centroid_row=cents)
     queries = (embeddings.filter(F.col("vec_id").isin(query_ids))
+               .withColumn("_nrm", _norm(F.col("embedding")))
                .join(F.broadcast(cents))
                .withColumn("_probes", F.slice(
-                   _list_scores(F.col("embedding"), F.col("cents")), 1, n_probe))
+                   _list_scores(F.col("embedding"), F.col("cents"),
+                                norm_col=F.col("_nrm")), 1, n_probe))
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("q_emb"),
                        F.explode(F.col("_probes.list_id")).alias("list_id")))
@@ -326,9 +337,11 @@ def cosine_topk_ivf_index(spark, path: str, queries: DataFrame,
     (corpus vector equal to the query_id is excluded, exact cosine at
     ``round_to`` dp, (cosine desc, vec_id asc) tie order)."""
     cents = spark.read.parquet(f"{path}/centroids")
-    probes = (queries.join(F.broadcast(cents))
+    probes = (queries.withColumn("_nrm", _norm(F.col("q_emb")))
+              .join(F.broadcast(cents))
               .withColumn("_probes", F.slice(
-                  _list_scores(F.col("q_emb"), F.col("cents")), 1, n_probe))
+                  _list_scores(F.col("q_emb"), F.col("cents"),
+                               norm_col=F.col("_nrm")), 1, n_probe))
               .select("query_id", "q_emb",
                       F.explode(F.col("_probes.list_id")).alias("list_id")))
     inv = spark.read.parquet(f"{path}/lists")
