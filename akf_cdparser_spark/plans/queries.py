@@ -861,6 +861,85 @@ WHERE is_canonical AND n_tokens >= 5 AND punct_ratio < 0.3
 """.format(de=_sql_hits(_DE), en=_sql_hits(_EN))
 
 
+def q68_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.5, no stop-shingle
+    cap so the SQL twin is closed-form) — the pair plane q49 resolves into
+    clusters, value-gated on the jaccard scores themselves."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=None)
+
+
+Q68_SQL = (r"""
+WITH""" + _SHINGLE_SQL + r""",
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON c.doc_a = sa.doc_id
+  JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b,
+       round(n_common / (za.n_sh + zb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = inter.doc_a
+JOIN sizes zb ON zb.doc_id = inter.doc_b
+WHERE round(n_common / (za.n_sh + zb.n_sh - n_common), 6) >= 0.5
+""")
+
+
+def q69_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs at hamming <= 3, candidate-bucketed on four
+    16-bit bands. The oracle is the ALL-PAIRS hamming filter over Q26's
+    simhash values — equality with the bucketed operator doubles as the
+    completeness proof of the banding (3 flipped bits touch at most 3 of
+    the 4 bands, so every qualifying pair shares one)."""
+    return dedup.simhash_near_dups(_t(spark, sf_dir, "documents"))
+
+
+Q69_SQL = (
+    "WITH shv AS (" + Q26_SQL + ")\n"
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+    "       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming\n"
+    "FROM shv a JOIN shv b ON a.doc_id < b.doc_id\n"
+    "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3\n")
+
+
+def q70_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-bucketed (share a 6-plane sign
+    bucket, exact cosine >= 0.4 — the synthetic embeddings are isotropic,
+    max pair cosine 0.51, so a production-style 0.97 would be vacuously
+    empty). Oracle: the SAME md5-derived hyperplanes rendered as DOUBLE
+    literals into DuckDB, sign-bucket equi-self-join, list_cosine_similarity
+    at 4 dp — value-gating both the bucketing and the scores."""
+    return similarity.embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.4, n_planes=6)
+
+
+def _q70_sql() -> str:
+    from ..analytics.similarity import _hyperplane
+
+    bits = ",".join(
+        "CASE WHEN list_dot_product(embedding::DOUBLE[], [{c}]) >= 0 "
+        "THEN '1' ELSE '0' END".format(
+            c=",".join(repr(x) for x in _hyperplane(64, p)))
+        for p in range(6))
+    return (
+        "WITH bk AS (SELECT vec_id, embedding, concat(" + bits + ") AS bucket"
+        " FROM embeddings)\n"
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,\n"
+        "       round(list_cosine_similarity(a.embedding::DOUBLE[],\n"
+        "             b.embedding::DOUBLE[]), 4) AS cosine\n"
+        "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id\n"
+        "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],\n"
+        "            b.embedding::DOUBLE[]), 4) >= 0.4\n")
+
+
+Q70_SQL = _q70_sql()
+
+
 def q52_validate_profiles(spark, sf_dir):
     """S10 Ajv-validator twin (lib/validator.js:38-65 / schema.yml) over
     the extraction corpus. Oracle: the synthetic corpus is closed-form —
@@ -1916,4 +1995,7 @@ REGISTRY: dict[str, tuple] = {
     "q65_ivf_recall": (q65_ivf_recall, Q65_SQL),
     "q66_lse_throw_audit": (q66_lse_throw_audit, Q66_SQL),
     "q67_training_mix": (q67_training_mix, Q67_SQL),
+    "q68_ngram_jaccard": (q68_ngram_jaccard, Q68_SQL),
+    "q69_simhash_near_dups": (q69_simhash_near_dups, Q69_SQL),
+    "q70_embedding_near_dups": (q70_embedding_near_dups, Q70_SQL),
 }
