@@ -890,6 +890,47 @@ WHERE round(n_common / (za.n_sh + zb.n_sh - n_common), 6) >= 0.5
 """)
 
 
+def q71_minhash_candidates(spark, sf_dir):
+    """The full MinHash pipeline end-to-end: banded-LSH candidate pairs
+    (share >= 1 of 4 band keys) verified by EXACT Jaccard over the shingle
+    sets — approximate prefilter, exact verdict. Value-gates the candidate
+    SET (which pairs the banding surfaces) and the exact scores in one
+    hash."""
+    return dedup.minhash_candidates(_t(spark, sf_dir, "documents"))
+
+
+Q71_SQL = (r"""
+WITH""" + _SHINGLE_SQL + r""",
+hashes AS (
+  SELECT doc_id, h,
+         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+         + h * CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT) AS hv
+  FROM sh, UNNEST(range(0, 8)) AS hh(h)),
+sig AS (
+  SELECT doc_id, h, min(hv) AS minhash FROM hashes GROUP BY doc_id, h),
+bk AS (
+  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         md5(array_to_string(list_sort(list(minhash)), ',')) AS band_key
+  FROM sig GROUP BY doc_id, band),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON c.doc_a = sa.doc_id
+  JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_common / (za.n_sh + zb.n_sh - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+""")
+
+
 def q69_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup pairs at hamming <= 3, candidate-bucketed on four
     16-bit bands. The oracle is the ALL-PAIRS hamming filter over Q26's
@@ -1998,4 +2039,5 @@ REGISTRY: dict[str, tuple] = {
     "q68_ngram_jaccard": (q68_ngram_jaccard, Q68_SQL),
     "q69_simhash_near_dups": (q69_simhash_near_dups, Q69_SQL),
     "q70_embedding_near_dups": (q70_embedding_near_dups, Q70_SQL),
+    "q71_minhash_candidates": (q71_minhash_candidates, Q71_SQL),
 }
