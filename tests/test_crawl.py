@@ -361,3 +361,78 @@ def test_canonicalize_idempotent_property():
         assert canonicalize_url(once) == once, (u, once)
 
     check()
+
+
+def test_parse_robots_txt_groups_and_precedence():
+    """Standard robots.txt -> rules table: comments, case-insensitive
+    directives, multi-UA group heads, longest-UA-token group selection,
+    empty Disallow = allow-all."""
+    from akf_cdparser_spark.crawl.robots import parse_robots_txt
+
+    body = """
+# global rules
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+
+User-Agent: akf-crawler
+user-agent: akf
+DISALLOW: /cd2005/
+allow: /cd2005/index.html
+
+User-agent: other
+Disallow:
+"""
+    star = parse_robots_txt("akf://cd", body, user_agent="somebody-else")
+    assert star == [
+        {"host": "akf://cd", "rule": "/private/", "allow": False},
+        {"host": "akf://cd", "rule": "/private/ok", "allow": True}]
+    # longest matching UA token wins ('akf-crawler' over 'akf' over '*')
+    mine = parse_robots_txt("akf://cd", body, user_agent="AKF-Crawler/1.0")
+    assert mine == [
+        {"host": "akf://cd", "rule": "/cd2005/", "allow": False},
+        {"host": "akf://cd", "rule": "/cd2005/index.html", "allow": True}]
+    # empty Disallow group: no rules -> default allow
+    assert parse_robots_txt("akf://cd", body, user_agent="other") == []
+
+
+def test_robots_tie_break_is_order_independent(spark):
+    """Two equal-length conflicting rules: allow wins the tie (REP), in
+    BOTH rule orders, in the Spark plan AND the sequential twin — the
+    collect_list arrival order must not decide crawlability."""
+    from akf_cdparser_spark.crawl.robots import apply_robots, robots_allowed_py
+
+    url = "akf://cd/a/page.html"
+    cand = spark.createDataFrame([(url, "akf://cd")], "url string, host string")
+    r_allow = {"host": "akf://cd", "rule": "/a/", "allow": True}
+    r_deny = {"host": "akf://cd", "rule": "/a/", "allow": False}
+    for rules in ([r_allow, r_deny], [r_deny, r_allow]):
+        robots = spark.createDataFrame(rules)
+        got = apply_robots(cand, robots).select("allowed").head()[0]
+        assert got is True
+        assert robots_allowed_py(url, rules) is True
+    # longest prefix still beats the tie rule
+    rules = [r_allow, {"host": "akf://cd", "rule": "/a/page", "allow": False}]
+    robots = spark.createDataFrame(rules)
+    assert apply_robots(cand, robots).select("allowed").head()[0] is False
+    assert robots_allowed_py(url, rules) is False
+
+
+def test_parsed_robots_feed_apply_robots(spark):
+    """End-to-end: a parsed real-format robots.txt gates candidates exactly
+    as the sequential twin says it should."""
+    from akf_cdparser_spark.crawl.robots import (apply_robots,
+                                                 parse_robots_txt,
+                                                 robots_allowed_py)
+
+    body = "User-agent: *\nDisallow: /secret/\nAllow: /secret/press/\n"
+    rules = parse_robots_txt("akf://cd", body)
+    urls = ["akf://cd/index.html", "akf://cd/secret/a.html",
+            "akf://cd/secret/press/b.html"]
+    cand = spark.createDataFrame([(u, "akf://cd") for u in urls],
+                                 "url string, host string")
+    got = {r.url: r.allowed
+           for r in apply_robots(cand, spark.createDataFrame(rules)).collect()}
+    assert got == {u: robots_allowed_py(u, rules) for u in urls}
+    assert got["akf://cd/index.html"] and not got["akf://cd/secret/a.html"]
+    assert got["akf://cd/secret/press/b.html"]
