@@ -32,6 +32,34 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+# The public GPT-2 pre-tokenizer split pattern minus its `\s+(?!\S)`
+# lookahead branch: RE2 (the DuckDB oracle engine) has no lookahead, and
+# dropping it only changes how runs of trailing whitespace group — no
+# letter/number/punctuation token count moves. Alternation is
+# leftmost-first in BOTH Java regex and RE2 (non-POSIX mode), so the two
+# engines tokenize identically.
+BPE_SPLIT_RE = (r"'s|'t|'re|'ve|'m|'ll|'d"
+                r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting — the token-budget estimate a training
+    pipeline uses when the real BPE vocab isn't on the hot path: the GPT-2
+    pre-tokenizer split (contractions / space-prefixed letter runs / digit
+    runs / punctuation runs / whitespace), counted with and without the
+    pure-whitespace pieces. Pure built-ins (regexp_extract_all + a
+    higher-order filter over the MATERIALIZED piece array), codegen
+    end-to-end; complements the whitespace `token_count` (q20)."""
+    pieces = docs.select(
+        "doc_id", F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE), 0)
+        .alias("_pieces"))
+    non_ws = F.filter(F.col("_pieces"), lambda t: ~t.rlike(r"^\s+$"))
+    return pieces.select(
+        "doc_id",
+        F.size(non_ws).alias("n_bpe_tokens"),
+        F.size("_pieces").alias("n_bpe_pieces"))
+
+
 def _count_hits(words: tuple[str, ...]) -> Column:
     padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
     hits = None

@@ -931,6 +931,26 @@ JOIN sizes zb ON zb.doc_id = i.doc_b
 """)
 
 
+def q72_token_count_bpe(spark, sf_dir):
+    """BPE-ish token counting (GPT-2 pre-tokenizer split, RE2-compatible
+    subset) next to the whitespace count (q20) — oracle value-gates that
+    Java regex and RE2 tokenize the corpus identically under the shared
+    leftmost-first alternation semantics."""
+    return text.token_count_bpe(_t(spark, sf_dir, "documents"))
+
+
+Q72_SQL = r"""
+SELECT doc_id,
+       len(list_filter(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+           x -> NOT regexp_matches(x, '^\s+$'))) AS n_bpe_tokens,
+       len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+       AS n_bpe_pieces
+FROM documents
+"""
+
+
 def q69_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup pairs at hamming <= 3, candidate-bucketed on four
     16-bit bands. The oracle is the ALL-PAIRS hamming filter over Q26's
@@ -2040,4 +2060,5 @@ REGISTRY: dict[str, tuple] = {
     "q69_simhash_near_dups": (q69_simhash_near_dups, Q69_SQL),
     "q70_embedding_near_dups": (q70_embedding_near_dups, Q70_SQL),
     "q71_minhash_candidates": (q71_minhash_candidates, Q71_SQL),
+    "q72_token_count_bpe": (q72_token_count_bpe, Q72_SQL),
 }
