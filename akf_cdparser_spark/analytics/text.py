@@ -32,6 +32,67 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+# Rabin-Karp / winnowing parameters: polynomial base, modulus (fits every
+# intermediate in a signed 64-bit long: acc*257 + codepoint < 1e9*257+2^21),
+# and the position-packing shift (hash < 2^30 packs above a 20-bit position)
+FP_BASE = 257
+FP_MOD = 1_000_000_007
+FP_POS_BITS = 20
+
+
+def rolling_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, Schleimer/Wilkerson/
+    Aiken): polynomial Rabin-Karp hash of every character ``k``-gram of the
+    lowercased text, then one selected hash per window of ``w`` consecutive
+    grams — the guarantee that any shared substring of length >= k+w-1
+    yields a shared fingerprint. Output: one row per distinct selected
+    (position, hash) per document.
+
+    Selection rule (deterministic, oracle-reproducible): each window keeps
+    its minimal ``hash * 2^20 + position`` packing — min hash, leftmost
+    position on ties (the original paper keeps the RIGHTMOST; leftmost is
+    the same guarantee and is a plain ``min`` in any engine). Exact
+    integer arithmetic end-to-end: codepoints -> fold ``(acc*257 + c) %%
+    1e9+7`` -> packed long; the DuckDB twin computes the same polynomial
+    through HUGEINT and the same packing, so the driver can value-hash it.
+
+    Scale shape: everything up to the final explode is higher-order
+    functions over per-row arrays (no shuffle, no window function); docs
+    shorter than ``k`` chars emit no rows. The codepoint array is bound
+    so the gram loop references it TWICE (sequence bound + slice) —
+    CollapseProject keeps a non-cheap multi-consumer projection, so the
+    per-character split runs once per document, not once per gram (the
+    dedup.shingles lambda-CSE lesson; single-consumer aliases get
+    re-inlined into the lambda and turn this O(n) pass into O(n^2))."""
+    codes = docs.filter(F.length(F.col("text")) >= k).select(
+        "doc_id",
+        F.transform(F.split(F.lower(F.col("text")), ""),
+                    lambda c: F.ascii(c)).alias("_codes"))
+    # size(split(s, "")) == length(s): Spark's empty-pattern split emits
+    # exactly one element per character, no trailing empty element
+    gram_hash = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_codes")) - k),
+        lambda i: F.aggregate(
+            F.slice(F.col("_codes"), i + 1, k),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * FP_BASE + c) % FP_MOD))
+    grams = (codes.select("doc_id", gram_hash.alias("_gh"))
+             .select("doc_id",
+                     F.transform(F.col("_gh"), lambda h, i:
+                                 F.shiftleft(h, FP_POS_BITS) + i)
+                     .alias("_packed")))
+    windows = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("_packed") - w, F.lit(0))),
+        lambda s: F.array_min(F.slice(F.col("_packed"), s + 1, w)))
+    return (grams
+            .select("doc_id",
+                    F.explode(F.array_distinct(windows)).alias("_sel"))
+            .select("doc_id",
+                    F.col("_sel").bitwiseAND(F.lit((1 << FP_POS_BITS) - 1))
+                    .cast("int").alias("fp_pos"),
+                    F.shiftright("_sel", FP_POS_BITS).alias("fp_hash")))
+
+
 # The public GPT-2 pre-tokenizer split pattern minus its `\s+(?!\S)`
 # lookahead branch: RE2 (the DuckDB oracle engine) has no lookahead, and
 # dropping it only changes how runs of trailing whitespace group — no

@@ -951,6 +951,44 @@ FROM documents
 """
 
 
+def q73_rolling_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (rolling Rabin-Karp k-gram hashes +
+    per-window minima, k=8 / w=4). The oracle recomputes the polynomial
+    through HUGEINT + a relational window-min — value-gating the hash
+    arithmetic, the packing, and the window-selection rule in one hash."""
+    return text.rolling_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+Q73_SQL = r"""
+WITH g AS (
+  SELECT doc_id, i - 1 AS p,
+         CAST((  ascii(substr(lower(text), i,     1))::HUGEINT * 74051159531521793
+               + ascii(substr(lower(text), i + 1, 1))::HUGEINT * 288136807515649
+               + ascii(substr(lower(text), i + 2, 1))::HUGEINT * 1121154893057
+               + ascii(substr(lower(text), i + 3, 1))::HUGEINT * 4362470401
+               + ascii(substr(lower(text), i + 4, 1))::HUGEINT * 16974593
+               + ascii(substr(lower(text), i + 5, 1))::HUGEINT * 66049
+               + ascii(substr(lower(text), i + 6, 1))::HUGEINT * 257
+               + ascii(substr(lower(text), i + 7, 1))::HUGEINT
+               ) % 1000000007 AS BIGINT) AS h
+  FROM documents, UNNEST(range(1, length(text) - 6)) AS u(i)
+  WHERE length(text) >= 8),
+pk AS (
+  SELECT doc_id, p, h * 1048576 + p AS packed,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM g),
+sel AS (
+  SELECT doc_id, p, m,
+         min(packed) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS v
+  FROM pk)
+SELECT DISTINCT doc_id,
+       CAST(v % 1048576 AS INT) AS fp_pos,
+       v // 1048576 AS fp_hash
+FROM sel WHERE p <= greatest(m - 4, 0)
+"""
+
+
 def q69_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup pairs at hamming <= 3, candidate-bucketed on four
     16-bit bands. The oracle is the ALL-PAIRS hamming filter over Q26's
@@ -2061,4 +2099,5 @@ REGISTRY: dict[str, tuple] = {
     "q70_embedding_near_dups": (q70_embedding_near_dups, Q70_SQL),
     "q71_minhash_candidates": (q71_minhash_candidates, Q71_SQL),
     "q72_token_count_bpe": (q72_token_count_bpe, Q72_SQL),
+    "q73_rolling_fingerprints": (q73_rolling_fingerprints, Q73_SQL),
 }

@@ -326,3 +326,59 @@ def test_lse_coupled_spark_matches_sequential(spark):
     expect = sorted(streak_grouping({k: hist[k] for k in sorted(hist)}))
     got = sorted(tuple(r) for r in T.lse_grouped(docs, coupled=True).collect())
     assert got == expect
+
+
+def _winnow_twin(text: str, k: int = 8, w: int = 4) -> set:
+    """Pure-Python winnowing reference: Rabin-Karp k-gram hashes of the
+    lowercased text, min of hash*2^20+pos per w-window, leftmost-on-tie
+    (same packing trick as analytics.text.rolling_fingerprints)."""
+    s = text.lower()
+    if len(s) < k:
+        return set()
+    hashes = []
+    for i in range(len(s) - k + 1):
+        acc = 0
+        for c in s[i:i + k]:
+            acc = (acc * 257 + ord(c)) % 1_000_000_007
+        hashes.append(acc)
+    packed = [(h << 20) + i for i, h in enumerate(hashes)]
+    sel = {min(packed[i:i + w])
+           for i in range(max(len(packed) - w, 0) + 1)}
+    return {(p & ((1 << 20) - 1), p >> 20) for p in sel}
+
+
+def test_rolling_fingerprints_match_python_twin(spark):
+    """rolling_fingerprints == the pure-Python winnowing walk on umlauts,
+    ties, repeats, and below/at/above the k-char emission threshold."""
+    from akf_cdparser_spark.analytics import text as T
+    rows = [
+        ("r0", "short"),                     # < k: no rows
+        ("r1", "exactlen8"),                 # == k+1 chars: 2 grams, 1 window
+        ("r2", "aaaaaaaaaaaaaaaaaaaa"),      # all grams identical (max ties)
+        ("r3", "Größere Dokumente mit Umlauten üäö und MixedCase Text."),
+        ("r4", "the quick brown fox jumps over the quick brown fox again"),
+        ("r5", "ababababababababababababab"),  # period-2 repeats
+    ]
+    got = {}
+    fp = T.rolling_fingerprints(
+        spark.createDataFrame(rows, "doc_id string, text string"))
+    for r in fp.collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_pos, r.fp_hash))
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == _winnow_twin(text), doc_id
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """The winnowing guarantee: any shared substring of length >= k+w-1
+    (= 11 at the defaults) yields at least one shared fp_hash, however
+    different the surrounding text."""
+    from akf_cdparser_spark.analytics import text as T
+    shared = "xqzvjwkpfyh"  # 11 chars, appears nowhere else
+    docs = spark.createDataFrame(
+        [("a", "completely unrelated prefix " + shared + " and one tail"),
+         ("b", shared + " different continuation entirely dissimilar")],
+        "doc_id string, text string")
+    by_doc = {}
+    for r in T.rolling_fingerprints(docs).collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert by_doc["a"] & by_doc["b"]
