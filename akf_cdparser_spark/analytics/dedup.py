@@ -401,3 +401,65 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25,
             .select("doc_id", F.col("label").alias("cluster_id"),
                     "cluster_size",
                     (F.col("doc_id") == F.col("label")).alias("is_canonical")))
+
+
+def fingerprint_containment_pairs(docs: DataFrame, k: int = 8, w: int = 4,
+                                  threshold: float = 0.5,
+                                  max_doc_freq: int | None = 1000) -> DataFrame:
+    """MOSS-style copy detection over winnowing fingerprints
+    (``text.rolling_fingerprints``): pairs whose CONTAINMENT —
+    shared fingerprints / min(per-doc fingerprints) — clears ``threshold``.
+
+    Containment is the near-dup axis resemblance metrics miss: a page
+    embedded verbatim inside a much larger page has near-zero Jaccard /
+    MinHash resemblance but containment ~1.0 — the winnowing guarantee
+    (any shared run >= k+w-1 chars leaves a shared fingerprint) makes the
+    shared-count a dense estimator of copied extent.
+
+    Same scale contract as ``ngram_jaccard_pairs``: candidates come from
+    an equi-join on fp_hash, never a cross join; ``max_doc_freq`` is the
+    stop-hash cap (a fingerprint in d docs fans out d^2 candidate rows, so
+    boilerplate becomes a quadratic hot key) applied to CANDIDATE
+    GENERATION only — surviving pairs count every shared fingerprint, so
+    scores stay exact; only pairs whose entire overlap is stop-hashes are
+    missed (below any useful threshold by construction). ``None`` disables
+    the cap.
+
+    The fingerprint subtree feeds several consumers (sizes / candidates /
+    verification) and Spark re-executes it per branch; at corpus scale,
+    persist or materialize ``text.rolling_fingerprints`` output once (it
+    is the reusable index — the IVF pattern) before probing repeatedly."""
+    from .text import rolling_fingerprints
+
+    fp = (rolling_fingerprints(docs, k, w)
+          .select("doc_id", "fp_hash").distinct())
+    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    cand_fp = fp
+    if max_doc_freq is not None:
+        rare = (fp.groupBy("fp_hash")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_doc_freq)
+                .select("fp_hash"))
+        cand_fp = fp.join(rare, "fp_hash", "left_semi")
+    cand = (cand_fp.alias("x").join(cand_fp.alias("y"), "fp_hash")
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"))
+            .distinct())
+    inter = (cand
+             .join(fp.alias("fa"), F.col("doc_a") == F.col("fa.doc_id"))
+             .join(fp.alias("fb"),
+                   (F.col("doc_b") == F.col("fb.doc_id"))
+                   & (F.col("fa.fp_hash") == F.col("fb.fp_hash")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_shared")))
+    scored = (inter
+              .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n_fp", "n_a"), "doc_a")
+              .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                    .withColumnRenamed("n_fp", "n_b"), "doc_b")
+              .select("doc_a", "doc_b", "n_shared",
+                      F.round(F.col("n_shared")
+                              / F.least("n_a", "n_b"), 6)
+                      .alias("containment")))
+    return scored.filter(F.col("containment") >= threshold)

@@ -959,8 +959,11 @@ def q73_rolling_fingerprints(spark, sf_dir):
     return text.rolling_fingerprints(_t(spark, sf_dir, "documents"))
 
 
-Q73_SQL = r"""
-WITH g AS (
+# Winnowing CTE chain shared by Q73 (fingerprint table) and Q74
+# (containment pairs); ``fpx`` is the distinct (doc_id, fp_pos, fp_hash)
+# selection — the relational twin of text.rolling_fingerprints.
+_WINNOW_SQL = r"""
+g AS (
   SELECT doc_id, i - 1 AS p,
          CAST((  ascii(substr(lower(text), i,     1))::HUGEINT * 74051159531521793
                + ascii(substr(lower(text), i + 1, 1))::HUGEINT * 288136807515649
@@ -981,11 +984,48 @@ sel AS (
   SELECT doc_id, p, m,
          min(packed) OVER (PARTITION BY doc_id ORDER BY p
                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS v
-  FROM pk)
-SELECT DISTINCT doc_id,
-       CAST(v % 1048576 AS INT) AS fp_pos,
-       v // 1048576 AS fp_hash
-FROM sel WHERE p <= greatest(m - 4, 0)
+  FROM pk),
+fpx AS (
+  SELECT DISTINCT doc_id,
+         CAST(v % 1048576 AS INT) AS fp_pos,
+         v // 1048576 AS fp_hash
+  FROM sel WHERE p <= greatest(m - 4, 0))"""
+
+Q73_SQL = "WITH " + _WINNOW_SQL + r"""
+SELECT doc_id, fp_pos, fp_hash FROM fpx
+"""
+
+
+def q74_fingerprint_containment(spark, sf_dir):
+    """MOSS-style copy detection: document pairs whose winnowing-
+    fingerprint CONTAINMENT (shared / min per-doc count) >= 0.5 —
+    the partial-copy axis resemblance metrics (q25/q68) miss. The oracle
+    recomputes the full chain (polynomial hash -> window minima -> hash-set
+    self-join -> containment) relationally, value-gating the candidate
+    equi-join's completeness and the scores in one hash."""
+    return dedup.fingerprint_containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+Q74_SQL = "WITH " + _WINNOW_SQL + r""",
+fp AS (SELECT DISTINCT doc_id, fp_hash FROM fpx),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+rare AS (SELECT fp_hash FROM fp GROUP BY fp_hash HAVING count(*) <= 1000),
+cfp AS (SELECT fp.* FROM fp SEMI JOIN rare USING (fp_hash)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM cfp x JOIN cfp y USING (fp_hash) WHERE x.doc_id < y.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+  FROM cand c
+  JOIN fp fa ON c.doc_a = fa.doc_id
+  JOIN fp fb ON c.doc_b = fb.doc_id AND fa.fp_hash = fb.fp_hash
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, n_shared,
+       round(n_shared / least(za.n_fp, zb.n_fp), 6) AS containment
+FROM inter
+JOIN sizes za ON za.doc_id = inter.doc_a
+JOIN sizes zb ON zb.doc_id = inter.doc_b
+WHERE round(n_shared / least(za.n_fp, zb.n_fp), 6) >= 0.5
 """
 
 
@@ -2100,4 +2140,5 @@ REGISTRY: dict[str, tuple] = {
     "q71_minhash_candidates": (q71_minhash_candidates, Q71_SQL),
     "q72_token_count_bpe": (q72_token_count_bpe, Q72_SQL),
     "q73_rolling_fingerprints": (q73_rolling_fingerprints, Q73_SQL),
+    "q74_fingerprint_containment": (q74_fingerprint_containment, Q74_SQL),
 }

@@ -382,3 +382,51 @@ def test_winnowing_guarantee_shared_substring(spark):
     for r in T.rolling_fingerprints(docs).collect():
         by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
     assert by_doc["a"] & by_doc["b"]
+
+
+def test_fingerprint_containment_embedded_doc(spark):
+    """A small doc embedded verbatim inside a much larger doc: containment
+    ~1.0 (every small-doc window survives somewhere) while resemblance
+    (jaccard over the union) is low — the axis q74 adds over q68/q25.
+    Scores match the pure-Python winnowing twin exactly."""
+    from akf_cdparser_spark.analytics import dedup as D
+    small = "the quick brown fox jumps over the lazy dog near the river"
+    filler_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+    filler_b = " ".join(f"delta{i} epsilon{i}" for i in range(40))
+    rows = [("big", filler_a + " " + small + " " + filler_b),
+            ("small", small),
+            ("other", "entirely unrelated content with no shared substrings")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {(r.doc_a, r.doc_b): (r.n_shared, r.containment)
+           for r in D.fingerprint_containment_pairs(docs, threshold=0.5).collect()}
+    fps = {d: {h for _, h in _winnow_twin(t)} for d, t in rows}
+    shared = len(fps["big"] & fps["small"])
+    want = round(shared / min(len(fps["big"]), len(fps["small"])), 6)
+    assert want >= 0.8  # the embedding really is detected
+    assert got == {("big", "small"): (shared, want)}
+    # resemblance over the same fingerprint sets is LOW — containment is
+    # the only metric that sees this pair
+    union = len(fps["big"] | fps["small"])
+    assert shared / union < 0.25
+
+
+def test_fingerprint_containment_stop_hash_cap_exact_scores(spark):
+    """The max_doc_freq cap prunes candidate generation only: with a cap
+    that kills every shared hash the pair disappears, but any surviving
+    pair's score counts ALL shared fingerprints (cap-independent)."""
+    from akf_cdparser_spark.analytics import dedup as D
+    rows = [("a", "shared boilerplate sentence appears here verbatim"),
+            ("b", "shared boilerplate sentence appears here verbatim too"),
+            ("c", "shared boilerplate sentence appears here verbatim also")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    uncapped = {(r.doc_a, r.doc_b): (r.n_shared, r.containment)
+                for r in D.fingerprint_containment_pairs(
+                    docs, threshold=0.1, max_doc_freq=None).collect()}
+    capped3 = {(r.doc_a, r.doc_b): (r.n_shared, r.containment)
+               for r in D.fingerprint_containment_pairs(
+                   docs, threshold=0.1, max_doc_freq=3).collect()}
+    assert uncapped and uncapped == capped3  # cap above df: scores identical
+    # cap of 1 removes every hash shared by >=2 docs from candidate
+    # generation -> no candidates survive at all here
+    assert D.fingerprint_containment_pairs(
+        docs, threshold=0.1, max_doc_freq=1).count() == 0
