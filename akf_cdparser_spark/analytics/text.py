@@ -121,6 +121,94 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
         F.size("_pieces").alias("n_bpe_pieces"))
 
 
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1):
+    the within-document repetition filters a web-corpus curation pass runs
+    next to the surface stats of ``quality_scores``.
+
+    Per document:
+      * ``dup_line_frac``      — (lines - distinct lines) / lines over
+        non-empty newline-split lines;
+      * ``dup_line_char_frac`` — characters inside duplicated lines /
+        all line characters;
+      * ``top_bigram`` / ``top_bigram_frac`` — the most frequent word
+        2-gram (count-then-lexicographic tie-break, deterministic in any
+        engine) and the fraction of document characters its occurrences
+        cover;
+      * ``dup_5gram_frac``     — fraction of word 5-gram instances whose
+        gram occurs more than once;
+      * ``repetition_ok``      — the composite gate at Gopher-ish
+        thresholds (0.30 / 0.18 / 0.15).
+
+    Documented adaptation: ``dup_5gram_frac`` counts gram INSTANCES, not
+    covered characters (Gopher's char-weighted variant needs overlap
+    attribution that costs a per-position pass; the instance fraction is
+    the standard cheap proxy and is what the oracle pins).
+
+    Scale shape: grams/lines explode into (doc_id, gram) rows and
+    aggregate with map-side partial combine — never an O(n^2) per-doc
+    array walk, so multi-MB documents cost O(grams), and the wide doc_id
+    re-join is three broadcast-or-shuffle equi-joins on doc_id. Mode
+    finding is max(struct(count, gram)) — one aggregation, no window."""
+    toks = docs.select("doc_id", F.length("text").alias("_nc"),
+                       tokens_col().alias("_t"))
+
+    def grams(n: int) -> Column:
+        return F.when(
+            F.size("_t") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("_t", i + j + 1) for j in range(n)]))
+        ).otherwise(F.array().cast("array<string>"))
+
+    bg = (toks.select("doc_id", F.explode(grams(2)).alias("g"))
+          .groupBy("doc_id", "g").agg(F.count("*").alias("c")))
+    top = (bg.groupBy("doc_id")
+           .agg(F.max(F.struct("c", "g")).alias("_m"))
+           .select("doc_id", F.col("_m.g").alias("top_bigram"),
+                   F.col("_m.c").alias("_tc")))
+    g5 = (toks.select("doc_id", F.explode(grams(5)).alias("g"))
+          .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+          .groupBy("doc_id")
+          .agg(F.sum("c").alias("_n5"),
+               F.sum(F.when(F.col("c") > 1, F.col("c"))).alias("_d5")))
+    lines = (docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", "\n"),
+                           lambda x: F.length(x) > 0)).alias("l"))
+        .groupBy("doc_id", "l").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("_nl"),
+             F.count("*").alias("_ndl"),
+             F.sum(F.col("c") * F.length("l")).alias("_lc"),
+             F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("l")))
+             .alias("_dlc")))
+    out = (toks.select("doc_id", "_nc")
+           .join(lines, "doc_id", "left")
+           .join(top, "doc_id", "left")
+           .join(g5, "doc_id", "left")
+           .select(
+               "doc_id",
+               F.coalesce("_nl", F.lit(0)).alias("n_lines"),
+               F.round(F.coalesce((F.col("_nl") - F.col("_ndl"))
+                                  / F.col("_nl"), F.lit(0.0)), 6)
+               .alias("dup_line_frac"),
+               F.round(F.coalesce(F.col("_dlc") / F.col("_lc"), F.lit(0.0)),
+                       6).alias("dup_line_char_frac"),
+               "top_bigram",
+               F.round(F.coalesce(F.col("_tc") * F.length("top_bigram")
+                                  / F.greatest("_nc", F.lit(1)), F.lit(0.0)),
+                       6).alias("top_bigram_frac"),
+               F.round(F.coalesce(F.col("_d5") / F.col("_n5"), F.lit(0.0)),
+                       6).alias("dup_5gram_frac")))
+    return out.withColumn(
+        "repetition_ok",
+        (F.col("dup_line_frac") <= 0.30)
+        & (F.col("top_bigram_frac") <= 0.18)
+        & (F.col("dup_5gram_frac") <= 0.15))
+
+
 def _count_hits(words: tuple[str, ...]) -> Column:
     padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
     hits = None

@@ -951,6 +951,70 @@ FROM documents
 """
 
 
+def q75_repetition_scores(spark, sf_dir):
+    """Gopher-style within-document repetition signals (dup-line fractions,
+    top-bigram character coverage, dup-5-gram instance fraction) + the
+    composite gate. The oracle recomputes every gram/line aggregation and
+    the deterministic count-then-lexicographic mode tie-break
+    relationally, value-gating fractions AND the gate in one hash."""
+    return text.repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+Q75_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS nc,
+         regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents),
+bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS g, count(*) AS c
+  FROM t, UNNEST(range(1, len(w))) AS u(i)
+  GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, g AS top_bigram, c AS tc
+  FROM (SELECT doc_id, g, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g DESC) AS rn
+        FROM bg)
+  WHERE rn = 1),
+g5c AS (
+  SELECT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+              || ' ' || w[i+4] AS g,
+         count(*) AS c
+  FROM t, UNNEST(range(1, len(w) - 3)) AS u(i)
+  GROUP BY 1, 2),
+g5 AS (
+  SELECT doc_id, sum(c) AS n5, sum(CASE WHEN c > 1 THEN c END) AS d5
+  FROM g5c GROUP BY doc_id),
+lraw AS (
+  SELECT doc_id, UNNEST(string_split(text, chr(10))) AS l FROM t),
+lcnt AS (
+  SELECT doc_id, l, count(*) AS c FROM lraw WHERE length(l) > 0
+  GROUP BY 1, 2),
+ln AS (
+  SELECT doc_id, sum(c) AS nl, count(*) AS ndl,
+         sum(c * length(l)) AS tlc,
+         sum(CASE WHEN c > 1 THEN c * length(l) END) AS dlc
+  FROM lcnt GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(nl, 0) AS BIGINT) AS n_lines,
+       round(coalesce((nl - ndl) / nl, 0), 6) AS dup_line_frac,
+       round(coalesce(dlc / tlc, 0), 6) AS dup_line_char_frac,
+       top_bigram,
+       round(coalesce(tc * length(top_bigram) / greatest(nc, 1), 0), 6)
+         AS top_bigram_frac,
+       round(coalesce(d5 / n5, 0), 6) AS dup_5gram_frac,
+       (round(coalesce((nl - ndl) / nl, 0), 6) <= 0.30
+        AND round(coalesce(tc * length(top_bigram) / greatest(nc, 1), 0), 6)
+            <= 0.18
+        AND round(coalesce(d5 / n5, 0), 6) <= 0.15) AS repetition_ok
+FROM t
+LEFT JOIN ln  USING (doc_id)
+LEFT JOIN top USING (doc_id)
+LEFT JOIN g5  USING (doc_id)
+"""
+
+
 def q73_rolling_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (rolling Rabin-Karp k-gram hashes +
     per-window minima, k=8 / w=4). The oracle recomputes the polynomial
@@ -2141,4 +2205,5 @@ REGISTRY: dict[str, tuple] = {
     "q72_token_count_bpe": (q72_token_count_bpe, Q72_SQL),
     "q73_rolling_fingerprints": (q73_rolling_fingerprints, Q73_SQL),
     "q74_fingerprint_containment": (q74_fingerprint_containment, Q74_SQL),
+    "q75_repetition_scores": (q75_repetition_scores, Q75_SQL),
 }

@@ -430,3 +430,50 @@ def test_fingerprint_containment_stop_hash_cap_exact_scores(spark):
     # generation -> no candidates survive at all here
     assert D.fingerprint_containment_pairs(
         docs, threshold=0.1, max_doc_freq=1).count() == 0
+
+
+def _repetition_twin(text: str):
+    """Pure-Python twin of analytics.text.repetition_scores for one doc."""
+    from collections import Counter
+    w = __import__("re").split(r"\s+", text.strip())
+    nc = len(text)
+    bg = Counter(" ".join(w[i:i + 2]) for i in range(len(w) - 1))
+    g5 = Counter(" ".join(w[i:i + 5]) for i in range(len(w) - 4))
+    lines = Counter(l for l in text.split("\n") if l)
+    nl, ndl = sum(lines.values()), len(lines)
+    tlc = sum(c * len(l) for l, c in lines.items())
+    dlc = sum(c * len(l) for l, c in lines.items() if c > 1)
+    top = max(((c, g) for g, c in bg.items()), default=None)
+    n5, d5 = sum(g5.values()), sum(c for c in g5.values() if c > 1)
+    dlf = round((nl - ndl) / nl, 6) if nl else 0.0
+    dlcf = round(dlc / tlc, 6) if nl else 0.0
+    tbf = round(top[0] * len(top[1]) / max(nc, 1), 6) if top else 0.0
+    d5f = round(d5 / n5, 6) if n5 else 0.0
+    return (nl, dlf, dlcf, top[1] if top else None, tbf, d5f,
+            dlf <= 0.30 and tbf <= 0.18 and d5f <= 0.15)
+
+
+def test_repetition_scores_match_python_twin(spark):
+    """repetition_scores == the per-doc Python twin on multi-line docs
+    with duplicated lines (the path the newline-free parquet corpus never
+    exercises), heavy 5-gram loops, bigram-count ties, and sub-threshold
+    docs."""
+    from akf_cdparser_spark.analytics import text as T
+    rows = [
+        ("d0", " ".join(f"word{i} mid{i} tail{i}" for i in range(25))),
+        ("d1", "spam spam spam spam spam spam spam spam spam spam"),
+        ("d2", "line a\nline b\nline a\nline b\nline a\nunique tail"),
+        ("d3", "ab cd ab cd ef gh ef gh"),        # bigram tie -> lex max
+        ("d4", "la le lu " * 30),                  # periodic 5-gram dup
+        ("d5", "x"),                               # no bigram at all
+        ("d6", "Zeile eins\n\nZeile eins\n  \nZeile zwei"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: (r.n_lines, r.dup_line_frac, r.dup_line_char_frac,
+                      r.top_bigram, r.top_bigram_frac, r.dup_5gram_frac,
+                      r.repetition_ok)
+           for r in T.repetition_scores(docs).collect()}
+    for doc_id, text in rows:
+        assert got[doc_id] == _repetition_twin(text), doc_id
+    assert got["d1"][6] is False          # the all-spam doc is gated out
+    assert got["d0"][6] is True           # clean prose passes
