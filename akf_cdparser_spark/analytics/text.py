@@ -269,7 +269,8 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 def curate_training_mix(docs: DataFrame, *, min_tokens: int = 5,
                         max_punct_ratio: float = 0.3,
                         keep_langs: tuple[str, ...] = ("de", "en"),
-                        n_shards: int = 8) -> DataFrame:
+                        n_shards: int = 8,
+                        repetition_gate: bool = False) -> DataFrame:
     """The nightly pass a 100-TB training-data pipeline actually runs,
     composed in ONE declarative plan: exact-dedup keep-list (md5
     fingerprint window) -> quality gate (token floor + punctuation
@@ -282,7 +283,20 @@ def curate_training_mix(docs: DataFrame, *, min_tokens: int = 5,
     quality/langid/tokens/shard are projections fused into the codegen
     stages on either side of it (the canonical flag needs the window, so
     the gate applies just after — everything downstream of this operator
-    sees only the kept rows). Plan-guarded to exactly one Exchange."""
+    sees only the kept rows). Plan-guarded to exactly one Exchange.
+
+    ``repetition_gate=True`` prepends the Gopher repetition filter
+    (``repetition_scores.repetition_ok``) BEFORE dedup — FineWeb-style:
+    repetition is doc-local, so gating first shrinks the dedup input, and
+    gate order is semantically visible only when duplicates differ in the
+    whitespace/case the fingerprint normalizes away (the pinned choice:
+    a gated-out doc can never be the surviving canonical). Adds the gram
+    aggregation shuffles, so the one-Exchange guard applies to the
+    default shape only."""
+    if repetition_gate:
+        keep = (repetition_scores(docs)
+                .filter(F.col("repetition_ok")).select("doc_id"))
+        docs = docs.join(keep, "doc_id", "left_semi")
     n_tokens = F.size(tokens_col())
     n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
     de = _count_hits(DE_STOPWORDS)

@@ -1015,6 +1015,25 @@ LEFT JOIN g5  USING (doc_id)
 """
 
 
+def q76_training_mix_gated(spark, sf_dir):
+    """The q67 curation capstone with the Gopher repetition gate composed
+    in FineWeb-style (repetition filter BEFORE dedup, so a gated-out doc
+    can never be the surviving canonical). The oracle nests the full Q75
+    repetition pipeline as a semi-join prefilter ahead of the verbatim
+    Q67 dedup/quality/langid/shard chain — value-gating the composition
+    order itself."""
+    return text.curate_training_mix(_t(spark, sf_dir, "documents"),
+                                    repetition_gate=True)
+
+
+Q76_SQL = ("WITH rep AS (\n" + Q75_SQL.strip() + "\n),\n"
+           "okd AS (SELECT doc_id FROM rep WHERE repetition_ok),\n"
+           "docs2 AS (SELECT d.doc_id, d.text FROM documents d\n"
+           "          SEMI JOIN okd USING (doc_id)),\n"
+           + Q67_SQL.strip()[len("WITH"):].lstrip()
+           .replace("FROM documents", "FROM docs2"))
+
+
 def q73_rolling_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (rolling Rabin-Karp k-gram hashes +
     per-window minima, k=8 / w=4). The oracle recomputes the polynomial
@@ -2206,4 +2225,5 @@ REGISTRY: dict[str, tuple] = {
     "q73_rolling_fingerprints": (q73_rolling_fingerprints, Q73_SQL),
     "q74_fingerprint_containment": (q74_fingerprint_containment, Q74_SQL),
     "q75_repetition_scores": (q75_repetition_scores, Q75_SQL),
+    "q76_training_mix_gated": (q76_training_mix_gated, Q76_SQL),
 }

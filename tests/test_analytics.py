@@ -477,3 +477,17 @@ def test_repetition_scores_match_python_twin(spark):
         assert got[doc_id] == _repetition_twin(text), doc_id
     assert got["d1"][6] is False          # the all-spam doc is gated out
     assert got["d0"][6] is True           # clean prose passes
+
+
+def test_training_mix_repetition_gate_composition(spark):
+    """curate_training_mix(repetition_gate=True) == the default operator
+    over the repetition-ok prefiltered docs (the FineWeb order: gate
+    before dedup), and the gate actually removes something here."""
+    from akf_cdparser_spark.analytics import text as T
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ok = T.repetition_scores(docs).filter("repetition_ok").select("doc_id")
+    manual = T.curate_training_mix(docs.join(ok, "doc_id", "left_semi"))
+    gated = T.curate_training_mix(docs, repetition_gate=True)
+    assert sorted(map(tuple, gated.collect())) \
+        == sorted(map(tuple, manual.collect()))
+    assert gated.count() < T.curate_training_mix(docs).count()
