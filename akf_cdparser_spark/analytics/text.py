@@ -121,6 +121,48 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
         F.size("_pieces").alias("n_bpe_pieces"))
 
 
+# PII patterns, deliberately restricted to the Java-regex ∩ RE2 subset
+# (no lookarounds; \b and \d are ASCII in both) so the DuckDB oracle runs
+# them verbatim. Redaction order matters: IBAN first (its digit tail would
+# otherwise be visible to the phone pattern after partial rewrites), then
+# email / IPv4 / phone — none of the later patterns can match inside an
+# earlier placeholder.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+49[ 0-9]{7,13}[0-9]"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_IBAN_RE = r"\bDE[0-9]{20}\b"
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """PII detection + redaction — the compliance pass a training-data
+    pipeline runs before packing: per-document counts of emails, German
+    phone numbers (+49), IPv4 addresses and German IBANs, plus the
+    redacted text with each occurrence replaced by a typed placeholder.
+
+    Counts are measured on the RAW text per class (independent of the
+    redaction chain); ``redacted`` applies the four rewrites in the fixed
+    order above. Pure built-ins (regexp_extract_all / regexp_replace),
+    codegen end-to-end, zero shuffles — a projection at any scale."""
+    def n(pat: str) -> Column:
+        return F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+
+    red = F.regexp_replace("text", PII_IBAN_RE, "<IBAN>")
+    red = F.regexp_replace(red, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    out = docs.select(
+        "doc_id",
+        n(PII_EMAIL_RE).alias("n_emails"),
+        n(PII_PHONE_RE).alias("n_phones"),
+        n(PII_IPV4_RE).alias("n_ipv4"),
+        n(PII_IBAN_RE).alias("n_ibans"),
+        red.alias("redacted"))
+    return out.withColumn(
+        "has_pii",
+        (F.col("n_emails") + F.col("n_phones")
+         + F.col("n_ipv4") + F.col("n_ibans")) > 0)
+
+
 def repetition_scores(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1):
     the within-document repetition filters a web-corpus curation pass runs

@@ -1034,6 +1034,94 @@ Q76_SQL = ("WITH rep AS (\n" + Q75_SQL.strip() + "\n),\n"
            .replace("FROM documents", "FROM docs2"))
 
 
+PII_N_DOCS = 60
+
+
+def _pii_corpus(spark):
+    """Deterministic planted-PII mini-corpus (the shared corpus is PII-free
+    — probed zero hits for all four patterns): emails, +49 phones, IPv4,
+    DE IBANs planted by index arithmetic, reproduced verbatim by the
+    oracle through the same printf formulas."""
+    i = F.col("id")
+    fs = F.format_string
+    body = F.concat(
+        fs("Bericht %d: Kontakt user%03d.name@firma%02d.de erreichbar",
+           i, i, i % 50),
+        fs(" unter +49 30 %07d jederzeit", i * 37 + 1000000),
+        F.when(i % 3 == 0,
+               fs(" oder info@abteilung%02d.example.org", i % 30))
+        .otherwise(""),
+        F.when(i % 4 == 0,
+               fs(" Server 10.%d.%d.%d aktiv",
+                  i % 256, (i * 7) % 256, (i * 13) % 256)).otherwise(""),
+        F.when(i % 5 == 0,
+               fs(" Konto DE%02d%018d gefuehrt",
+                  (i * 11) % 100, i * 104729)).otherwise(""),
+        fs(" Ende des Berichts %d", i))
+    return spark.range(PII_N_DOCS).select(
+        fs("pii/%04d", i).alias("doc_id"), body.alias("text"))
+
+
+def q77_pii_scan(spark, sf_dir):
+    """PII detection + redaction over the planted mini-corpus UNIONed with
+    the real documents table — the real docs value-gate the
+    false-positive surface (all counts zero, redacted == text), the mini
+    docs gate detection counts and the ordered redaction rewrite. The
+    oracle runs the identical Java∩RE2 patterns under RE2."""
+    docs = _pii_corpus(spark).unionByName(
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text"))
+    return text.pii_scan(docs)
+
+
+Q77_SQL = r"""
+WITH mini AS (
+  SELECT printf('pii/%04d', i) AS doc_id,
+         printf('Bericht %d: Kontakt user%03d.name@firma%02d.de erreichbar',
+                i, i, i % 50)
+         || printf(' unter +49 30 %07d jederzeit', i * 37 + 1000000)
+         || CASE WHEN i % 3 = 0
+                 THEN printf(' oder info@abteilung%02d.example.org', i % 30)
+                 ELSE '' END
+         || CASE WHEN i % 4 = 0
+                 THEN printf(' Server 10.%d.%d.%d aktiv',
+                             i % 256, (i * 7) % 256, (i * 13) % 256)
+                 ELSE '' END
+         || CASE WHEN i % 5 = 0
+                 THEN printf(' Konto DE%02d%018d gefuehrt',
+                             (i * 11) % 100, i * 104729)
+                 ELSE '' END
+         || printf(' Ende des Berichts %d', i) AS text
+  FROM UNNEST(range(0, 60)) AS t(i)),
+alldocs AS (
+  SELECT * FROM mini
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, '\+49[ 0-9]{7,13}[0-9]')) AS n_phones,
+       len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+       len(regexp_extract_all(text, '\bDE[0-9]{20}\b')) AS n_ibans,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '\bDE[0-9]{20}\b', '<IBAN>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\+49[ 0-9]{7,13}[0-9]', '<PHONE>', 'g') AS redacted,
+       (len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(text, '\+49[ 0-9]{7,13}[0-9]'))
+        + len(regexp_extract_all(text,
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        + len(regexp_extract_all(text, '\bDE[0-9]{20}\b'))) > 0 AS has_pii
+FROM alldocs
+"""
+
+
 def q73_rolling_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (rolling Rabin-Karp k-gram hashes +
     per-window minima, k=8 / w=4). The oracle recomputes the polynomial
@@ -2226,4 +2314,5 @@ REGISTRY: dict[str, tuple] = {
     "q74_fingerprint_containment": (q74_fingerprint_containment, Q74_SQL),
     "q75_repetition_scores": (q75_repetition_scores, Q75_SQL),
     "q76_training_mix_gated": (q76_training_mix_gated, Q76_SQL),
+    "q77_pii_scan": (q77_pii_scan, Q77_SQL),
 }

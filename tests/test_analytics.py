@@ -491,3 +491,28 @@ def test_training_mix_repetition_gate_composition(spark):
     assert sorted(map(tuple, gated.collect())) \
         == sorted(map(tuple, manual.collect()))
     assert gated.count() < T.curate_training_mix(docs).count()
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    """pii_scan: counts per class on raw text, ordered redaction (IBAN
+    before phone so an IBAN's digit tail is never half-rewritten into a
+    phone match), zero false positives on clean German prose."""
+    from akf_cdparser_spark.analytics import text as T
+    rows = [
+        ("p0", "Kontakt max.muster@firma.de oder +49 30 1234567 rufen"),
+        ("p1", "Konto DE89370400440532013000 Server 10.1.2.3 aktiv"),
+        ("p2", "zwei Mails: a@b.de und c.d@e-f.org nebeneinander"),
+        ("p3", "Kein PII hier, nur Umsatz 12,5 Mio. und Jahr 1987."),
+        ("p4", "+49 89 99999999 und +49 30 1111111 doppelt"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r for r in T.pii_scan(docs).collect()}
+    assert (got["p0"].n_emails, got["p0"].n_phones) == (1, 1)
+    assert got["p0"].redacted == "Kontakt <EMAIL> oder <PHONE> rufen"
+    assert (got["p1"].n_ibans, got["p1"].n_ipv4) == (1, 1)
+    assert got["p1"].redacted == "Konto <IBAN> Server <IP> aktiv"
+    assert got["p2"].n_emails == 2
+    assert got["p2"].redacted == "zwei Mails: <EMAIL> und <EMAIL> nebeneinander"
+    assert got["p3"].has_pii is False and got["p3"].redacted == rows[3][1]
+    assert got["p4"].n_phones == 2
+    assert got["p4"].redacted == "<PHONE> und <PHONE> doppelt"
