@@ -121,6 +121,45 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
         F.size("_pieces").alias("n_bpe_pieces"))
 
 
+def _word_grams(n: int, toks: Column) -> Column:
+    """Word n-grams of a token array as space-joined strings; empty array
+    below n tokens (sequence() would otherwise count down)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  n: int = 13) -> DataFrame:
+    """Test-set decontamination (the GPT-3 appendix-C rule, kept by PaLM /
+    Llama pipelines): flag any training document sharing at least one word
+    ``n``-gram (n=13 default) with a benchmark/eval document. Output: one
+    row per input doc with the distinct-shared-gram count and the
+    ``contaminated`` flag — the keep-list is ``NOT contaminated``.
+
+    Scale shape: the benchmark side is tiny by construction (eval suites,
+    not corpora) — its distinct gram set is explicitly ``broadcast()``, so
+    the corpus-side gram stream joins map-side and the 100-TB corpus is
+    never shuffled; the only exchange is the per-doc hit count
+    re-aggregation, keyed by doc_id with map-side combine."""
+    dg = (docs.select("doc_id",
+                      F.explode(_word_grams(n, tokens_col())).alias("g"))
+          .distinct())
+    bg = (benchmark.select(
+        F.explode(_word_grams(n, tokens_col())).alias("g")).distinct())
+    hits = (dg.join(F.broadcast(bg), "g")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+    return (docs.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+            .withColumn("contaminated", F.col("n_hits") > 0))
+
+
 # PII patterns, deliberately restricted to the Java-regex ∩ RE2 subset
 # (no lookarounds; \b and \d are ASCII in both) so the DuckDB oracle runs
 # them verbatim. Redaction order matters: IBAN first (its digit tail would
@@ -196,13 +235,7 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
                        tokens_col().alias("_t"))
 
     def grams(n: int) -> Column:
-        return F.when(
-            F.size("_t") >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size("_t") - n),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at("_t", i + j + 1) for j in range(n)]))
-        ).otherwise(F.array().cast("array<string>"))
+        return _word_grams(n, F.col("_t"))
 
     bg = (toks.select("doc_id", F.explode(grams(2)).alias("g"))
           .groupBy("doc_id", "g").agg(F.count("*").alias("c")))

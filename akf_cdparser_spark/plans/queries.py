@@ -1122,6 +1122,38 @@ FROM alldocs
 """
 
 
+def q78_decontaminate(spark, sf_dir):
+    """13-gram test-set decontamination (GPT-3 appendix-C rule): every
+    20th doc plays the benchmark suite, the rest are scanned for any
+    shared word 13-gram. The oracle recomputes grams via list slicing and
+    value-gates hit counts + flags; non-vacuous on this corpus (planted
+    near-dups straddle the split)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0))
+
+
+Q78_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents),
+gr AS (
+  SELECT doc_id, array_to_string(w[i:i + 12], ' ') AS g
+  FROM t, UNNEST(range(1, len(w) - 11)) AS u(i)),
+bench AS (SELECT DISTINCT g FROM gr WHERE doc_id % 20 = 0),
+dg AS (SELECT DISTINCT doc_id, g FROM gr WHERE doc_id % 20 != 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM dg SEMI JOIN bench USING (g)
+  GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(n_hits, 0) > 0 AS contaminated
+FROM t LEFT JOIN hits USING (doc_id)
+WHERE t.doc_id % 20 != 0
+"""
+
+
 def q73_rolling_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (rolling Rabin-Karp k-gram hashes +
     per-window minima, k=8 / w=4). The oracle recomputes the polynomial
@@ -2315,4 +2347,5 @@ REGISTRY: dict[str, tuple] = {
     "q75_repetition_scores": (q75_repetition_scores, Q75_SQL),
     "q76_training_mix_gated": (q76_training_mix_gated, Q76_SQL),
     "q77_pii_scan": (q77_pii_scan, Q77_SQL),
+    "q78_decontaminate": (q78_decontaminate, Q78_SQL),
 }

@@ -516,3 +516,29 @@ def test_pii_scan_counts_and_redaction(spark):
     assert got["p3"].has_pii is False and got["p3"].redacted == rows[3][1]
     assert got["p4"].n_phones == 2
     assert got["p4"].redacted == "<PHONE> und <PHONE> doppelt"
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """decontaminate: a training doc sharing one verbatim 13-gram run with
+    a benchmark doc is flagged; a 12-token shared run is NOT (the rule is
+    exact n-grams, not fuzzy); clean docs pass; the broadcast side is the
+    benchmark gram set."""
+    from akf_cdparser_spark.analytics import text as T
+    bench_sent = " ".join(f"b{i}" for i in range(13))      # 13 tokens
+    short_run = " ".join(f"b{i}" for i in range(12))        # 12 tokens only
+    docs = spark.createDataFrame(
+        [(1, "prefix words here " + bench_sent + " suffix words"),
+         (2, "prefix " + short_run + " then diverges entirely x y z"),
+         (3, "totally clean document with its own distinct phrasing only")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "eval question: " + bench_sent + " answer follows")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in T.decontaminate(docs, bench).collect()}
+    assert got[1][1] is True and got[1][0] >= 1
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+    plan = T.decontaminate(docs, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
