@@ -146,11 +146,17 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     the corpus-side gram stream joins map-side and the 100-TB corpus is
     never shuffled; the only exchange is the per-doc hit count
     re-aggregation, keyed by doc_id with map-side combine."""
-    dg = (docs.select("doc_id",
-                      F.explode(_word_grams(n, tokens_col())).alias("g"))
+    # bind the token array to a projected column BEFORE the gram lambda:
+    # passing the split expression itself into _word_grams re-embeds the
+    # whole-document split once per element_at reference (13x per gram —
+    # the dedup.shingles lambda-CSE trap; measured 10x slower unbound)
+    dg = (docs.select("doc_id", tokens_col().alias("_t"))
+          .select("doc_id",
+                  F.explode(_word_grams(n, F.col("_t"))).alias("g"))
           .distinct())
-    bg = (benchmark.select(
-        F.explode(_word_grams(n, tokens_col())).alias("g")).distinct())
+    bg = (benchmark.select(tokens_col().alias("_t"))
+          .select(F.explode(_word_grams(n, F.col("_t"))).alias("g"))
+          .distinct())
     hits = (dg.join(F.broadcast(bg), "g")
             .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
     return (docs.select("doc_id")

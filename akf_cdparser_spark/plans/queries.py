@@ -1212,7 +1212,7 @@ def q74_fingerprint_containment(spark, sf_dir):
 Q74_SQL = "WITH " + _WINNOW_SQL + r""",
 fp AS (SELECT DISTINCT doc_id, fp_hash FROM fpx),
 sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
-rare AS (SELECT fp_hash FROM fp GROUP BY fp_hash HAVING count(*) <= 1000),
+rare AS (SELECT fp_hash FROM fp GROUP BY fp_hash HAVING count(*) <= 100),
 cfp AS (SELECT fp.* FROM fp SEMI JOIN rare USING (fp_hash)),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
