@@ -38,6 +38,10 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "q21_quality", "q24_dedup_exact", "q25_minhash_bands",
         "q26_simhash", "q27_embedding_topk", "q28_lse_histogram",
         "q65_ivf_recall",
+        # round-5 text/fingerprint planes: winnowing, containment pairs,
+        # Gopher repetition, 13-gram decontamination
+        "q73_rolling_fingerprints", "q74_fingerprint_containment",
+        "q75_repetition_scores", "q78_decontaminate",
     ]
 
     # warm-up: JVM/codegen/parquet-footer/Python-worker startup must not be
