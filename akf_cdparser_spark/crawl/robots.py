@@ -1,30 +1,61 @@
 """robots.txt gating: a small rules table broadcast-joined against candidate
-URLs, longest-matching prefix rule wins (standard robots semantics).
+URLs, most-specific matching rule wins (RFC 9309 semantics).
 
-The rules table is tiny (one row per host × path prefix) — classic broadcast
+The rules table is tiny (one row per host × path rule) — classic broadcast
 dimension; the candidate side streams, no shuffle.
 """
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .canonicalize import host_of
+# Java-regex metacharacters escaped when translating a robots rule into a
+# match pattern. '*' is deliberately NOT in the set (it becomes '.*'); '$'
+# IS escaped first and the trailing one is un-escaped back into an anchor.
+_JAVA_META = r"([.^$+?(){}\[\]|\\])"
+
+
+def _rule_pattern_col() -> "F.Column":
+    """RFC 9309 rule -> anchored Java-regex pattern, as a Column over
+    ``rule``: metachars escaped, every ``*`` -> ``.*``, a TRAILING ``$``
+    -> end anchor (a ``$`` anywhere else is a literal octet, per the RFC's
+    'the $ designates the end of the match pattern')."""
+    esc = F.regexp_replace(F.col("rule"), _JAVA_META, r"\\$1")
+    esc = F.regexp_replace(esc, r"\*", ".*")
+    # replacement-side '$' must itself be escaped (Java group-ref marker)
+    anchored = F.when(F.col("rule").endswith("$"),
+                      F.regexp_replace(esc, r"\\\$$", r"\$")).otherwise(esc)
+    return F.concat(F.lit("^"), anchored)
 
 
 def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     """candidates(url, host, ...) x robots(host, rule, allow) -> candidates
-    with ``allowed`` per longest-prefix rule; hosts with no rules default to
+    with ``allowed`` per most-specific rule; hosts with no rules default to
     allowed.
 
-    Window-free plan: rules are aggregated per host into an array, broadcast,
-    and the longest matching prefix is picked with a single JVM-side
-    ``aggregate`` over that (tiny) array — one broadcast join, no shuffle,
-    no per-URL row_number."""
+    Matching implements RFC 9309 path patterns: plain rules are prefix
+    matches (JVM ``startswith`` fast path — no regex on the hot path),
+    rules containing ``*``/``$`` match via a pattern precomputed ONCE per
+    rule at broadcast-build time (the per-URL lambda only executes it).
+    Precedence is rule-string length in octets, wildcards counted as
+    written (the RFC's 'most specific = longest' reading, as deployed by
+    the major crawlers); allow wins length ties.
+
+    Window-free plan: rules are aggregated per host into an array,
+    broadcast, and the most specific matching rule is picked with a single
+    JVM-side ``aggregate`` over that (tiny) array — one broadcast join, no
+    shuffle, no per-URL row_number."""
     path = F.regexp_replace(F.col("url"), r"^[a-z0-9+.\-]+://[^/]*", "")
-    per_host = (robots.groupBy("host")
-                .agg(F.collect_list(F.struct("rule", "allow")).alias("_rules"))
+    per_host = (robots
+                .withColumn("_wild", F.col("rule").rlike(r"[*$]"))
+                .withColumn("_pat", _rule_pattern_col())
+                .groupBy("host")
+                .agg(F.collect_list(
+                    F.struct("rule", "allow", "_wild", "_pat"))
+                    .alias("_rules"))
                 .withColumnRenamed("host", "_rhost"))
     cand = (candidates.withColumn("_path", path)
             .join(F.broadcast(per_host),
@@ -38,7 +69,8 @@ def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
         F.coalesce(F.col("_rules"), F.array()),
         F.struct(F.lit(-1).alias("rlen"), F.lit(True).alias("allow")),
         lambda acc, r: F.when(
-            F.col("_path").startswith(r.rule)
+            F.when(r._wild, F.rlike(F.col("_path"), r._pat))
+            .otherwise(F.col("_path").startswith(r.rule))
             & ((F.length(r.rule) > acc.rlen)
                | ((F.length(r.rule) == acc.rlen) & r.allow & ~acc.allow)),
             F.struct(F.length(r.rule).alias("rlen"), r.allow.alias("allow"))
@@ -47,17 +79,32 @@ def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
             .drop("_rhost", "_rules", "_path"))
 
 
+def _rule_match_py(path: str, rule: str) -> bool:
+    """Pure-Python twin of the per-rule match (prefix fast path, RFC 9309
+    ``*``/``$`` translation otherwise — same trailing-$-only anchoring)."""
+    if "*" not in rule and not rule.endswith("$"):
+        return path.startswith(rule)
+    parts = []
+    for i, ch in enumerate(rule):
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "$" and i == len(rule) - 1:
+            parts.append("$")
+        else:
+            parts.append(re.escape(ch))
+    return re.match("".join(parts), path) is not None
+
+
 def robots_allowed_py(url: str, rules: list[dict]) -> bool:
-    """Pure-Python twin for the sequential oracle (same longest-prefix +
+    """Pure-Python twin for the sequential oracle (same most-specific +
     allow-wins-tie semantics as ``apply_robots`` — tie-break is
-    order-independent in both)."""
-    import re
+    order-independent in both, wildcard matching identical)."""
     host_m = re.match(r"^([a-z0-9+.\-]+://[^/]+)", url)
     host = host_m.group(1) if host_m else ""
     path = url[len(host):]
     best = None
     for r in rules:
-        if r["host"] == host and path.startswith(r["rule"]):
+        if r["host"] == host and _rule_match_py(path, r["rule"]):
             if (best is None or len(r["rule"]) > len(best["rule"])
                     or (len(r["rule"]) == len(best["rule"])
                         and r["allow"] and not best["allow"])):
@@ -75,9 +122,11 @@ def parse_robots_txt(host: str, text: str, user_agent: str = "*") -> list[dict]:
     ``User-agent`` lines heading one group, group selection by the LONGEST
     user-agent token that is a case-insensitive substring of ``user_agent``
     (``*`` is the weakest match), empty ``Disallow:`` meaning allow-all (no
-    rule emitted). NOT implemented (documented cut): ``*``/``$`` path
-    wildcards and Sitemap lines are ignored; ``Crawl-delay`` is ignored
-    because politeness here is budget-based (host_budget), not delay-based.
+    rule emitted). ``*``/``$`` path wildcards pass through verbatim and are
+    interpreted by ``apply_robots``/``robots_allowed_py`` (RFC 9309
+    matching). NOT implemented (documented cut): Sitemap lines are
+    ignored; ``Crawl-delay`` is ignored because politeness here is
+    budget-based (host_budget), not delay-based.
     """
     groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
     agents: list[str] = []

@@ -436,3 +436,58 @@ def test_parsed_robots_feed_apply_robots(spark):
     assert got == {u: robots_allowed_py(u, rules) for u in urls}
     assert got["akf://cd/index.html"] and not got["akf://cd/secret/a.html"]
     assert got["akf://cd/secret/press/b.html"]
+
+
+def test_robots_wildcard_rules_rfc9309(spark):
+    """RFC 9309 path patterns: '*' spans any octets, a TRAILING '$'
+    anchors the end (elsewhere it is a literal), regex metachars in rules
+    stay literal, and plain rules keep prefix semantics. Spark gate ==
+    sequential twin on every (url, ruleset) combination, both rule
+    orders."""
+    from akf_cdparser_spark.crawl.robots import apply_robots, robots_allowed_py
+
+    host = "akf://cd"
+    urls = [
+        f"{host}/a/page.html",
+        f"{host}/a/page.html?x=1",
+        f"{host}/b/deep/page.pdf",
+        f"{host}/b/page.pdfx",
+        f"{host}/c/file.v1+tag/x",
+        f"{host}/c/file.v1xtag/x",
+        f"{host}/d/end",
+        f"{host}/d/end/more",
+    ]
+    rulesets = {
+        "star-ext": [
+            {"host": host, "rule": "/*.pdf$", "allow": False}],
+        "star-mid": [
+            {"host": host, "rule": "/a/*.html", "allow": False},
+            {"host": host, "rule": "/a/", "allow": True}],
+        "literal-meta": [  # '.', '+' in the rule are literal octets
+            {"host": host, "rule": "/c/file.v1+tag/", "allow": False}],
+        "anchor": [
+            {"host": host, "rule": "/d/end$", "allow": False}],
+        "star-vs-prefix-precedence": [  # longer (wild) rule wins
+            {"host": host, "rule": "/b/", "allow": True},
+            {"host": host, "rule": "/b/*/page*", "allow": False}],
+    }
+    for name, rules in rulesets.items():
+        for order in (rules, rules[::-1]):
+            cand = spark.createDataFrame([(u, host) for u in urls],
+                                         "url string, host string")
+            got = {r.url: r.allowed
+                   for r in apply_robots(
+                       cand, spark.createDataFrame(order)).collect()}
+            want = {u: robots_allowed_py(u, order) for u in urls}
+            assert got == want, (name, got, want)
+    # semantic spot checks through the twin
+    rs = rulesets
+    assert not robots_allowed_py(f"{host}/b/deep/page.pdf", rs["star-ext"])
+    assert robots_allowed_py(f"{host}/b/page.pdfx", rs["star-ext"])  # $ anchors
+    assert not robots_allowed_py(f"{host}/a/page.html?x=1", rs["star-mid"])
+    assert not robots_allowed_py(f"{host}/c/file.v1+tag/x", rs["literal-meta"])
+    assert robots_allowed_py(f"{host}/c/file.v1xtag/x", rs["literal-meta"])
+    assert not robots_allowed_py(f"{host}/d/end", rs["anchor"])
+    assert robots_allowed_py(f"{host}/d/end/more", rs["anchor"])
+    assert not robots_allowed_py(f"{host}/b/deep/page.pdf",
+                                 rs["star-vs-prefix-precedence"])
