@@ -1154,6 +1154,92 @@ WHERE t.doc_id % 20 != 0
 """
 
 
+SITEMAP_N = 40
+
+
+def _sitemap_corpus(spark):
+    """Deterministic sitemap-XML corpus: every 5th doc is a
+    <sitemapindex> (two children, one with lastmod), the rest are
+    <urlset>s with a plain entry, a whitespace-padded loc + lastmod
+    entry, a loc-less block (spec-invalid, must be dropped) and an extra
+    path entry — all printf-reproducible, one real newline per doc so the
+    (?s) block patterns are actually exercised."""
+    i = F.col("id")
+    fs = F.format_string
+    nl = F.lit("\n")
+    index_xml = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex>'), nl,
+        fs('<sitemap><loc>akf://cd%d/sitemap-%d.xml</loc></sitemap>',
+           i % 7, i),
+        fs('<sitemap><loc>akf://cd%d/sitemap-%d.xml</loc>'
+           '<lastmod>2005-%02d-01</lastmod></sitemap>',
+           i % 7, i + 1000, i % 12 + 1),
+        F.lit('</sitemapindex>'))
+    urlset_xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'), nl,
+        fs('<url><loc>akf://cd%d/%04d.html</loc></url>', i % 7, i),
+        fs('<url><loc>  akf://cd%d/%04d.html </loc>'
+           '<lastmod>2005-%02d-%02d</lastmod></url>',
+           i % 7, i + 5000, i % 12 + 1, i % 28 + 1),
+        F.lit('<url><lastmod>2005-01-01</lastmod></url>'),
+        fs('<url><loc>akf://cd%d/extra/%d</loc></url>', i % 7, i * 3),
+        F.lit('</urlset>'))
+    return spark.range(SITEMAP_N).select(
+        fs("akf://cd%d", i % 7).alias("host"),
+        F.when(i % 5 == 0, index_xml).otherwise(urlset_xml).alias("xml"))
+
+
+def q79_sitemap_ingest(spark, sf_dir):
+    """Sitemap-protocol ingestion (crawl/sitemaps.py): <urlset> page URLs
+    + <sitemapindex> children with lastmod passthrough, loc-less blocks
+    dropped, whitespace-padded locs trimmed. The oracle runs the
+    identical (?s) non-greedy patterns under RE2 over the same printf
+    corpus."""
+    from ..crawl.sitemaps import parse_sitemaps
+
+    return parse_sitemaps(_sitemap_corpus(spark))
+
+
+Q79_SQL = r"""
+WITH corpus AS (
+  SELECT printf('akf://cd%d', i % 7) AS host,
+         CASE WHEN i % 5 = 0 THEN
+           '<?xml version="1.0"?><sitemapindex>' || chr(10)
+           || printf('<sitemap><loc>akf://cd%d/sitemap-%d.xml</loc></sitemap>',
+                     i % 7, i)
+           || printf('<sitemap><loc>akf://cd%d/sitemap-%d.xml</loc>'
+                     || '<lastmod>2005-%02d-01</lastmod></sitemap>',
+                     i % 7, i + 1000, i % 12 + 1)
+           || '</sitemapindex>'
+         ELSE
+           '<?xml version="1.0"?><urlset>' || chr(10)
+           || printf('<url><loc>akf://cd%d/%04d.html</loc></url>', i % 7, i)
+           || printf('<url><loc>  akf://cd%d/%04d.html </loc>'
+                     || '<lastmod>2005-%02d-%02d</lastmod></url>',
+                     i % 7, i + 5000, i % 12 + 1, i % 28 + 1)
+           || '<url><lastmod>2005-01-01</lastmod></url>'
+           || printf('<url><loc>akf://cd%d/extra/%d</loc></url>', i % 7, i * 3)
+           || '</urlset>'
+         END AS xml
+  FROM UNNEST(range(0, 40)) AS t(i)),
+blocks AS (
+  SELECT host, 'url' AS kind,
+         UNNEST(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS b
+  FROM corpus
+  UNION ALL
+  SELECT host, 'sitemap' AS kind,
+         UNNEST(regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', 1))
+         AS b
+  FROM corpus)
+SELECT host, kind,
+       regexp_extract(b, '(?s)<loc>\s*(.*?)\s*</loc>', 1) AS url,
+       nullif(regexp_extract(b, '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1), '')
+         AS lastmod
+FROM blocks
+WHERE regexp_extract(b, '(?s)<loc>\s*(.*?)\s*</loc>', 1) != ''
+"""
+
+
 def q73_rolling_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (rolling Rabin-Karp k-gram hashes +
     per-window minima, k=8 / w=4). The oracle recomputes the polynomial
@@ -2348,4 +2434,5 @@ REGISTRY: dict[str, tuple] = {
     "q76_training_mix_gated": (q76_training_mix_gated, Q76_SQL),
     "q77_pii_scan": (q77_pii_scan, Q77_SQL),
     "q78_decontaminate": (q78_decontaminate, Q78_SQL),
+    "q79_sitemap_ingest": (q79_sitemap_ingest, Q79_SQL),
 }

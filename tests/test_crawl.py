@@ -491,3 +491,49 @@ def test_robots_wildcard_rules_rfc9309(spark):
     assert robots_allowed_py(f"{host}/d/end/more", rs["anchor"])
     assert not robots_allowed_py(f"{host}/b/deep/page.pdf",
                                  rs["star-vs-prefix-precedence"])
+
+
+def test_sitemap_parse_and_seed_crawl(spark, tmp_path):
+    """Sitemap ingestion end-to-end: parse_sitemaps handles urlset /
+    sitemapindex / loc-less blocks / padded locs, and sitemap_seeds
+    bootstraps a crawl that is BYTE-IDENTICAL to the same seeds given as
+    a literal list (the sitemap channel injects candidates without
+    touching seen-set or ordering semantics)."""
+    from akf_cdparser_spark.crawl.frontier import CrawlEngine
+    from akf_cdparser_spark.crawl.sitemaps import parse_sitemaps, sitemap_seeds
+
+    n_docs = 60
+    seed_ids = [0, 12, 24, 36, 48]
+    locs = "".join(
+        f"<url><loc> {fixtures.url_for(i)} </loc>"
+        f"<lastmod>2005-0{1 + k % 9}-02</lastmod></url>"
+        for k, i in enumerate(seed_ids))
+    sm = spark.createDataFrame(
+        [("akf://cd",
+          f'<urlset>\n{locs}<url><lastmod>2005-01-01</lastmod></url></urlset>'),
+         ("akf://cd", '<sitemapindex><sitemap>'
+                      '<loc>akf://cd/sitemap-2.xml</loc></sitemap>'
+                      '</sitemapindex>')],
+        "host string, xml string")
+    parsed = parse_sitemaps(sm)
+    assert parsed.filter("kind = 'sitemap'").count() == 1
+    got_urls = sorted(r.url for r in parsed.filter("kind = 'url'").collect())
+    assert got_urls == sorted(fixtures.url_for(i) for i in seed_ids)
+    assert parsed.filter("lastmod IS NULL AND kind = 'url'").count() == 0
+
+    seeds_df = sitemap_seeds(sm)
+    seeds = [{"url": r.url, "seq": k}
+             for k, r in enumerate(seeds_df.orderBy("url").collect())]
+    lit_seeds = [{"url": fixtures.url_for(i), "seq": k}
+                 for k, i in enumerate(sorted(seed_ids,
+                                              key=fixtures.url_for))]
+    logs = []
+    for tag, sd in (("sitemap", seeds), ("literal", lit_seeds)):
+        engine = CrawlEngine(spark, str(tmp_path / tag), n_docs,
+                             host_budget=10, n_salts=2)
+        engine.bootstrap(sd, fixtures.robots_rules(n_docs))
+        engine.run(X.docs_dataframe(spark, n_docs, partitions=4), 2)
+        logs.append(sorted(
+            (r.scheduled_seq, r.url) for r in engine.fetch_log().collect()))
+        engine.close()
+    assert logs[0] == logs[1] and logs[0]
