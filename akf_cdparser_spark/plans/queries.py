@@ -1240,6 +1240,60 @@ WHERE regexp_extract(b, '(?s)<loc>\s*(.*?)\s*</loc>', 1) != ''
 """
 
 
+PR_N_NODES = 400
+PR_N_ITER = 3
+
+
+def q80_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (analytics/graph.py) over the deterministic
+    Beteiligungen link graph (fixtures.beteiligung_targets — the crawl
+    out-link function): 400 nodes, 3 synchronous steps, BIGINT micro-unit
+    scores. Integer arithmetic end-to-end makes an ITERATIVE algorithm
+    value-hashable: the oracle unrolls the same three steps relationally
+    and every score matches bit-for-bit."""
+    from ..analytics.graph import pagerank_fixedpoint
+
+    n = PR_N_NODES
+    i, j = F.col("i"), F.col("j")
+    edges = (spark.range(n).withColumnRenamed("id", "i")
+             .select("i", F.explode(
+                 F.sequence(F.lit(0), F.lit(1) + i % 3)).alias("j"))
+             .select(F.col("i").alias("src"),
+                     ((i * 7 + j * 13 + 1) % n).alias("dst"))
+             .filter(F.col("dst") != F.col("src")))
+    return pagerank_fixedpoint(spark, edges, n, n_iter=PR_N_ITER)
+
+
+def _q80_sql() -> str:
+    n = PR_N_NODES
+    base = 10**12 // n
+    teleport = (15 * base) // 100
+    parts = [f"""
+WITH edges AS (
+  SELECT i AS src, (i*7 + j*13 + 1) % {n} AS dst
+  FROM UNNEST(range(0, {n})) t(i), UNNEST(range(0, 2 + i % 3)) u(j)
+  WHERE (i*7 + j*13 + 1) % {n} != i),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nodes AS (SELECT i AS node FROM UNNEST(range(0, {n})) t(i)),
+s0 AS (SELECT node, {base} AS score FROM nodes)"""]
+    for k in range(1, PR_N_ITER + 1):
+        parts.append(f""",
+c{k} AS (
+  SELECT e.dst AS node, sum(s.score // d.d) AS inm
+  FROM edges e JOIN deg d USING (src) JOIN s{k-1} s ON s.node = e.src
+  GROUP BY e.dst),
+s{k} AS (
+  SELECT n.node, {teleport} + (85 * coalesce(c.inm, 0)) // 100 AS score
+  FROM nodes n LEFT JOIN c{k} c USING (node))""")
+    parts.append(f"""
+SELECT node, CAST(score AS BIGINT) AS score FROM s{PR_N_ITER}
+""")
+    return "".join(parts)
+
+
+Q80_SQL = _q80_sql()
+
+
 def q73_rolling_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (rolling Rabin-Karp k-gram hashes +
     per-window minima, k=8 / w=4). The oracle recomputes the polynomial
@@ -2435,4 +2489,5 @@ REGISTRY: dict[str, tuple] = {
     "q77_pii_scan": (q77_pii_scan, Q77_SQL),
     "q78_decontaminate": (q78_decontaminate, Q78_SQL),
     "q79_sitemap_ingest": (q79_sitemap_ingest, Q79_SQL),
+    "q80_pagerank": (q80_pagerank, Q80_SQL),
 }

@@ -542,3 +542,38 @@ def test_decontaminate_flags_planted_overlap(spark):
     plan = T.decontaminate(docs, bench)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def _pagerank_twin(edges, n, n_iter=3, scale=10**12, d_pct=85):
+    """Pure-Python fixed-point PageRank twin (same integer semantics)."""
+    from collections import Counter, defaultdict
+    deg = Counter(s for s, _ in edges)
+    base = scale // n
+    tele = ((100 - d_pct) * base) // 100
+    score = {v: base for v in range(n)}
+    for _ in range(n_iter):
+        inm = defaultdict(int)
+        for s, t in edges:
+            inm[t] += score[s] // deg[s]
+        score = {v: tele + (d_pct * inm.get(v, 0)) // 100 for v in range(n)}
+    return score
+
+
+def test_pagerank_fixedpoint_matches_twin_and_is_order_invariant(spark):
+    """Fixed-point PageRank == the integer twin on a graph with a dangling
+    node, a sink hub and parallel edges; and the SAME bit-exact scores at
+    different shuffle widths — the determinism that justifies putting an
+    iterative algorithm behind a value-hashed oracle."""
+    from akf_cdparser_spark.analytics.graph import pagerank_fixedpoint
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 2),  # parallel
+             (4, 2)]                                          # 5 dangling-free?
+    n = 6                                                     # node 5 dangling
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    want = _pagerank_twin(edges, n)
+    got = {r.node: r.score
+           for r in pagerank_fixedpoint(spark, edf, n).collect()}
+    assert got == want
+    wide = {r.node: r.score
+            for r in pagerank_fixedpoint(
+                spark, edf.repartition(7), n).collect()}
+    assert wide == got
