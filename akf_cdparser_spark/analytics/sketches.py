@@ -1,0 +1,60 @@
+"""Cardinality sketches for 100-TB profiling.
+
+KMV (k-minimum-values, Bar-Yossef et al. 2002) rather than HLL on
+purpose: Spark's approx_count_distinct and DuckDB's approx_count_distinct
+are DIFFERENT HLL implementations whose estimates can never value-match,
+while KMV over an md5-derived hash is engine-portable — the k smallest
+hashes, hence the estimate itself, are bit-identical everywhere. That
+turns an APPROXIMATE operator into an exactly-testable one (the same
+move as the md5 MinHash/shard derivations elsewhere in this repo).
+
+Scale shape: per column, one distinct-hash pass (shuffle carries only a
+long) followed by a global top-k — Spark executes orderBy().limit(k) as
+TakeOrderedAndProject (per-partition heaps + a k-row driver merge), never
+a full sort. The estimate is one row; k rows cross the cluster boundary.
+
+Determinism of the float step: kth is < 2^60 (15 hex digits of md5) and
+(k-1)*2^60 is exactly representable (8 significant bits scaled by a power
+of two); long->double conversion and IEEE division round identically in
+the JVM and DuckDB, and the final floor() is rounding-mode-free — so even
+the floating division is bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KMV_HASH_SPACE = 2**60  # conv(substr(md5, 1, 15), 16, 10): 15 hex digits
+
+
+def kmv_distinct(df: DataFrame, cols: list[str], k: int = 256) -> DataFrame:
+    """One row per column: ``(column, n_kept, kth_hash, est_distinct)``.
+
+    Estimator: with h_k the k-th smallest distinct hash in [0, 2^60),
+    est = floor((k-1) * 2^60 / h_k); when fewer than k distinct hashes
+    exist the sketch is exhaustive and est is the exact count (h_k is
+    NULL in that branch). Standard error ~ 1/sqrt(k-2)."""
+    out = None
+    for c in cols:
+        hashes = (df.select(
+            F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 15),
+                   16, 10).cast("long").alias("hv"))
+            .distinct())
+        topk = hashes.orderBy("hv").limit(k)
+        row = (topk.agg(F.count("*").alias("n_kept"),
+                        F.max("hv").alias("_kth"))
+               .select(
+                   F.lit(c).alias("column"),
+                   "n_kept",
+                   F.when(F.col("n_kept") >= k, F.col("_kth"))
+                   .alias("kth_hash"),
+                   F.when(F.col("n_kept") < k,
+                          F.col("n_kept").cast("long"))
+                   .otherwise(
+                       F.floor(F.lit(float((k - 1) * KMV_HASH_SPACE))
+                               / F.col("_kth").cast("double"))
+                       .cast("long"))
+                   .alias("est_distinct")))
+        out = row if out is None else out.unionByName(row)
+    return out

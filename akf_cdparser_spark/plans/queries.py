@@ -1294,6 +1294,43 @@ SELECT node, CAST(score AS BIGINT) AS score FROM s{PR_N_ITER}
 Q80_SQL = _q80_sql()
 
 
+def q81_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (analytics/sketches.py) over three
+    lineitem key columns — l_suppkey has < k distinct values at sf0.01 so
+    the exhaustive branch is exercised next to the estimator branch. The
+    md5-derived hash makes the APPROXIMATE estimate itself bit-identical
+    under DuckDB, so the oracle value-gates the sketch, not just its
+    error bound."""
+    from ..analytics.sketches import kmv_distinct
+
+    return kmv_distinct(_t(spark, sf_dir, "lineitem"),
+                        ["l_orderkey", "l_partkey", "l_suppkey"])
+
+
+def _q81_col_sql(col: str, k: int = 256) -> str:
+    m = (k - 1) * 2**60
+    return f"""
+SELECT '{col}' AS "column", n_kept,
+       CASE WHEN n_kept >= {k} THEN kth END AS kth_hash,
+       CASE WHEN n_kept < {k} THEN n_kept
+            ELSE CAST(floor(CAST({m} AS DOUBLE)
+                            / CAST(kth AS DOUBLE)) AS BIGINT)
+       END AS est_distinct
+FROM (
+  SELECT count(*) AS n_kept, max(hv) AS kth
+  FROM (
+    SELECT hv FROM (
+      SELECT DISTINCT CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS hv
+      FROM lineitem)
+    ORDER BY hv LIMIT {k}))"""
+
+
+Q81_SQL = (_q81_col_sql("l_orderkey") + "\nUNION ALL"
+           + _q81_col_sql("l_partkey") + "\nUNION ALL"
+           + _q81_col_sql("l_suppkey"))
+
+
 def q73_rolling_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (rolling Rabin-Karp k-gram hashes +
     per-window minima, k=8 / w=4). The oracle recomputes the polynomial
@@ -2490,4 +2527,5 @@ REGISTRY: dict[str, tuple] = {
     "q78_decontaminate": (q78_decontaminate, Q78_SQL),
     "q79_sitemap_ingest": (q79_sitemap_ingest, Q79_SQL),
     "q80_pagerank": (q80_pagerank, Q80_SQL),
+    "q81_kmv_distinct": (q81_kmv_distinct, Q81_SQL),
 }

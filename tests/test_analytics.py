@@ -577,3 +577,30 @@ def test_pagerank_fixedpoint_matches_twin_and_is_order_invariant(spark):
             for r in pagerank_fixedpoint(
                 spark, edf.repartition(7), n).collect()}
     assert wide == got
+
+
+def test_kmv_distinct_accuracy_and_exhaustive_branch(spark):
+    """KMV sketch: the estimator lands within 3x its theoretical standard
+    error (1/sqrt(k-2), here ~6.3% at k=256) of the true distinct count on
+    the sf0.01 lineitem keys, the exhaustive branch (distinct < k) returns
+    the EXACT count with a NULL kth_hash, and the plan takes a global
+    top-k (TakeOrderedAndProject), never a full sort."""
+    from akf_cdparser_spark.analytics.sketches import kmv_distinct
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    got = {r["column"]: r for r in kmv_distinct(
+        li, ["l_orderkey", "l_partkey", "l_suppkey"]).collect()}
+    exact = li.select(
+        *[__import__("pyspark.sql.functions", fromlist=["F"])
+          .countDistinct(c).alias(c)
+          for c in ("l_orderkey", "l_partkey", "l_suppkey")]).head()
+    for c in ("l_orderkey", "l_partkey"):
+        rel = abs(got[c].est_distinct - exact[c]) / exact[c]
+        assert rel < 3 * (1 / (254 ** 0.5)), (c, got[c].est_distinct, exact[c])
+        assert got[c].kth_hash is not None
+    # l_suppkey: 100 suppliers at sf0.01 -> exhaustive branch
+    assert got["l_suppkey"].est_distinct == exact["l_suppkey"]
+    assert got["l_suppkey"].kth_hash is None
+    plan = kmv_distinct(li, ["l_orderkey"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [hv" not in plan  # no full sort of the hash space
