@@ -121,7 +121,47 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
         F.size("_pieces").alias("n_bpe_pieces"))
 
 
-def _word_grams(n: int, toks: Column) -> Column:
+HASH_SPLIT_SPACE = 2**60  # conv(substr(md5, 1, 15), 16, 10)
+
+
+def hash_split(docs: DataFrame, weights: dict[str, float],
+               key: str = "doc_id", salt: str = "split-v1") -> DataFrame:
+    """Deterministic train/holdout assignment — the split primitive every
+    training pipeline needs: each row lands in exactly one named split,
+    chosen by where its md5-derived 60-bit hash falls among cumulative
+    weight boundaries. Properties a random() split cannot give: stable
+    under re-runs, engines, partitionings and corpus growth (a doc keeps
+    its split when new docs arrive — no leakage of eval docs into train
+    on re-shard), and exactly reproducible by the SQL oracle. ``salt``
+    versions the assignment (new salt = fresh independent split).
+
+    Splits are assigned in the ITERATION ORDER of ``weights`` (Python
+    dicts preserve insertion order); boundaries are exact integers
+    (floor(cumfrac * 2^60)), so the mapping is total and unambiguous.
+    Pure projection — zero shuffles at any scale."""
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), F.col(key).cast("string"))),
+        1, 15), 16, 10).cast("long")
+    names = list(weights)
+    expr = None
+    for name, bound in zip(names[:-1], hash_split_bounds(weights)):
+        cond = h < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (F.lit(names[0]) if expr is None
+            else expr.otherwise(names[-1]))
+    return docs.withColumn("split", expr)
+
+
+def hash_split_bounds(weights: dict[str, float]) -> list[int]:
+    """The exact integer boundaries ``hash_split`` compares against (one
+    per split except the last) — exported so oracle twins render the SAME
+    integers instead of re-deriving them through their own float path."""
+    total = sum(weights.values())
+    bounds, acc = [], 0.0
+    for name in list(weights)[:-1]:
+        acc += weights[name] / total
+        bounds.append(int(acc * HASH_SPLIT_SPACE))
+    return bounds
     """Word n-grams of a token array as space-joined strings; empty array
     below n tokens (sequence() would otherwise count down)."""
     return F.when(

@@ -1331,6 +1331,40 @@ Q81_SQL = (_q81_col_sql("l_orderkey") + "\nUNION ALL"
            + _q81_col_sql("l_suppkey"))
 
 
+SPLIT_WEIGHTS = {"train": 0.98, "valid": 0.01, "test": 0.01}
+
+
+def q82_hash_split(spark, sf_dir):
+    """Deterministic train/valid/test assignment (98/1/1) over the
+    documents table: md5-salted 60-bit hash vs exact integer boundaries —
+    stable under re-runs, partitionings and corpus growth (no eval->train
+    leakage on re-shard). The oracle renders the IDENTICAL boundary
+    integers (exported by hash_split_bounds) so both engines compare
+    against the same literals."""
+    return (text.hash_split(_t(spark, sf_dir, "documents"), SPLIT_WEIGHTS)
+            .select("doc_id", "split"))
+
+
+def _q82_sql() -> str:
+    from ..analytics.text import hash_split_bounds
+
+    b1, b2 = hash_split_bounds(SPLIT_WEIGHTS)
+    return f"""
+SELECT doc_id,
+       CASE WHEN h < {b1} THEN 'train'
+            WHEN h < {b2} THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) AS h
+  FROM documents)
+"""
+
+
+Q82_SQL = _q82_sql()
+
+
 def q73_rolling_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (rolling Rabin-Karp k-gram hashes +
     per-window minima, k=8 / w=4). The oracle recomputes the polynomial
@@ -2528,4 +2562,5 @@ REGISTRY: dict[str, tuple] = {
     "q79_sitemap_ingest": (q79_sitemap_ingest, Q79_SQL),
     "q80_pagerank": (q80_pagerank, Q80_SQL),
     "q81_kmv_distinct": (q81_kmv_distinct, Q81_SQL),
+    "q82_hash_split": (q82_hash_split, Q82_SQL),
 }

@@ -604,3 +604,25 @@ def test_kmv_distinct_accuracy_and_exhaustive_branch(spark):
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort [hv" not in plan  # no full sort of the hash space
+
+
+def test_hash_split_stability_and_rates(spark):
+    """hash_split: every row gets exactly one split; assignments are
+    stable when the corpus GROWS (the no-leakage property a random()
+    split lacks); a different salt reassigns independently; empirical
+    rates track the weights."""
+    from akf_cdparser_spark.analytics import text as T
+    w = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    full = spark.range(2000).select(F.col("id").alias("doc_id"))
+    half = full.filter("doc_id < 1000")
+    a = {r.doc_id: r.split for r in T.hash_split(half, w).collect()}
+    b = {r.doc_id: r.split for r in T.hash_split(full, w).collect()}
+    assert all(b[k] == v for k, v in a.items())  # growth never reassigns
+    from collections import Counter
+    rates = Counter(b.values())
+    assert abs(rates["train"] / 2000 - 0.8) < 0.05
+    assert abs(rates["valid"] / 2000 - 0.1) < 0.03
+    assert abs(rates["test"] / 2000 - 0.1) < 0.03
+    c = {r.doc_id: r.split
+         for r in T.hash_split(full, w, salt="split-v2").collect()}
+    assert any(c[k] != b[k] for k in c)  # new salt = fresh assignment
