@@ -121,6 +121,49 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
         F.size("_pieces").alias("n_bpe_pieces"))
 
 
+def sentence_dedup(docs: DataFrame) -> DataFrame:
+    """CCNet-style cross-document sentence deduplication: split each doc
+    on sentence boundaries (``\\.\\s+`` — the separator is normalized to
+    '. ' on reassembly, documented adaptation), normalize
+    (lower+trim), and keep each distinct sentence ONLY at its first
+    global occurrence — min(doc_id, pos) — dropping every other instance
+    (boilerplate killer: nav bars, footers, legal lines vanish from all
+    but one doc). Output per doc: ``cleaned_text`` (kept sentences joined
+    '. '), ``n_sentences``, ``n_removed``.
+
+    Determinism: the keeper is a min over (doc_id, pos) — order-free;
+    reassembly sorts kept sentences by pos (sort_array over structs), so
+    no collect_list arrival order leaks into results. Scale shape: one
+    explode + one groupBy(norm) with map-side combine (shuffle carries
+    the normalized sentence once per distinct instance) + one
+    groupBy(doc_id) reassembly; no window over the whole corpus."""
+    sents = (docs
+             .select("doc_id", F.posexplode(
+                 F.split("text", r"\.\s+")).alias("pos", "sent"))
+             .filter(F.length(F.trim("sent")) > 0)
+             .withColumn("norm", F.lower(F.trim("sent"))))
+    keeper = (sents.groupBy("norm")
+              .agg(F.min(F.struct("doc_id", "pos")).alias("_k")))
+    kept = (sents.join(keeper, "norm")
+            .filter((F.col("doc_id") == F.col("_k.doc_id"))
+                    & (F.col("pos") == F.col("_k.pos"))))
+    counts = sents.groupBy("doc_id").agg(F.count("*").alias("n_sentences"))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.sort_array(F.collect_list(
+                           F.struct("pos", "sent"))),
+                       lambda s: s.sent),
+                   ". ").alias("cleaned_text"),
+                   F.count("*").alias("_n_kept")))
+    return (counts.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+                    "n_sentences",
+                    (F.col("n_sentences")
+                     - F.coalesce("_n_kept", F.lit(0))).alias("n_removed")))
+
+
 HASH_SPLIT_SPACE = 2**60  # conv(substr(md5, 1, 15), 16, 10)
 
 

@@ -1365,6 +1365,77 @@ FROM (
 Q82_SQL = _q82_sql()
 
 
+SENTDUP_N = 30
+
+
+def _sentence_corpus(spark):
+    """Planted boilerplate mini-corpus for q83 (the shared documents table
+    contains no '. ' sentence boundaries at all — probed): every doc
+    opens and closes with corpus-wide boilerplate sentences (kept only at
+    their first global occurrence), carries one unique sentence, and
+    every 3rd doc shares a group sentence with its cohort."""
+    i = F.col("id")
+    fs = F.format_string
+    body = F.concat(
+        F.lit("Alle Rechte vorbehalten. "),
+        fs("Bericht Nummer %d enthaelt die Details. ", i),
+        F.when(i % 3 == 0, fs("Gemeinsamer Hinweis Gruppe %d. ", i % 2))
+        .otherwise(""),
+        F.lit("Kontakt siehe Impressum"))
+    return spark.range(SENTDUP_N).select(
+        fs("sd/%04d", i).alias("doc_id"), body.alias("text"))
+
+
+def q83_sentence_dedup(spark, sf_dir):
+    """CCNet-style cross-document sentence dedup: each normalized
+    sentence survives only at its first global (doc_id, pos) occurrence;
+    cleaned text reassembled in position order. Runs over a planted
+    boilerplate mini-corpus UNIONed with the real documents table (which
+    has no sentence boundaries — it gates the single-sentence passthrough
+    path). Oracle recomputes the keeper rule with a window and
+    string_agg(ORDER BY pos) — value-gating the reassembled text itself,
+    so any arrival-order leak would flip the hash."""
+    docs = _sentence_corpus(spark).unionByName(
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text"))
+    return text.sentence_dedup(docs)
+
+
+Q83_SQL = r"""
+WITH docs2 AS (
+  SELECT printf('sd/%04d', i) AS doc_id,
+         'Alle Rechte vorbehalten. '
+         || printf('Bericht Nummer %d enthaelt die Details. ', i)
+         || CASE WHEN i % 3 = 0
+                 THEN printf('Gemeinsamer Hinweis Gruppe %d. ', i % 2)
+                 ELSE '' END
+         || 'Kontakt siehe Impressum' AS text
+  FROM UNNEST(range(0, 30)) AS t(i)
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+arr AS (
+  SELECT doc_id, regexp_split_to_array(text, '\.\s+') AS a FROM docs2),
+s AS (
+  SELECT doc_id, i - 1 AS pos, a[i] AS sent, lower(trim(a[i])) AS norm
+  FROM arr, UNNEST(range(1, len(a) + 1)) AS u(i)
+  WHERE length(trim(a[i])) > 0),
+k AS (
+  SELECT doc_id, pos, sent,
+         row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
+  FROM s),
+counts AS (SELECT doc_id, count(*) AS n_sentences FROM s GROUP BY doc_id),
+rebuilt AS (
+  SELECT doc_id, string_agg(sent, '. ' ORDER BY pos) AS cleaned_text,
+         count(*) AS n_kept
+  FROM k WHERE rn = 1 GROUP BY doc_id)
+SELECT c.doc_id,
+       coalesce(cleaned_text, '') AS cleaned_text,
+       n_sentences,
+       n_sentences - coalesce(n_kept, 0) AS n_removed
+FROM counts c LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
 def q73_rolling_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (rolling Rabin-Karp k-gram hashes +
     per-window minima, k=8 / w=4). The oracle recomputes the polynomial
@@ -2563,4 +2634,5 @@ REGISTRY: dict[str, tuple] = {
     "q80_pagerank": (q80_pagerank, Q80_SQL),
     "q81_kmv_distinct": (q81_kmv_distinct, Q81_SQL),
     "q82_hash_split": (q82_hash_split, Q82_SQL),
+    "q83_sentence_dedup": (q83_sentence_dedup, Q83_SQL),
 }

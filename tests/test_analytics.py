@@ -626,3 +626,25 @@ def test_hash_split_stability_and_rates(spark):
     c = {r.doc_id: r.split
          for r in T.hash_split(full, w, salt="split-v2").collect()}
     assert any(c[k] != b[k] for k in c)  # new salt = fresh assignment
+
+
+def test_sentence_dedup_keeper_rule_and_reassembly(spark):
+    """sentence_dedup: a boilerplate sentence survives only in its first
+    global (doc_id, pos) occurrence (case-insensitive match), reassembly
+    preserves position order, fully-boilerplate docs collapse to '', and
+    a single-sentence unique doc passes through untouched."""
+    from akf_cdparser_spark.analytics import text as T
+    rows = [
+        ("a", "Alle Rechte vorbehalten. Einzigartiger Satz A. Impressum"),
+        ("b", "alle rechte vorbehalten. Einzigartiger Satz B. Impressum"),
+        ("c", "Alle Rechte vorbehalten. Impressum"),  # nothing survives
+        ("d", "Ein ganz eigener Text ohne Punktgrenzen"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: (r.cleaned_text, r.n_sentences, r.n_removed)
+           for r in T.sentence_dedup(docs).collect()}
+    assert got["a"] == (
+        "Alle Rechte vorbehalten. Einzigartiger Satz A. Impressum", 3, 0)
+    assert got["b"] == ("Einzigartiger Satz B", 3, 2)
+    assert got["c"] == ("", 2, 2)
+    assert got["d"] == ("Ein ganz eigener Text ohne Punktgrenzen", 1, 0)
