@@ -28,6 +28,30 @@ from pyspark.sql import functions as F
 KMV_HASH_SPACE = 2**60  # conv(substr(md5, 1, 15), 16, 10): 15 hex digits
 
 
+def profile_table(df: DataFrame, cols: list[str], k: int = 256) -> DataFrame:
+    """ANALYZE-style column profile: one row per column with
+    ``(column, n_rows, n_nulls, min_value, max_value, est_distinct)`` —
+    min/max rendered as strings for a uniform schema, distinct counts via
+    the portable KMV sketch (exact below k). The statistics a planner or
+    a data-quality gate reads before touching 100 TB; each column costs
+    one agg pass + the sketch's distinct/top-k, all rows-to-driver
+    bounded by k."""
+    out = None
+    for c in cols:
+        base = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+            F.min(c).cast("string").alias("min_value"),
+            F.max(c).cast("string").alias("max_value"),
+        ).select(F.lit(c).alias("column"), "n_rows", "n_nulls",
+                 "min_value", "max_value")
+        est = kmv_distinct(df.filter(F.col(c).isNotNull()), [c], k) \
+            .select("column", "est_distinct")
+        row = base.join(est, "column")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def kmv_distinct(df: DataFrame, cols: list[str], k: int = 256) -> DataFrame:
     """One row per column: ``(column, n_kept, kth_hash, est_distinct)``.
 

@@ -1436,6 +1436,47 @@ FROM counts c LEFT JOIN rebuilt USING (doc_id)
 """
 
 
+def q84_profile_table(spark, sf_dir):
+    """ANALYZE-style column profiler (analytics/sketches.py): nulls,
+    min/max (string-rendered) and KMV distinct estimates for an int, a
+    string and a timestamp column — the stats pass a planner/quality gate
+    runs before touching the full corpus. Profiled columns restricted to
+    types whose string rendering is engine-identical (doubles are not:
+    scientific-notation thresholds differ)."""
+    from ..analytics.sketches import profile_table
+
+    return profile_table(_t(spark, sf_dir, "lineitem"),
+                         ["l_orderkey", "l_returnflag", "l_shipdate"])
+
+
+def _q84_col_sql(col: str, k: int = 256) -> str:
+    m = (k - 1) * 2**60
+    return f"""
+SELECT '{col}' AS "column",
+       (SELECT count(*) FROM lineitem) AS n_rows,
+       (SELECT count(*) FILTER (WHERE {col} IS NULL) FROM lineitem)
+         AS n_nulls,
+       (SELECT CAST(min({col}) AS VARCHAR) FROM lineitem) AS min_value,
+       (SELECT CAST(max({col}) AS VARCHAR) FROM lineitem) AS max_value,
+       CASE WHEN n_kept < {k} THEN n_kept
+            ELSE CAST(floor(CAST({m} AS DOUBLE)
+                            / CAST(kth AS DOUBLE)) AS BIGINT)
+       END AS est_distinct
+FROM (
+  SELECT count(*) AS n_kept, max(hv) AS kth
+  FROM (
+    SELECT hv FROM (
+      SELECT DISTINCT CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS hv
+      FROM lineitem WHERE {col} IS NOT NULL)
+    ORDER BY hv LIMIT {k}))"""
+
+
+Q84_SQL = (_q84_col_sql("l_orderkey") + "\nUNION ALL"
+           + _q84_col_sql("l_returnflag") + "\nUNION ALL"
+           + _q84_col_sql("l_shipdate"))
+
+
 def q73_rolling_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (rolling Rabin-Karp k-gram hashes +
     per-window minima, k=8 / w=4). The oracle recomputes the polynomial
@@ -2635,4 +2676,5 @@ REGISTRY: dict[str, tuple] = {
     "q81_kmv_distinct": (q81_kmv_distinct, Q81_SQL),
     "q82_hash_split": (q82_hash_split, Q82_SQL),
     "q83_sentence_dedup": (q83_sentence_dedup, Q83_SQL),
+    "q84_profile_table": (q84_profile_table, Q84_SQL),
 }

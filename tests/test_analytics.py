@@ -648,3 +648,19 @@ def test_sentence_dedup_keeper_rule_and_reassembly(spark):
     assert got["b"] == ("Einzigartiger Satz B", 3, 2)
     assert got["c"] == ("", 2, 2)
     assert got["d"] == ("Ein ganz eigener Text ohne Punktgrenzen", 1, 0)
+
+
+def test_profile_table_stats(spark):
+    """profile_table: exact n_rows/n_nulls/min/max per column, KMV
+    estimate consistent with kmv_distinct, nulls excluded from the
+    sketch."""
+    from akf_cdparser_spark.analytics.sketches import profile_table
+    rows = [(1, "a"), (2, None), (3, "b"), (4, "a"), (5, None)]
+    df = spark.createDataFrame(rows, "k long, v string")
+    got = {r["column"]: r for r in profile_table(df, ["k", "v"]).collect()}
+    assert (got["k"].n_rows, got["k"].n_nulls) == (5, 0)
+    assert (got["k"].min_value, got["k"].max_value) == ("1", "5")
+    assert got["k"].est_distinct == 5          # exhaustive branch
+    assert (got["v"].n_rows, got["v"].n_nulls) == (5, 2)
+    assert (got["v"].min_value, got["v"].max_value) == ("a", "b")
+    assert got["v"].est_distinct == 2          # nulls not sketched
