@@ -261,6 +261,25 @@ PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_IBAN_RE = r"\bDE[0-9]{20}\b"
 
 
+def pii_columns() -> dict[str, Column]:
+    """The PII expressions as reusable Columns over a ``text`` column —
+    shared by ``pii_scan`` and the streaming curation gate so the two
+    surfaces cannot drift."""
+    def n(pat: str) -> Column:
+        return F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+
+    red = F.regexp_replace("text", PII_IBAN_RE, "<IBAN>")
+    red = F.regexp_replace(red, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    counts = {"n_emails": n(PII_EMAIL_RE), "n_phones": n(PII_PHONE_RE),
+              "n_ipv4": n(PII_IPV4_RE), "n_ibans": n(PII_IBAN_RE)}
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return {**counts, "redacted": red, "has_pii": total > 0}
+
+
 def pii_scan(docs: DataFrame) -> DataFrame:
     """PII detection + redaction — the compliance pass a training-data
     pipeline runs before packing: per-document counts of emails, German
@@ -271,24 +290,11 @@ def pii_scan(docs: DataFrame) -> DataFrame:
     redaction chain); ``redacted`` applies the four rewrites in the fixed
     order above. Pure built-ins (regexp_extract_all / regexp_replace),
     codegen end-to-end, zero shuffles — a projection at any scale."""
-    def n(pat: str) -> Column:
-        return F.size(F.regexp_extract_all("text", F.lit(pat), 0))
-
-    red = F.regexp_replace("text", PII_IBAN_RE, "<IBAN>")
-    red = F.regexp_replace(red, PII_EMAIL_RE, "<EMAIL>")
-    red = F.regexp_replace(red, PII_IPV4_RE, "<IP>")
-    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
-    out = docs.select(
+    c = pii_columns()
+    return docs.select(
         "doc_id",
-        n(PII_EMAIL_RE).alias("n_emails"),
-        n(PII_PHONE_RE).alias("n_phones"),
-        n(PII_IPV4_RE).alias("n_ipv4"),
-        n(PII_IBAN_RE).alias("n_ibans"),
-        red.alias("redacted"))
-    return out.withColumn(
-        "has_pii",
-        (F.col("n_emails") + F.col("n_phones")
-         + F.col("n_ipv4") + F.col("n_ibans")) > 0)
+        *[c[k].alias(k) for k in ("n_emails", "n_phones", "n_ipv4",
+                                  "n_ibans", "redacted", "has_pii")])
 
 
 def repetition_scores(docs: DataFrame) -> DataFrame:

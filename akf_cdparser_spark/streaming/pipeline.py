@@ -115,3 +115,27 @@ def sessionize_stream(events: DataFrame):
             .applyInPandasWithState(
                 _session_fn, SESSION_OUTPUT_SCHEMA, SESSION_STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))
+
+
+def stream_curation_gate(docs: DataFrame) -> DataFrame:
+    """Ingestion-time curation gate: the PROJECTION-ONLY subset of the
+    batch curation plane — PII scan/redaction plus the quality surface
+    flags — fused into ONE stateless select, so it runs identically on
+    batch and streaming frames with no watermark, state store or join at
+    all. The stateful planes (repetition grams, dedup keep-lists,
+    winnowing pairs) stay in the nightly batch pass by design; this gate
+    is what an ingest microbatch can afford.
+
+    Output: doc_id, redacted, has_pii, n_tokens, quality_ok."""
+    from ..analytics.text import pii_columns, tokens_col
+
+    c = pii_columns()
+    n_tokens = F.size(tokens_col())
+    punct_ratio = (F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+                   / F.greatest(F.length("text"), F.lit(1)))
+    return docs.select(
+        "doc_id",
+        c["redacted"].alias("redacted"),
+        c["has_pii"].alias("has_pii"),
+        n_tokens.alias("n_tokens"),
+        ((n_tokens >= 5) & (punct_ratio < 0.3)).alias("quality_ok"))

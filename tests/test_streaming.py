@@ -99,3 +99,43 @@ def test_stream_exact_dedup_matches_batch_keeplist(spark, tmp_path):
         q.stop()
     # batch fallback: same operator, exact, no watermark state
     assert pipeline.stream_exact_dedup(base).count() == 3
+
+
+def test_stream_curation_gate_matches_batch(spark, tmp_path):
+    """The fused projection gate produces IDENTICAL rows on the streaming
+    and batch paths (stateless — no watermark, no state store), and its
+    columns agree with the batch operators it fuses (pii_scan +
+    quality_scores)."""
+    from akf_cdparser_spark.analytics import text as T
+
+    docs_dir = str(tmp_path / "docs_gate")
+    base = spark.createDataFrame(
+        [("a", "Kontakt max.muster@firma.de erreichbar unter +49 30 1234567"
+               " in allen wichtigen Angelegenheiten"),
+         ("b", "!!!???!!!"),                       # fails quality gate
+         ("c", "ein sauberes dokument ohne pii mit genug worten darin")],
+        "doc_id string, text string")
+    base.write.parquet(docs_dir)
+
+    batch_rows = {tuple(r) for r in
+                  pipeline.stream_curation_gate(base).collect()}
+    pii = {r.doc_id: r for r in T.pii_scan(base).collect()}
+    qual = {r.doc_id: r for r in T.quality_scores(base).collect()}
+    for r in pipeline.stream_curation_gate(base).collect():
+        assert r.redacted == pii[r.doc_id].redacted
+        assert r.has_pii == pii[r.doc_id].has_pii
+        assert r.quality_ok == qual[r.doc_id].quality_ok
+
+    stream = (spark.readStream.schema("doc_id string, text string")
+              .option("maxFilesPerTrigger", 1).parquet(docs_dir))
+    q = (pipeline.stream_curation_gate(stream)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("t_gate").start())
+    try:
+        q.processAllAvailable()
+        stream_rows = {tuple(r) for r in
+                       spark.sql("SELECT * FROM t_gate").collect()}
+        assert stream_rows == batch_rows
+        assert any(r.has_pii for r in pii.values())
+    finally:
+        q.stop()
