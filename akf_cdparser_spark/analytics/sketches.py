@@ -28,6 +28,53 @@ from pyspark.sql import functions as F
 KMV_HASH_SPACE = 2**60  # conv(substr(md5, 1, 15), 16, 10): 15 hex digits
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_token_counts(docs: DataFrame, top_n: int = 15,
+                     depth: int = CMS_DEPTH,
+                     width: int = CMS_WIDTH) -> DataFrame:
+    """Count-min sketch (Cormode/Muthukrishnan) over whitespace tokens,
+    queried for the corpus's ``top_n`` exact-frequency tokens: one row per
+    token with ``(token, exact_n, cms_est)``. The row hashes are
+    md5-derived (``md5(r || '|' || token)``), so the sketch — and the
+    over-estimate it returns — is bit-identical in any engine; ``cms_est
+    >= exact_n`` always (the CMS invariant, gated by the oracle hash).
+
+    Scale shape: the sketch build is ONE explode + ONE groupBy over at
+    most depth*width cells (map-side combine collapses per-partition
+    counts first — the shuffle carries <= depth*width rows per partition
+    regardless of corpus size); the query side is a broadcast join of the
+    candidate tokens against the tiny cell table. This is the shape that
+    lets a 100-TB corpus maintain frequency estimates without a
+    full-cardinality groupBy."""
+    from .text import tokens_col
+
+    toks = docs.select(F.explode(tokens_col()).alias("token"))
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    cells = (toks.select("token", rows)
+             .select("r",
+                     (F.conv(F.substring(
+                         F.md5(F.concat_ws("|", F.col("r").cast("string"),
+                                           "token")), 1, 15), 16, 10)
+                      .cast("long") % width).alias("bucket"))
+             .groupBy("r", "bucket").agg(F.count("*").alias("n")))
+    top = (toks.groupBy("token").agg(F.count("*").alias("exact_n"))
+           .orderBy(F.desc("exact_n"), F.desc("token")).limit(top_n))
+    probes = top.select(
+        "token", "exact_n",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"))
+    probes = probes.withColumn(
+        "bucket",
+        F.conv(F.substring(
+            F.md5(F.concat_ws("|", F.col("r").cast("string"), "token")),
+            1, 15), 16, 10).cast("long") % width)
+    return (probes.join(F.broadcast(cells), ["r", "bucket"])
+            .groupBy("token", "exact_n")
+            .agg(F.min("n").alias("cms_est")))
+
+
 def profile_table(df: DataFrame, cols: list[str], k: int = 256) -> DataFrame:
     """ANALYZE-style column profile: one row per column with
     ``(column, n_rows, n_nulls, min_value, max_value, est_distinct)`` —

@@ -1477,6 +1477,42 @@ Q84_SQL = (_q84_col_sql("l_orderkey") + "\nUNION ALL"
            + _q84_col_sql("l_shipdate"))
 
 
+def q85_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch frequency estimates for the corpus's top-15 exact
+    tokens (analytics/sketches.py): md5-derived row hashes make the
+    sketch — including each over-estimate — bit-identical under DuckDB,
+    so the oracle gates the CMS invariant (cms_est >= exact_n) by
+    value."""
+    from ..analytics.sketches import cms_token_counts
+
+    return cms_token_counts(_t(spark, sf_dir, "documents"))
+
+
+Q85_SQL = r"""
+WITH toks AS (
+  SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+cells AS (
+  SELECT r,
+         CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || '|' || token),
+                     1, 15)) AS BIGINT) % 1024 AS bucket,
+         count(*) AS n
+  FROM toks, UNNEST(range(0, 4)) AS u(r)
+  GROUP BY 1, 2),
+top AS (
+  SELECT token, count(*) AS exact_n FROM toks GROUP BY token
+  ORDER BY exact_n DESC, token DESC LIMIT 15),
+probes AS (
+  SELECT token, exact_n, r,
+         CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || '|' || token),
+                     1, 15)) AS BIGINT) % 1024 AS bucket
+  FROM top, UNNEST(range(0, 4)) AS u(r))
+SELECT token, exact_n, min(n) AS cms_est
+FROM probes JOIN cells USING (r, bucket)
+GROUP BY token, exact_n
+"""
+
+
 def q73_rolling_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (rolling Rabin-Karp k-gram hashes +
     per-window minima, k=8 / w=4). The oracle recomputes the polynomial
@@ -2677,4 +2713,5 @@ REGISTRY: dict[str, tuple] = {
     "q82_hash_split": (q82_hash_split, Q82_SQL),
     "q83_sentence_dedup": (q83_sentence_dedup, Q83_SQL),
     "q84_profile_table": (q84_profile_table, Q84_SQL),
+    "q85_cms_heavy_hitters": (q85_cms_heavy_hitters, Q85_SQL),
 }

@@ -664,3 +664,18 @@ def test_profile_table_stats(spark):
     assert (got["v"].n_rows, got["v"].n_nulls) == (5, 2)
     assert (got["v"].min_value, got["v"].max_value) == ("a", "b")
     assert got["v"].est_distinct == 2          # nulls not sketched
+
+
+def test_cms_invariant_and_exactness_on_heavy_hitters(spark):
+    """Count-min: every estimate >= the exact count (the CMS invariant),
+    true heavy hitters dominate their collision noise (est within 2x on
+    this corpus), and a tiny-width sketch still never under-counts."""
+    from akf_cdparser_spark.analytics.sketches import cms_token_counts
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = cms_token_counts(docs).collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert r.cms_est >= r.exact_n, r
+        assert r.cms_est <= 2 * r.exact_n, r  # heavy hitters stay sharp
+    tiny = cms_token_counts(docs, top_n=10, width=8).collect()
+    assert all(r.cms_est >= r.exact_n for r in tiny)  # invariant under load
