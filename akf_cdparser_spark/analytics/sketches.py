@@ -28,6 +28,58 @@ from pyspark.sql import functions as F
 KMV_HASH_SPACE = 2**60  # conv(substr(md5, 1, 15), 16, 10): 15 hex digits
 
 
+def _kmv_hashes(df: DataFrame, col: str) -> DataFrame:
+    return (df.select(
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15),
+               16, 10).cast("long").alias("hv"))
+        .distinct())
+
+
+def kmv_set_ops(df_a: DataFrame, col_a: str,
+                df_b: DataFrame, col_b: str, k: int = 256) -> DataFrame:
+    """KMV set-operation estimates (Beyer et al. 2007): one row with
+    ``(n_union_sample, kth_hash, est_union, n_both, est_jaccard,
+    est_intersection)`` for the value sets A = df_a[col_a], B =
+    df_b[col_b].
+
+    Method: merge the distinct hash sets, take the k smallest (the KMV
+    sketch of A ∪ B — sketches compose by union, which is what makes
+    them maintainable incrementally at 100 TB), estimate |A ∪ B| from the
+    k-th hash, estimate Jaccard as the fraction of the union sample
+    present in BOTH sets, and intersect by product. Every step is integer
+    or exactly-representable double arithmetic — the estimates value-match
+    any engine, like ``kmv_distinct``. Exhaustive branch: fewer than k
+    union hashes -> exact union, exact membership, exact intersection."""
+    ha = _kmv_hashes(df_a, col_a)
+    hb = _kmv_hashes(df_b, col_b)
+    merged = (ha.withColumn("in_a", F.lit(1)).withColumn("in_b", F.lit(0))
+              .unionByName(
+                  hb.withColumn("in_a", F.lit(0)).withColumn("in_b", F.lit(1)))
+              .groupBy("hv")
+              .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")))
+    sample = merged.orderBy("hv").limit(k)
+    agg = sample.agg(
+        F.count("*").alias("n_union_sample"),
+        F.max("hv").alias("_kth"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("n_both"))
+    est_union = F.when(
+        F.col("n_union_sample") < k, F.col("n_union_sample").cast("long")
+    ).otherwise(
+        F.floor(F.lit(float((k - 1) * KMV_HASH_SPACE))
+                / F.col("_kth").cast("double")).cast("long"))
+    return agg.select(
+        "n_union_sample",
+        F.when(F.col("n_union_sample") >= k, F.col("_kth")).alias("kth_hash"),
+        est_union.alias("est_union"),
+        "n_both",
+        F.round(F.col("n_both").cast("double")
+                / F.col("n_union_sample"), 6).alias("est_jaccard"),
+        F.floor((F.col("n_both").cast("double")
+                 / F.col("n_union_sample"))
+                * est_union.cast("double")).cast("long")
+        .alias("est_intersection"))
+
+
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
 

@@ -1513,6 +1513,60 @@ GROUP BY token, exact_n
 """
 
 
+def q86_kmv_set_ops(spark, sf_dir):
+    """KMV set-operation estimates (union / Jaccard / intersection of
+    customer keys vs ordering-customer keys) — sketches compose by union,
+    the property that makes them incrementally maintainable at 100 TB.
+    All-integer/exact-double arithmetic, so the oracle value-gates the
+    ESTIMATES themselves."""
+    from ..analytics.sketches import kmv_set_ops
+
+    return kmv_set_ops(_t(spark, sf_dir, "customer"), "c_custkey",
+                       _t(spark, sf_dir, "orders"), "o_custkey")
+
+
+def _q86_sql(k: int = 256) -> str:
+    m = (k - 1) * 2**60
+    return f"""
+WITH ha AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS hv FROM customer),
+hb AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS hv FROM orders),
+merged AS (
+  SELECT hv, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT hv, 1 AS in_a, 0 AS in_b FROM ha
+    UNION ALL
+    SELECT hv, 0 AS in_a, 1 AS in_b FROM hb)
+  GROUP BY hv),
+sample AS (SELECT * FROM merged ORDER BY hv LIMIT {k}),
+agg AS (
+  SELECT count(*) AS n_union_sample, max(hv) AS kth,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+  FROM sample),
+est AS (
+  SELECT *,
+         CASE WHEN n_union_sample < {k} THEN n_union_sample
+              ELSE CAST(floor(CAST({m} AS DOUBLE) / CAST(kth AS DOUBLE))
+                        AS BIGINT)
+         END AS est_union
+  FROM agg)
+SELECT n_union_sample,
+       CASE WHEN n_union_sample >= {k} THEN kth END AS kth_hash,
+       est_union,
+       n_both,
+       round(CAST(n_both AS DOUBLE) / n_union_sample, 6) AS est_jaccard,
+       CAST(floor((CAST(n_both AS DOUBLE) / n_union_sample)
+                  * CAST(est_union AS DOUBLE)) AS BIGINT)
+         AS est_intersection
+FROM est
+"""
+
+
+Q86_SQL = _q86_sql()
+
+
 def q73_rolling_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (rolling Rabin-Karp k-gram hashes +
     per-window minima, k=8 / w=4). The oracle recomputes the polynomial
@@ -2714,4 +2768,5 @@ REGISTRY: dict[str, tuple] = {
     "q83_sentence_dedup": (q83_sentence_dedup, Q83_SQL),
     "q84_profile_table": (q84_profile_table, Q84_SQL),
     "q85_cms_heavy_hitters": (q85_cms_heavy_hitters, Q85_SQL),
+    "q86_kmv_set_ops": (q86_kmv_set_ops, Q86_SQL),
 }

