@@ -1567,6 +1567,36 @@ FROM est
 Q86_SQL = _q86_sql()
 
 
+def q87_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering keys over orders: o_custkey % 256 x
+    o_orderkey % 256 interleaved into a 16-bit key — the layout primitive
+    behind OPTIMIZE ZORDER. Pure integer bit arithmetic; the oracle
+    recomputes the interleave term-by-term and value-gates every key."""
+    from ..operators.layout import zorder_key
+
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.col("o_orderkey") % 256).alias("y"),
+    ).withColumn("z", zorder_key(["x", "y"], bits=8))
+
+
+def _q87_sql(bits: int = 8) -> str:
+    terms = " + ".join(
+        f"(((({c} >> {b}) & 1)) << {b * 2 + ci})"
+        for b in range(bits) for ci, c in enumerate(("x", "y")))
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey % 256 AS x, o_orderkey % 256 AS y
+  FROM orders)
+SELECT o_orderkey, x, y, CAST({terms} AS BIGINT) AS z FROM base
+"""
+
+
+Q87_SQL = _q87_sql()
+
+
 def q73_rolling_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (rolling Rabin-Karp k-gram hashes +
     per-window minima, k=8 / w=4). The oracle recomputes the polynomial
@@ -2769,4 +2799,5 @@ REGISTRY: dict[str, tuple] = {
     "q84_profile_table": (q84_profile_table, Q84_SQL),
     "q85_cms_heavy_hitters": (q85_cms_heavy_hitters, Q85_SQL),
     "q86_kmv_set_ops": (q86_kmv_set_ops, Q86_SQL),
+    "q87_zorder_key": (q87_zorder_key, Q87_SQL),
 }

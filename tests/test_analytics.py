@@ -704,3 +704,39 @@ def test_kmv_set_ops_accuracy(spark):
     small = kmv_set_ops(a, "v", b, "v").head()
     assert (small.est_union, small.est_intersection) == (60, 20)
     assert small.kth_hash is None
+
+
+def _morton2(x: int, y: int, bits: int = 8) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_key_twin_and_pruning_locality(spark):
+    """zorder_key == the pure-Python Morton twin on random points, and the
+    layout claim holds: range-partitioning by z gives per-file x/y
+    bounding boxes whose average area is a small fraction of the full
+    domain (the min/max-stats pruning win), while the plan shows
+    RangePartitioning."""
+    import random as _r
+    from akf_cdparser_spark.operators.layout import zorder_key, zorder_layout
+    rng = _r.Random(7)
+    pts = [(i, rng.randrange(256), rng.randrange(256)) for i in range(4000)]
+    df = spark.createDataFrame(pts, "i long, x long, y long")
+    got = {r.i: r.z for r in df.withColumn(
+        "z", zorder_key(["x", "y"], bits=8)).collect()}
+    for i, x, y in pts:
+        assert got[i] == _morton2(x, y), (i, x, y)
+    laid = zorder_layout(df, ["x", "y"], bits=8, n_files=16)
+    assert "rangepartitioning(_z" in laid._jdf.queryExecution() \
+        .executedPlan().toString()
+    boxes = (laid.groupBy(F.spark_partition_id().alias("p"))
+             .agg(((F.max("x") - F.min("x") + 1)
+                   * (F.max("y") - F.min("y") + 1)).alias("area"),
+                  F.count("*").alias("n"))
+             .collect())
+    mean_area = sum(r.area for r in boxes) / len(boxes)
+    # random assignment would give ~full-domain boxes (65536); the curve
+    # keeps files inside small hyper-rectangles
+    assert mean_area < 65536 / 4, mean_area
