@@ -205,6 +205,9 @@ def hash_split_bounds(weights: dict[str, float]) -> list[int]:
         acc += weights[name] / total
         bounds.append(int(acc * HASH_SPLIT_SPACE))
     return bounds
+
+
+def _word_grams(n: int, toks: Column) -> Column:
     """Word n-grams of a token array as space-joined strings; empty array
     below n tokens (sequence() would otherwise count down)."""
     return F.when(
