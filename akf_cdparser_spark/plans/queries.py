@@ -1597,6 +1597,44 @@ SELECT o_orderkey, x, y, CAST({terms} AS BIGINT) AS z FROM base
 Q87_SQL = _q87_sql()
 
 
+PACK_CAPACITY = 4096
+
+
+def q88_pack_shards(spark, sf_dir):
+    """Token-budgeted shard packing (analytics/packing.py): the corpus as
+    one md5-ordered token stream sliced into 4096-token shards — each
+    doc's start_offset and shard. Runs the two-phase distributed cumsum
+    (range partition + per-partition offsets + mapInPandas), which the
+    oracle checks against a plain window running sum; materialized
+    eagerly and the sorted cache released (the q40 pattern)."""
+    from ..analytics.packing import pack_shards
+
+    res = pack_shards(_t(spark, sf_dir, "documents"), PACK_CAPACITY)
+    out = res.localCheckpoint()
+    res._ordered_cache.unpersist()
+    return out
+
+
+Q88_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY ord
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - n_tokens AS so
+  FROM base)
+SELECT doc_id, n_tokens,
+       CAST(so AS BIGINT) AS start_offset,
+       CAST(so // {PACK_CAPACITY} AS BIGINT) AS shard_id
+FROM c
+"""
+
+
 def q73_rolling_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (rolling Rabin-Karp k-gram hashes +
     per-window minima, k=8 / w=4). The oracle recomputes the polynomial
@@ -2800,4 +2838,5 @@ REGISTRY: dict[str, tuple] = {
     "q85_cms_heavy_hitters": (q85_cms_heavy_hitters, Q85_SQL),
     "q86_kmv_set_ops": (q86_kmv_set_ops, Q86_SQL),
     "q87_zorder_key": (q87_zorder_key, Q87_SQL),
+    "q88_pack_shards": (q88_pack_shards, Q88_SQL),
 }

@@ -740,3 +740,33 @@ def test_zorder_key_twin_and_pruning_locality(spark):
     # random assignment would give ~full-domain boxes (65536); the curve
     # keeps files inside small hyper-rectangles
     assert mean_area < 65536 / 4, mean_area
+
+
+def test_pack_shards_stream_properties(spark):
+    """pack_shards: offsets are a gapless token stream in md5 order,
+    shard = first-token slot, every shard except the last spans exactly
+    to its capacity boundary, and the result is identical at different
+    parallelism (the two-phase cumsum is partitioning-free)."""
+    import hashlib
+    from akf_cdparser_spark.analytics.packing import pack_shards
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    res = pack_shards(docs, 512)
+    rows = sorted(res.collect(), key=lambda r: r.start_offset)
+    res._ordered_cache.unpersist()
+    # gapless: each start = previous start + previous n_tokens
+    acc = 0
+    order = []
+    for r in rows:
+        assert r.start_offset == acc
+        assert r.shard_id == acc // 512
+        acc += r.n_tokens
+        order.append(r.doc_id)
+    # md5 order honored
+    assert order == sorted(order,
+                           key=lambda d: hashlib.md5(str(d).encode())
+                           .hexdigest())
+    # partitioning invariance
+    res2 = pack_shards(docs.repartition(13), 512)
+    got2 = sorted(map(tuple, res2.collect()))
+    res2._ordered_cache.unpersist()
+    assert got2 == sorted(map(tuple, rows))
