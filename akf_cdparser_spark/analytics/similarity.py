@@ -379,3 +379,36 @@ def embedding_near_dups(embeddings: DataFrame, *, dim: int,
                 F.round(_dot("ea", "eb") / (_norm("ea") * _norm("eb")), round_to))
             .filter(F.col("cosine") >= threshold)
             .select("vec_a", "vec_b", "cosine"))
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization — the compression step before parking
+    embeddings for ANN at 100 TB (4x smaller than float32, int-arithmetic
+    dot products downstream): per vector, scale = max|v_i| and
+    q_i = floor(v_i * 127 / scale) in [-127, 127] (floor, not round:
+    rounding modes differ across engines, floor of identical IEEE doubles
+    does not). Zero vectors quantize to zeros with scale 0. Pure
+    higher-order functions over the array column — zero shuffles.
+
+    Reconstruction bound: |v_i - q_i * scale / 127| <= scale / 127 (one
+    quantization step; floor is biased low by design, documented).
+
+    The scale is bound to a projected column with multiple consumers
+    (the zero-branch test + the per-element lambda) so it is computed
+    once per vector, not once per element — the lambda-CSE rule."""
+    base = (embeddings
+            .select("vec_id",
+                    F.transform("embedding",
+                                lambda x: x.cast("double")).alias("_v"))
+            .select("vec_id", "_v",
+                    F.array_max(F.transform(
+                        "_v", lambda x: F.abs(x))).alias("_s")))
+    q = F.when(F.col("_s") == 0.0,
+               F.transform("_v", lambda x: F.lit(0))).otherwise(
+        F.transform("_v",
+                    lambda x: F.floor(x * 127.0 / F.col("_s")).cast("int")))
+    return base.select(
+        "vec_id",
+        F.round("_s", 6).alias("scale"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",")
+        .alias("q_codes"))

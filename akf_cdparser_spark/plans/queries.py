@@ -1635,6 +1635,38 @@ FROM c
 """
 
 
+def q89_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 embedding quantization (analytics/similarity.py):
+    per-vector max-abs scale, floor-based codes (floor of identical IEEE
+    doubles is engine-stable where rounding modes are not). Codes
+    rendered as a comma string so the hash gates every element of every
+    vector."""
+    from ..analytics.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+Q89_SQL = r"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+scaled AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS s
+  FROM base)
+SELECT vec_id,
+       round(s, 6) AS scale,
+       CASE WHEN s = 0.0
+            THEN array_to_string(list_transform(v, x -> 0), ',')
+            ELSE array_to_string(
+                   list_transform(v,
+                     x -> CAST(floor(x * 127.0 / s) AS INT)), ',')
+       END AS q_codes
+FROM scaled
+"""
+
+
 def q73_rolling_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (rolling Rabin-Karp k-gram hashes +
     per-window minima, k=8 / w=4). The oracle recomputes the polynomial
@@ -2839,4 +2871,5 @@ REGISTRY: dict[str, tuple] = {
     "q86_kmv_set_ops": (q86_kmv_set_ops, Q86_SQL),
     "q87_zorder_key": (q87_zorder_key, Q87_SQL),
     "q88_pack_shards": (q88_pack_shards, Q88_SQL),
+    "q89_quantize_embeddings": (q89_quantize_embeddings, Q89_SQL),
 }

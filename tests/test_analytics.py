@@ -770,3 +770,38 @@ def test_pack_shards_stream_properties(spark):
     got2 = sorted(map(tuple, res2.collect()))
     res2._ordered_cache.unpersist()
     assert got2 == sorted(map(tuple, rows))
+
+
+def test_quantize_embeddings_reconstruction(spark):
+    """int8 quantization: codes within [-127, 127], reconstruction error
+    within one quantization step per element, dequantized cosine vs true
+    cosine within 2% on real embeddings, zero vectors handled."""
+    from akf_cdparser_spark.analytics.similarity import quantize_embeddings
+    import math
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    raw = {r.vec_id: list(r.embedding) for r in emb.limit(50).collect()}
+    got = {r.vec_id: r for r in quantize_embeddings(
+        emb.limit(50)).collect()}
+    for vid, v in raw.items():
+        r = got[vid]
+        q = [int(t) for t in r.q_codes.split(",")]
+        assert len(q) == len(v) and all(-127 <= c <= 127 for c in q)
+        s = max(abs(x) for x in v)
+        assert abs(r.scale - round(s, 6)) < 1e-9
+        for x, c in zip(v, q):
+            assert abs(x - c * s / 127) <= s / 127 + 1e-9
+    a, b = list(raw.values())[0], list(raw.values())[1]
+    qa = [int(t) for t in got[list(raw)[0]].q_codes.split(",")]
+    qb = [int(t) for t in got[list(raw)[1]].q_codes.split(",")]
+    sa, sb = max(map(abs, a)), max(map(abs, b))
+    da = [c * sa / 127 for c in qa]
+    db = [c * sb / 127 for c in qb]
+
+    def cos(x, y):
+        return (sum(i * j for i, j in zip(x, y))
+                / (math.dist(x, [0] * len(x)) * math.dist(y, [0] * len(y))))
+    assert abs(cos(a, b) - cos(da, db)) < 0.02
+    zero = spark.createDataFrame([(99, [0.0] * 8)],
+                                 "vec_id long, embedding array<float>")
+    zr = quantize_embeddings(zero).head()
+    assert zr.scale == 0.0 and set(zr.q_codes.split(",")) == {"0"}
