@@ -412,3 +412,59 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
         F.round("_s", 6).alias("scale"),
         F.array_join(F.transform(q, lambda x: x.cast("string")), ",")
         .alias("q_codes"))
+
+
+def _quantize_arrays(embeddings: DataFrame) -> DataFrame:
+    """Internal int8 quantization keeping codes as array<int> (the
+    operator plane of ``quantize_embeddings``, which string-renders for
+    the oracle): (vec_id, q array<int>). Scale is irrelevant downstream —
+    symmetric per-vector scaling cancels out of cosine."""
+    base = (embeddings
+            .select("vec_id",
+                    F.transform("embedding",
+                                lambda x: x.cast("double")).alias("_v"))
+            .select("vec_id", "_v",
+                    F.array_max(F.transform(
+                        "_v", lambda x: F.abs(x))).alias("_s")))
+    q = F.when(F.col("_s") == 0.0,
+               F.transform("_v", lambda x: F.lit(0))).otherwise(
+        F.transform("_v",
+                    lambda x: F.floor(x * 127.0 / F.col("_s")).cast("int")))
+    return base.select("vec_id", q.alias("q"))
+
+
+def cosine_topk_int8(embeddings: DataFrame, query_ids: list[int],
+                     k: int = 5, round_to: int = 4) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized codes — the
+    4x-memory-bandwidth variant of ``cosine_topk_bruteforce``: the scan's
+    dot product and norms are pure 64-bit integer sums (per-vector scales
+    cancel out of cosine exactly), floats appear only in the final
+    sqrt/divide per (query, candidate) pair. Same broadcast-queries /
+    single-corpus-scan plan; sqrt is IEEE-correctly-rounded so scores are
+    engine-portable like everything else here. Recall vs the float path
+    is the accuracy gate (quantization noise, not plan differences)."""
+    codes = _quantize_arrays(embeddings)
+    queries = (codes.filter(F.col("vec_id").isin(query_ids))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("q").alias("q_q")))
+
+    def idot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    scored = (codes.join(F.broadcast(queries),
+                         F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      idot("q_q", "q").alias("_d"),
+                      idot("q", "q").alias("_n2"),
+                      idot("q_q", "q_q").alias("_qn2"))
+              .withColumn("cosine",
+                          F.round(F.col("_d")
+                                  / (F.sqrt("_qn2") * F.sqrt("_n2")),
+                                  round_to)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))

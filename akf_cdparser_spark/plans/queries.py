@@ -1667,6 +1667,56 @@ FROM scaled
 """
 
 
+def q90_int8_topk(spark, sf_dir):
+    """Brute-force cosine top-k over int8-quantized codes — scales cancel
+    out of cosine, so the scan is pure integer sums with one sqrt/divide
+    per pair. The oracle re-runs quantization AND the integer dot
+    products relationally (int sums are exact in any engine; sqrt is
+    IEEE-correctly-rounded), value-gating the ranked lists."""
+    from ..analytics.similarity import cosine_topk_int8
+
+    return cosine_topk_int8(_t(spark, sf_dir, "embeddings"), [0, 7, 42])
+
+
+Q90_SQL = r"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+scaled AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s
+  FROM base),
+codes AS (
+  SELECT vec_id,
+         CASE WHEN s = 0.0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x * 127.0 / s) AS INT))
+         END AS q
+  FROM scaled),
+corpus AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
+              AS BIGINT) AS n2
+  FROM codes),
+queries AS (
+  SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM corpus
+  WHERE vec_id IN (0, 7, 42)),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(CAST(list_sum(list_transform(list_zip(q.qq, c.q),
+                    z -> CAST(z[1] AS BIGINT) * z[2])) AS BIGINT)
+               / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))),
+               4) AS cosine
+  FROM queries q JOIN corpus c ON c.vec_id != q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q73_rolling_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (rolling Rabin-Karp k-gram hashes +
     per-window minima, k=8 / w=4). The oracle recomputes the polynomial
@@ -2872,4 +2922,5 @@ REGISTRY: dict[str, tuple] = {
     "q87_zorder_key": (q87_zorder_key, Q87_SQL),
     "q88_pack_shards": (q88_pack_shards, Q88_SQL),
     "q89_quantize_embeddings": (q89_quantize_embeddings, Q89_SQL),
+    "q90_int8_topk": (q90_int8_topk, Q90_SQL),
 }

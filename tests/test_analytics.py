@@ -805,3 +805,25 @@ def test_quantize_embeddings_reconstruction(spark):
                                  "vec_id long, embedding array<float>")
     zr = quantize_embeddings(zero).head()
     assert zr.scale == 0.0 and set(zr.q_codes.split(",")) == {"0"}
+
+
+def test_int8_topk_recall_vs_float_path(spark):
+    """The int8 scan path: recall@5 >= 0.9 vs the float brute-force on
+    real embeddings (quantization noise only — the plan is the same
+    broadcast-queries single-scan shape), and the plan stays free of
+    Python (BatchEvalPython never appears)."""
+    from akf_cdparser_spark.analytics.similarity import (
+        cosine_topk_bruteforce, cosine_topk_int8)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = [0, 7, 42, 99, 123]
+    exact = {}
+    for r in cosine_topk_bruteforce(emb, qids, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    res = cosine_topk_int8(emb, qids, k=5)
+    for r in res.collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(exact[q] & got[q]) / 5 for q in qids]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    assert "BatchEvalPython" not in res._jdf.queryExecution() \
+        .executedPlan().toString()
