@@ -127,6 +127,22 @@ def seeds_frontier(spark: SparkSession, seeds: list[dict]) -> DataFrame:
             .select(_FCOLS))
 
 
+def carry_seen_for_recrawl(seen: DataFrame, stale_urls: DataFrame) -> DataFrame:
+    """Epoch-boundary seen-set carry: the previous epoch's seen set minus
+    the stale URLs a freshness pass (``sitemaps.freshness_recrawl``)
+    flagged for refetch. Feed the result as ``CrawlEngine.bootstrap(seeds=
+    stale_urls, seen=carry)`` — within an epoch the seen set stays
+    append-only; "forgetting" happens only here, as one anti-join at the
+    boundary (the compaction moment a 10^10-row seen set gets rewritten
+    anyway). Stale URLs run through the same canonicalize+hash as every
+    frontier row, and ``generation`` resets to 0 (it records the adding
+    generation WITHIN an epoch)."""
+    stale = _with_identity(stale_urls.select("url")).select("url_hash")
+    return (seen.join(stale, "url_hash", "left_anti")
+            .withColumn("generation", F.lit(0).cast("int"))
+            .select([f.name for f in SEEN_SCHEMA.fields]))
+
+
 def global_sequence(df: DataFrame, order_cols: list[str], start: int,
                     out_col: str = "scheduled_seq") -> tuple[DataFrame, int]:
     """Deterministic global rank without a single-partition window:
@@ -396,20 +412,41 @@ class CrawlEngine:
         return (self.store.read_all("seen", schema=SEEN_SCHEMA)
                 .select([f.name for f in SEEN_SCHEMA.fields]))
 
-    def bootstrap(self, seeds: list[dict], robots_rules: list[dict]) -> None:
+    def bootstrap(self, seeds, robots_rules: list[dict],
+                  seen: DataFrame | None = None) -> None:
         # seeds are PENDING (validated=False: not yet seen-checked /
         # robots-gated — re-validation is idempotent). Writing the flag at
         # gen 0 keeps the frontier schema identical across generations,
         # which the Iceberg backend requires (overwritePartitions does no
         # schema evolution); legacy snapshots without the column still read
         # via the explicit snapshot schema + NULL-coalesce in _load_frontier.
-        frontier = (seeds_frontier(self.spark, seeds)
+        #
+        # ``seeds`` is a list[{"url": ...}] (driver-side seed lists) or a
+        # DataFrame with a ``url`` column (distributed seed sets — sitemap
+        # discovery, recrawl epochs — never collected to the driver).
+        #
+        # ``seen`` seeds the gen-0 seen delta: the EPOCH-BOUNDARY carry.
+        # A recrawl epoch starts from the previous epoch's seen set minus
+        # the stale URLs (``carry_seen_for_recrawl``), so refetches flow
+        # through the ordinary probe/schedule path with no tombstone logic
+        # in the append-only within-epoch machinery.
+        if isinstance(seeds, DataFrame):
+            base = (_with_identity(seeds.select("url"))
+                    .withColumn("next_fetch_time", F.lit(0).cast("long"))
+                    .withColumn("depth", F.lit(0))
+                    .select(_FCOLS))
+        else:
+            base = seeds_frontier(self.spark, seeds)
+        frontier = (base
                     .withColumn("validated", F.lit(False))
                     .withColumn("wake_gen", F.lit(None).cast("long")))
         self.store.write("frontier", frontier, 0)
         # repartition(1) forces a schema-bearing part file for the empty
         # delta — a zero-partition write would leave an unreadable directory
-        self.store.write("seen", self._empty(SEEN_SCHEMA).repartition(1), 0)
+        seen0 = (seen.select([f.name for f in SEEN_SCHEMA.fields])
+                 if seen is not None
+                 else self._empty(SEEN_SCHEMA).repartition(1))
+        self.store.write("seen", seen0, 0)
         self.store.write("robots", self.spark.createDataFrame(
             robots_rules, "host string, rule string, allow boolean"), 0)
         self.store.commit(0, ["frontier", "seen", "robots"],

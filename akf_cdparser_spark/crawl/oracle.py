@@ -21,13 +21,19 @@ def _host(url: str) -> str:
 
 
 def crawl_oracle(n_docs: int, seeds: list[dict], robots_rules: list[dict],
-                 host_budget, generations: int) -> dict:
+                 host_budget, generations: int,
+                 initial_seen: dict | None = None) -> dict:
     """Returns {"fetch_log": [(seq, url_hash, url, doc_id, gen)],
     "seen": {url_hash: url}}.
 
     ``host_budget`` is an int, or a callable ``gen -> int`` for runs whose
     politeness budget changes mid-crawl (the engine's budget-change-resume
-    contract is oracled against this)."""
+    contract is oracled against this).
+
+    ``initial_seen`` ({url_hash: url}) pre-populates the seen set — the
+    recrawl-EPOCH mirror of ``CrawlEngine.bootstrap(seen=...)``: a new
+    epoch starts from the previous epoch's seen set minus the stale URLs
+    being refetched."""
     budget_for = host_budget if callable(host_budget) else (
         lambda _gen: host_budget)
     name_index: dict[str, str] = {}
@@ -36,7 +42,7 @@ def crawl_oracle(n_docs: int, seeds: list[dict], robots_rules: list[dict],
         name_index.setdefault(name, fixtures.url_for(i))
 
     frontier: dict[int, tuple] = {}  # url_hash -> (url, host, nft, depth)
-    seen: dict[int, str] = {}
+    seen: dict[int, str] = dict(initial_seen or {})
     fetch_log: list[tuple] = []
 
     def add(url: str, nft: int, depth: int):

@@ -2829,6 +2829,117 @@ WHERE NOT (i % 5 = 0 AND i % 2 = 1 AND i % 3 <> 0)
 """
 
 
+def q91_freshness_recrawl(spark, sf_dir):
+    """Sitemap lastmod -> recrawl schedule (crawl/sitemaps.py
+    freshness_recrawl): already-fetched URLs whose newest <lastmod>
+    postdates their last fetch, with the deterministic generation the
+    change first becomes fetchable. The corpus exercises every W3C
+    datetime form (date-only, Z, +/-hh:mm offsets, fractional seconds)
+    plus two drop paths (unparseable text, day 41); the oracle re-runs
+    the XML block patterns AND the days-from-civil integer formula
+    relationally, so the unix timestamps are value-gated bit-for-bit."""
+    from ..crawl.sitemaps import freshness_recrawl
+
+    i = F.col("id")
+    fs = F.format_string
+    url = fs("akf://cd%d/doc-%d.html", i % 7, i % 25)
+    lm = (F.when(i % 6 == 0, fs("2005-%02d-%02d", i % 12 + 1, i % 28 + 1))
+          .when(i % 6 == 1, fs("2005-%02d-15T08:30:00Z", i % 12 + 1))
+          .when(i % 6 == 2, fs("2005-%02d-15T23:45+02:00", i % 12 + 1))
+          .when(i % 6 == 3, fs("2005-%02d-15T01:10:05.25-05:30", i % 12 + 1))
+          .when(i % 6 == 4, F.lit("garbage-date"))
+          .otherwise(fs("2005-%02d-41", i % 12 + 1)))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>'), url,
+        F.lit("</loc><lastmod>"), lm, F.lit("</lastmod></url><url><loc>"),
+        url, F.lit("-nolm</loc></url></urlset>"))
+    sitemaps = spark.range(SITEMAP_N).select(
+        fs("akf://cd%d", i % 7).alias("host"), xml.alias("xml"))
+    fetch_log = spark.range(SITEMAP_N).select(
+        url.alias("url"), (i % 4).cast("long").alias("gen"))
+    return freshness_recrawl(sitemaps, fetch_log,
+                             gen_seconds=2592000, epoch0=1104537600)
+
+
+# the W3C datetime regex, verbatim from crawl/sitemaps.py (Java ∩ RE2)
+_W3C_SQL = (r"^(\d{4})-(\d{2})-(\d{2})"
+            r"(?:[Tt](\d{2}):(\d{2})(?::(\d{2})(?:\.\d+)?)?"
+            r"(Z|[+-]\d{2}:\d{2})?)?$")
+
+Q91_SQL = r"""
+WITH corpus AS (
+  SELECT printf('akf://cd%d/doc-%d.html', i % 7, i % 25) AS u,
+         CASE i % 6
+           WHEN 0 THEN printf('2005-%02d-%02d', i % 12 + 1, i % 28 + 1)
+           WHEN 1 THEN printf('2005-%02d-15T08:30:00Z', i % 12 + 1)
+           WHEN 2 THEN printf('2005-%02d-15T23:45+02:00', i % 12 + 1)
+           WHEN 3 THEN printf('2005-%02d-15T01:10:05.25-05:30', i % 12 + 1)
+           WHEN 4 THEN 'garbage-date'
+           ELSE printf('2005-%02d-41', i % 12 + 1)
+         END AS lm
+  FROM UNNEST(range(0, {N})) AS t(i)),
+xmls AS (
+  SELECT '<?xml version="1.0"?><urlset><url><loc>' || u
+         || '</loc><lastmod>' || lm || '</lastmod></url><url><loc>' || u
+         || '-nolm</loc></url></urlset>' AS xml
+  FROM corpus),
+blocks AS (
+  SELECT UNNEST(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS b
+  FROM xmls),
+pages AS (
+  SELECT regexp_extract(b, '(?s)<loc>\s*(.*?)\s*</loc>', 1) AS url,
+         nullif(regexp_extract(b, '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1),
+                '') AS lastmod
+  FROM blocks
+  WHERE regexp_extract(b, '(?s)<loc>\s*(.*?)\s*</loc>', 1) != ''
+    AND nullif(regexp_extract(b, '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1),
+               '') IS NOT NULL),
+parts AS (
+  SELECT url,
+         TRY_CAST(regexp_extract(lastmod, '{W3C}', 1) AS BIGINT) AS y,
+         TRY_CAST(regexp_extract(lastmod, '{W3C}', 2) AS BIGINT) AS mo,
+         TRY_CAST(regexp_extract(lastmod, '{W3C}', 3) AS BIGINT) AS d,
+         COALESCE(TRY_CAST(regexp_extract(lastmod, '{W3C}', 4) AS BIGINT),
+                  0) AS hh,
+         COALESCE(TRY_CAST(regexp_extract(lastmod, '{W3C}', 5) AS BIGINT),
+                  0) AS mi,
+         COALESCE(TRY_CAST(regexp_extract(lastmod, '{W3C}', 6) AS BIGINT),
+                  0) AS ss,
+         NULLIF(regexp_extract(lastmod, '{W3C}', 7), '') AS tzd
+  FROM pages),
+civil AS (
+  SELECT url, hh, mi, ss,
+         CASE WHEN tzd IS NULL OR tzd = 'Z' THEN 0
+              ELSE (CASE WHEN substr(tzd, 1, 1) = '-' THEN -1 ELSE 1 END)
+                   * (TRY_CAST(substr(tzd, 2, 2) AS BIGINT) * 3600
+                      + TRY_CAST(substr(tzd, 5, 2) AS BIGINT) * 60)
+         END AS off,
+         y - (CASE WHEN mo <= 2 THEN 1 ELSE 0 END) AS yy, mo, d
+  FROM parts
+  WHERE y IS NOT NULL AND mo BETWEEN 1 AND 12 AND d BETWEEN 1 AND 31
+    AND hh <= 23 AND mi <= 59 AND ss <= 60),
+unixts AS (
+  SELECT url,
+         ((yy // 400) * 146097
+          + ((yy - (yy // 400) * 400) * 365
+             + (yy - (yy // 400) * 400) // 4
+             - (yy - (yy // 400) * 400) // 100
+             + (153 * ((mo + 9) % 12) + 2) // 5 + d - 1)
+          - 719468) * 86400 + hh * 3600 + mi * 60 + ss - off AS lastmod_ts
+  FROM civil),
+pmax AS (SELECT url, max(lastmod_ts) AS lastmod_ts FROM unixts GROUP BY url),
+fl AS (
+  SELECT printf('akf://cd%d/doc-%d.html', i % 7, i % 25) AS url,
+         CAST(i % 4 AS BIGINT) AS gen
+  FROM UNNEST(range(0, {N})) AS t(i)),
+last AS (SELECT url, max(gen) AS last_fetch_gen FROM fl GROUP BY url)
+SELECT p.url, p.lastmod_ts, l.last_fetch_gen,
+       (p.lastmod_ts - 1104537600) // 2592000 + 1 AS recrawl_gen
+FROM pmax p JOIN last l ON p.url = l.url
+WHERE p.lastmod_ts > 1104537600 + l.last_fetch_gen * 2592000
+""".replace("{W3C}", _W3C_SQL).replace("{N}", str(SITEMAP_N))
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers": (q02_top_customers, Q02_SQL),
@@ -2923,4 +3034,5 @@ REGISTRY: dict[str, tuple] = {
     "q88_pack_shards": (q88_pack_shards, Q88_SQL),
     "q89_quantize_embeddings": (q89_quantize_embeddings, Q89_SQL),
     "q90_int8_topk": (q90_int8_topk, Q90_SQL),
+    "q91_freshness_recrawl": (q91_freshness_recrawl, Q91_SQL),
 }

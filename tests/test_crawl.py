@@ -537,3 +537,99 @@ def test_sitemap_parse_and_seed_crawl(spark, tmp_path):
             (r.scheduled_seq, r.url) for r in engine.fetch_log().collect()))
         engine.close()
     assert logs[0] == logs[1] and logs[0]
+
+
+def test_w3c_lastmod_unix_forms(spark):
+    """The deterministic W3C-datetime parser vs Python's datetime on every
+    form (date-only, Z, +/-hh:mm, fractional seconds, lowercase t) and the
+    drop paths (garbage, month 13, day 0, hour 24, empty)."""
+    from datetime import datetime, timezone
+
+    from akf_cdparser_spark.crawl.sitemaps import w3c_lastmod_unix
+
+    cases = ["2005-01-01", "1999-12-31", "2004-02-29", "1970-01-01",
+             "2005-07-16T19:20+01:00", "2005-07-16t19:20:30Z",
+             "2005-07-16T19:20:30.45-06:30", "2038-01-19T03:14:08Z",
+             "not-a-date", "2005-13-01", "2005-01-00", "2005-07-16T24:00Z",
+             ""]
+
+    def py(s):
+        import re
+        m = re.match(
+            r"^(\d{4})-(\d{2})-(\d{2})(?:[Tt](\d{2}):(\d{2})"
+            r"(?::(\d{2})(?:\.\d+)?)?(Z|[+-]\d{2}:\d{2})?)?$", s)
+        if not m:
+            return None
+        y, mo, d = int(m[1]), int(m[2]), int(m[3])
+        hh, mi, ss = int(m[4] or 0), int(m[5] or 0), int(m[6] or 0)
+        if not (1 <= mo <= 12 and 1 <= d <= 31 and hh <= 23 and mi <= 59
+                and ss <= 60):
+            return None
+        tz, off = m[7], 0
+        if tz and tz != "Z":
+            off = ((1 if tz[0] == "+" else -1)
+                   * (int(tz[1:3]) * 3600 + int(tz[4:6]) * 60))
+        base = datetime(y, mo, d, tzinfo=timezone.utc).timestamp()
+        return int(base) + hh * 3600 + mi * 60 + ss - off
+
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {r.s: r.ts
+           for r in df.select("s", w3c_lastmod_unix("s").alias("ts")).collect()}
+    assert got == {c: py(c) for c in cases}
+
+
+def test_recrawl_epoch_exact(spark, tmp_path):
+    """Freshness recrawl closed end-to-end: epoch 1 crawls, a sitemap
+    lastmod pass flags a third of the fetched URLs stale, epoch 2
+    bootstraps with seeds=stale + seen=(epoch-1 seen minus stale) — and
+    its fetch log + final seen set match the sequential oracle given the
+    same initial seen, byte-for-byte. Within-epoch seen state stays
+    append-only; forgetting happens only at the boundary anti-join."""
+    from akf_cdparser_spark.crawl.frontier import (CrawlEngine,
+                                                   carry_seen_for_recrawl)
+    from akf_cdparser_spark.crawl.sitemaps import freshness_recrawl
+
+    n_docs = 60
+    seeds = fixtures.seed_urls(4, n_docs)
+    robots = fixtures.robots_rules(n_docs)
+    docs = X.docs_dataframe(spark, n_docs, partitions=4)
+    epoch0, gen_seconds = 1104537600, 2592000  # 2005-01-01, 30-day gens
+
+    e1 = CrawlEngine(spark, str(tmp_path / "epoch1"), n_docs,
+                     host_budget=3, n_salts=2)
+    e1.bootstrap(seeds, robots)
+    e1.run(docs, 2)
+    fetch1 = e1.fetch_log()
+    fetched = [r.url for r in sorted(fetch1.collect(),
+                                     key=lambda r: r.scheduled_seq)]
+    stale_urls = sorted({u for k, u in enumerate(fetched) if k % 3 == 0})
+    locs = "".join(f"<url><loc>{u}</loc><lastmod>2005-12-31</lastmod></url>"
+                   for u in stale_urls)
+    sm = spark.createDataFrame([("akf://cd", f"<urlset>{locs}</urlset>")],
+                               "host string, xml string")
+    stale = freshness_recrawl(
+        sm, fetch1.select("url", F.col("generation").alias("gen")),
+        gen_seconds=gen_seconds, epoch0=epoch0)
+    assert sorted(r.url for r in stale.select("url").collect()) == stale_urls
+    assert stale.filter(F.col("recrawl_gen") <= 2).count() == 0
+
+    carry = carry_seen_for_recrawl(e1.seen(), stale.select("url"))
+    e2 = CrawlEngine(spark, str(tmp_path / "epoch2"), n_docs,
+                     host_budget=3, n_salts=2)
+    e2.bootstrap(stale.select("url"), robots, seen=carry)
+    e1.close()
+    e2.run(docs, 3)
+    log2 = sorted((r.scheduled_seq, r.url_hash, r.url, r.doc_id, r.generation)
+                  for r in e2.fetch_log().collect())
+    seen2 = {r.url_hash: r.url for r in e2.seen().collect()}
+    e2.close()
+
+    o1 = crawl_oracle(n_docs, seeds, robots, 3, 2)
+    stale_hashes = {hash64_py(canonicalize_url(u)) for u in stale_urls}
+    init = {h: u for h, u in o1["seen"].items() if h not in stale_hashes}
+    o2 = crawl_oracle(n_docs, [{"url": u} for u in stale_urls], robots, 3, 3,
+                      initial_seen=init)
+    assert log2 == o2["fetch_log"]
+    assert seen2 == o2["seen"]
+    # epoch 2 actually refetched the stale URLs
+    assert stale_hashes <= {h for _, h, *_ in log2}
