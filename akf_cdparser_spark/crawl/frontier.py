@@ -192,8 +192,31 @@ def global_sequence(df: DataFrame, order_cols: list[str], start: int,
     return out, total
 
 
+def crawl_delay_budgets(delays: DataFrame, gen_seconds: int,
+                        host_budget: int) -> DataFrame:
+    """robots.txt ``Crawl-delay`` -> per-host politeness budgets: a host
+    whose group asks for ``crawl_delay`` seconds between fetches gets
+    ``min(host_budget, max(1, floor(gen_seconds / crawl_delay)))`` fetches
+    per generation — the delay mapped onto the crawl's logical clock
+    (generation g spans ``gen_seconds`` of wall time; see
+    ``sitemaps.freshness_recrawl`` for the same clock). Plain IEEE double
+    division + floor, so the sequential oracle computes the identical
+    integer in Python. Input: ``robots.parse_crawl_delay`` rows
+    ``(host, crawl_delay)``; output: ``(host, budget)`` for
+    ``CrawlEngine.bootstrap(host_budgets=...)``."""
+    b = F.floor(F.lit(float(gen_seconds)) / F.col("crawl_delay"))
+    return (delays.filter(F.col("crawl_delay") > 0)
+            .groupBy("host").agg(F.max("crawl_delay").alias("crawl_delay"))
+            .select("host",
+                    F.least(F.lit(host_budget),
+                            F.greatest(F.lit(1), b))
+                    .cast("int").alias("budget")))
+
+
 def _schedule_tagged(candidates: DataFrame, host_budget: int,
-                     n_salts: int = 8) -> tuple[DataFrame, list[DataFrame]]:
+                     n_salts: int = 8,
+                     budgets: DataFrame | None = None
+                     ) -> tuple[DataFrame, list[DataFrame]]:
     """Per-host politeness top-k, two-phase: (host, salt) slices first (the
     salted repartition that splits hot CD volumes), then a per-host re-rank
     over at most budget*n_salts survivors.
@@ -218,45 +241,67 @@ def _schedule_tagged(candidates: DataFrame, host_budget: int,
     the bound stays conservative — rows only ever wake EARLY). The caller
     turns ``_delay`` into an absolute ``wake_gen`` and lets far-future
     rows sleep outside the per-generation scheduling entirely.
+
+    ``budgets`` (host, budget) overrides the global ``host_budget`` per
+    host, capped at it (the Crawl-delay plane, ``crawl_delay_budgets``).
+    Broadcast: only delay-declaring hosts carry rows — a sliver of the
+    host space even at 10^10 URLs — and every rank comparison simply
+    reads the per-row ``_budget`` column, so the plan shape (count
+    bypass, salted slices, re-rank) is unchanged.
     Second return value: internal caches for the caller to unpersist."""
     order = [F.asc("next_fetch_time"), F.asc("url_hash"), F.asc("url")]
-    host_counts = candidates.groupBy("host").agg(F.count("*").alias("_hc"))
-    with_counts = candidates.join(F.broadcast(host_counts), "host")
-    under = (with_counts.filter(F.col("_hc") <= host_budget).drop("_hc")
+    if budgets is None:
+        with_b = candidates.withColumn(
+            "_budget", F.lit(host_budget).cast("int"))
+    else:
+        with_b = (candidates
+                  .join(F.broadcast(budgets.select(
+                      "host", F.col("budget").cast("int").alias("_hb"))),
+                      "host", "left")
+                  .withColumn("_budget",
+                              F.least(F.coalesce("_hb", F.lit(host_budget)),
+                                      F.lit(host_budget)).cast("int"))
+                  .drop("_hb"))
+    host_counts = with_b.groupBy("host").agg(F.count("*").alias("_hc"))
+    with_counts = with_b.join(F.broadcast(host_counts), "host")
+    under = (with_counts.filter(F.col("_hc") <= F.col("_budget")).drop("_hc")
              .withColumn("_sched", F.lit(True))
              .withColumn("_delay", F.lit(0)))
-    over = with_counts.filter(F.col("_hc") > host_budget).drop("_hc")
+    over = with_counts.filter(F.col("_hc") > F.col("_budget")).drop("_hc")
 
     def delay_of(rank_col: str):
-        return F.floor((F.col(rank_col) - 1) / F.lit(host_budget)) \
+        return F.floor((F.col(rank_col) - 1) / F.col("_budget")) \
             .cast("int")
 
     salted = over.withColumn(
         "salt", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int"))
     w1 = Window.partitionBy("host", "salt").orderBy(*order)
     r1 = salted.withColumn("_r1", F.row_number().over(w1)).persist()
-    cut1 = (r1.filter(F.col("_r1") > host_budget)
+    cut1 = (r1.filter(F.col("_r1") > F.col("_budget"))
             .withColumn("_sched", F.lit(False))
             .withColumn("_delay", delay_of("_r1"))
             .drop("_r1", "salt"))
     w2 = Window.partitionBy("host").orderBy(*order)
-    r2 = (r1.filter(F.col("_r1") <= host_budget)
+    r2 = (r1.filter(F.col("_r1") <= F.col("_budget"))
           .withColumn("_r2", F.row_number().over(w2)))
-    topk = (r2.filter(F.col("_r2") <= host_budget)
+    topk = (r2.filter(F.col("_r2") <= F.col("_budget"))
             .drop("_r1", "_r2", "salt").withColumn("_sched", F.lit(True))
             .withColumn("_delay", F.lit(0)))
-    cut2 = (r2.filter(F.col("_r2") > host_budget)
+    cut2 = (r2.filter(F.col("_r2") > F.col("_budget"))
             .withColumn("_sched", F.lit(False))
             .withColumn("_delay", delay_of("_r2"))
             .drop("_r1", "_r2", "salt"))
-    tagged = under.unionByName(topk).unionByName(cut1).unionByName(cut2)
+    tagged = (under.unionByName(topk).unionByName(cut1).unionByName(cut2)
+              .drop("_budget"))
     return tagged, [r1]
 
 
 def schedule_generation(candidates: DataFrame, host_budget: int,
-                        n_salts: int = 8) -> DataFrame:
+                        n_salts: int = 8,
+                        budgets: DataFrame | None = None) -> DataFrame:
     """The scheduled subset only (see ``_schedule_tagged``)."""
-    tagged, cached = _schedule_tagged(candidates, host_budget, n_salts)
+    tagged, cached = _schedule_tagged(candidates, host_budget, n_salts,
+                                      budgets=budgets)
     out = tagged.filter(F.col("_sched")).drop("_sched", "_delay")
     for c in cached:  # single-use path: let the pruned branches recompute
         c.unpersist()
@@ -354,6 +399,9 @@ class CrawlEngine:
         self._rebuild_fut = None
         # per-generation seen deltas newer than the adopted shards
         self._recent: dict[int, DataFrame] = {}
+        # Crawl-delay per-host budgets (loaded from the gen-0 store table
+        # by run(); None = global host_budget everywhere)
+        self._budgets: DataFrame | None = None
         # engine-lifetime caches: slimmed doc store + page index survive
         # across run() calls so steady-state generations never pay the
         # one-time materialization again. Strong reference to the caller's
@@ -413,7 +461,8 @@ class CrawlEngine:
                 .select([f.name for f in SEEN_SCHEMA.fields]))
 
     def bootstrap(self, seeds, robots_rules: list[dict],
-                  seen: DataFrame | None = None) -> None:
+                  seen: DataFrame | None = None,
+                  host_budgets: DataFrame | None = None) -> None:
         # seeds are PENDING (validated=False: not yet seen-checked /
         # robots-gated — re-validation is idempotent). Writing the flag at
         # gen 0 keeps the frontier schema identical across generations,
@@ -447,6 +496,13 @@ class CrawlEngine:
                  if seen is not None
                  else self._empty(SEEN_SCHEMA).repartition(1))
         self.store.write("seen", seen0, 0)
+        # ``host_budgets`` (host, budget — see crawl_delay_budgets) is
+        # politeness DATA: persisted once here, read back by every run()
+        # and resume, never a constructor arg, so wake_gen bounds derived
+        # under it can never meet a different budgets table.
+        if host_budgets is not None:
+            self.store.write("budgets",
+                             host_budgets.select("host", "budget"), 0)
         self.store.write("robots", self.spark.createDataFrame(
             robots_rules, "host string, rule string, allow boolean"), 0)
         self.store.commit(0, ["frontier", "seen", "robots"],
@@ -576,6 +632,12 @@ class CrawlEngine:
             raise RuntimeError("bootstrap() first")
         prev_shuffle = self.spark.conf.get("spark.sql.shuffle.partitions")
         robots = self.store.read("robots", 0)
+        # Crawl-delay budgets are bootstrap-time DATA (written once at gen
+        # 0), so resume always schedules under the exact budgets in force
+        # when wake_gen values were derived; only the GLOBAL budget is a
+        # constructor arg, and the manifest check below covers it.
+        self._budgets = (self.store.read("budgets", 0)
+                         if self.store.exists("budgets", 0) else None)
         totals = {"urls_scheduled": 0, "docs_parsed": 0, "wall_ms": 0}
         # slim the store ONCE per engine: flat (doc_id, doc_text, n_media)
         # columns cache and join far cheaper than nested span structs
@@ -745,7 +807,8 @@ class CrawlEngine:
         # 5. politeness schedule: one tagged pass yields the scheduled set
         # AND the deferred leftovers (no frontier-scale anti-join)
         tagged, sched_cached = _schedule_tagged(merged, self.host_budget,
-                                                self.n_salts)
+                                                self.n_salts,
+                                                budgets=self._budgets)
         cached.extend(sched_cached)
         tagged = tagged.persist()
         cached.append(tagged)

@@ -22,7 +22,8 @@ def _host(url: str) -> str:
 
 def crawl_oracle(n_docs: int, seeds: list[dict], robots_rules: list[dict],
                  host_budget, generations: int,
-                 initial_seen: dict | None = None) -> dict:
+                 initial_seen: dict | None = None,
+                 host_budgets: dict | None = None) -> dict:
     """Returns {"fetch_log": [(seq, url_hash, url, doc_id, gen)],
     "seen": {url_hash: url}}.
 
@@ -33,7 +34,11 @@ def crawl_oracle(n_docs: int, seeds: list[dict], robots_rules: list[dict],
     ``initial_seen`` ({url_hash: url}) pre-populates the seen set — the
     recrawl-EPOCH mirror of ``CrawlEngine.bootstrap(seen=...)``: a new
     epoch starts from the previous epoch's seen set minus the stale URLs
-    being refetched."""
+    being refetched.
+
+    ``host_budgets`` ({host: budget}) is the Crawl-delay plane
+    (``frontier.crawl_delay_budgets``): a listed host schedules at most
+    ``min(global budget, its budget)`` URLs per generation."""
     budget_for = host_budget if callable(host_budget) else (
         lambda _gen: host_budget)
     name_index: dict[str, str] = {}
@@ -75,7 +80,10 @@ def crawl_oracle(n_docs: int, seeds: list[dict], robots_rules: list[dict],
         scheduled = []
         for host, items in by_host.items():
             items.sort(key=lambda x: (x[3], x[0], x[1]))
-            scheduled.extend(items[:budget_for(gen)])
+            b = budget_for(gen)
+            if host_budgets and host in host_budgets:
+                b = min(b, host_budgets[host])
+            scheduled.extend(items[:b])
         # global crawl order
         scheduled.sort(key=lambda x: (x[3], x[0], x[1]))
 

@@ -124,13 +124,37 @@ def parse_robots_txt(host: str, text: str, user_agent: str = "*") -> list[dict]:
     (``*`` is the weakest match), empty ``Disallow:`` meaning allow-all (no
     rule emitted). ``*``/``$`` path wildcards pass through verbatim and are
     interpreted by ``apply_robots``/``robots_allowed_py`` (RFC 9309
-    matching). NOT implemented (documented cut): Sitemap lines are
-    ignored; ``Crawl-delay`` is ignored because politeness here is
-    budget-based (host_budget), not delay-based.
+    matching). ``Crawl-delay`` of the selected group is surfaced by
+    ``parse_crawl_delay`` and maps onto the budget-based politeness plane
+    via ``frontier.crawl_delay_budgets``. NOT implemented (documented
+    cut): Sitemap lines are ignored.
     """
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    _, best_dirs, _ = _select_group(text, user_agent)
+    return [{"host": host, "rule": rule, "allow": allow}
+            for rule, allow in best_dirs]
+
+
+def parse_crawl_delay(host: str, text: str,
+                      user_agent: str = "*") -> list[dict]:
+    """``Crawl-delay`` seconds of the robots.txt group that applies to
+    ``user_agent`` (same group selection as ``parse_robots_txt``), as
+    ``[{host, crawl_delay}]`` rows for ``frontier.crawl_delay_budgets`` —
+    empty if the group sets none or the value is not a positive number.
+    The last Crawl-delay line in the group wins (the common crawler
+    behavior for repeated directives)."""
+    _, _, delay = _select_group(text, user_agent)
+    if delay is None or delay <= 0:
+        return []
+    return [{"host": host, "crawl_delay": delay}]
+
+
+def _select_group(text: str, user_agent: str):
+    """Group selection shared by rules and crawl-delay extraction: returns
+    (agents, directives, crawl_delay) of the longest-UA-token group."""
+    groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
     agents: list[str] = []
     directives: list[tuple[str, bool]] = []
+    delay: float | None = None
     in_group_body = False
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -143,8 +167,8 @@ def parse_robots_txt(host: str, text: str, user_agent: str = "*") -> list[dict]:
         val = val.strip()
         if key == "user-agent":
             if in_group_body:
-                groups.append((agents, directives))
-                agents, directives = [], []
+                groups.append((agents, directives, delay))
+                agents, directives, delay = [], [], None
                 in_group_body = False
             agents.append(val.lower())
         elif key in ("allow", "disallow"):
@@ -152,14 +176,20 @@ def parse_robots_txt(host: str, text: str, user_agent: str = "*") -> list[dict]:
             if val:
                 directives.append((val, key == "allow"))
             # empty Disallow == allow everything: no rule (default allows)
-    if agents or directives:
-        groups.append((agents, directives))
+        elif key == "crawl-delay":
+            in_group_body = True
+            try:
+                delay = float(val)
+            except ValueError:
+                pass
+    if agents or directives or delay is not None:
+        groups.append((agents, directives, delay))
 
     ua = user_agent.lower()
     best_key: tuple[int, int] | None = None
-    best_dirs: list[tuple[str, bool]] = []
-    for agents, directives in groups:
-        for tok in agents:
+    best: tuple = ([], [], None)
+    for group in groups:
+        for tok in group[0]:
             if tok == "*":
                 key = (0, 0)
             elif tok in ua:
@@ -167,6 +197,5 @@ def parse_robots_txt(host: str, text: str, user_agent: str = "*") -> list[dict]:
             else:
                 continue
             if best_key is None or key > best_key:
-                best_key, best_dirs = key, directives
-    return [{"host": host, "rule": rule, "allow": allow}
-            for rule, allow in best_dirs]
+                best_key, best = key, group
+    return best

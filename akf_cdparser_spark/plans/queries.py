@@ -2940,6 +2940,69 @@ WHERE p.lastmod_ts > 1104537600 + l.last_fetch_gen * 2592000
 """.replace("{W3C}", _W3C_SQL).replace("{N}", str(SITEMAP_N))
 
 
+def q92_crawl_delay_schedule(spark, sf_dir):
+    """One politeness scheduling round under per-host Crawl-delay budgets
+    (robots.parse_crawl_delay -> frontier.crawl_delay_budgets ->
+    schedule_generation): cd1999 is throttled to 2 fetches/generation and
+    cd2001 to 5, the other hosts keep the global budget. Same synthetic
+    frontier as q40; the oracle applies the budget as a per-host CASE on
+    the identical politeness window, so the throttle itself is
+    value-gated."""
+    from ..crawl.canonicalize import host_of, url_hash64
+    from ..crawl.frontier import (crawl_delay_budgets, global_sequence,
+                                  schedule_generation)
+
+    frontier = (spark.range(0, CRAWL_Q_N)
+                .select(F.format_string("akf://cd%d/%04d.html",
+                                        (F.lit(1999) + F.col("id") % 7)
+                                        .cast("int"),
+                                        F.col("id").cast("int")).alias("url"))
+                .withColumn("url_hash", url_hash64("url"))
+                .withColumn("host", host_of("url"))
+                .withColumn("next_fetch_time",
+                            (F.col("url_hash") % 3).cast("long"))
+                .withColumn("depth", F.lit(0)))
+    delays = spark.createDataFrame(
+        [("akf://cd1999", 1296000.0), ("akf://cd2001", 518400.0)],
+        "host string, crawl_delay double")
+    budgets = crawl_delay_budgets(delays, gen_seconds=2592000,
+                                  host_budget=CRAWL_Q_BUDGET)
+    sched = schedule_generation(frontier, CRAWL_Q_BUDGET, n_salts=4,
+                                budgets=budgets)
+    sched, _n = global_sequence(sched,
+                                ["next_fetch_time", "url_hash", "url"], 0)
+    out = (sched.select("scheduled_seq", "url", "host", "url_hash",
+                        "next_fetch_time")
+           .localCheckpoint())
+    sched._ordered_cache.unpersist()
+    return out
+
+
+Q92_SQL = f"""
+WITH frontier AS (
+  SELECT printf('akf://cd%d/%04d.html', 1999 + (i % 7), i) AS url
+  FROM UNNEST(range(0, {CRAWL_Q_N})) AS t(i)),
+identity AS (
+  SELECT url,
+         CAST(concat('0x', substr(md5(url), 1, 15)) AS BIGINT) AS url_hash,
+         regexp_extract(url, '^([a-z0-9+.\\-]+://[^/]+)', 1) AS host
+  FROM frontier),
+keyed AS (
+  SELECT url, url_hash, host, url_hash % 3 AS next_fetch_time FROM identity),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+             ORDER BY next_fetch_time, url_hash, url) AS rk
+  FROM keyed)
+SELECT row_number() OVER (ORDER BY next_fetch_time, url_hash, url) - 1
+         AS scheduled_seq,
+       url, host, url_hash, next_fetch_time
+FROM ranked
+WHERE rk <= CASE host WHEN 'akf://cd1999' THEN 2
+                      WHEN 'akf://cd2001' THEN 5
+                      ELSE {CRAWL_Q_BUDGET} END
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers": (q02_top_customers, Q02_SQL),
@@ -3035,4 +3098,5 @@ REGISTRY: dict[str, tuple] = {
     "q89_quantize_embeddings": (q89_quantize_embeddings, Q89_SQL),
     "q90_int8_topk": (q90_int8_topk, Q90_SQL),
     "q91_freshness_recrawl": (q91_freshness_recrawl, Q91_SQL),
+    "q92_crawl_delay_schedule": (q92_crawl_delay_schedule, Q92_SQL),
 }

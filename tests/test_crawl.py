@@ -633,3 +633,79 @@ def test_recrawl_epoch_exact(spark, tmp_path):
     assert seen2 == o2["seen"]
     # epoch 2 actually refetched the stale URLs
     assert stale_hashes <= {h for _, h, *_ in log2}
+
+
+def test_parse_crawl_delay_group_selection():
+    """Crawl-delay extraction follows the same longest-UA-token group
+    selection as the rules; invalid / absent / non-positive values emit
+    nothing; the last directive in a group wins; rules are unaffected."""
+    from akf_cdparser_spark.crawl.robots import (parse_crawl_delay,
+                                                 parse_robots_txt)
+
+    txt = ("User-agent: *\nCrawl-delay: 10\nDisallow: /tmp\n\n"
+           "User-agent: akfbot\nCrawl-delay: 2.5\nAllow: /x\n")
+    assert parse_crawl_delay("h", txt) == [{"host": "h", "crawl_delay": 10.0}]
+    assert parse_crawl_delay("h", txt, user_agent="AkfBot/1.0") == [
+        {"host": "h", "crawl_delay": 2.5}]
+    assert parse_crawl_delay("h", "User-agent: *\nCrawl-delay: soon") == []
+    assert parse_crawl_delay("h", "User-agent: *\nCrawl-delay: -1") == []
+    assert parse_crawl_delay("h", "User-agent: *\nDisallow: /x") == []
+    two = ("User-agent: *\nCrawl-delay: 4\nCrawl-delay: 8\n\n"
+           "User-agent: other\nDisallow: /")
+    assert parse_crawl_delay("h", two) == [{"host": "h", "crawl_delay": 8.0}]
+    assert parse_robots_txt("h", txt) == [
+        {"host": "h", "rule": "/tmp", "allow": False}]
+
+
+def test_crawl_delay_budgets_engine_oracle_exact(spark, tmp_path):
+    """Per-host Crawl-delay politeness end-to-end: delays map to budgets
+    (min(global, floor(gen_seconds/delay))), the engine schedules under
+    them — including across a resume, which re-reads the gen-0 budgets
+    table — and the fetch log + seen set stay byte-exact vs the
+    sequential oracle given the same {host: budget} map. The throttled
+    hosts genuinely change the crawl (differs from the unthrottled run)
+    and never exceed their budget in any generation."""
+    from collections import Counter
+
+    from akf_cdparser_spark.crawl.frontier import (CrawlEngine,
+                                                   crawl_delay_budgets)
+    from akf_cdparser_spark.crawl.robots import parse_crawl_delay
+
+    gen_seconds = 2592000
+    delays = (parse_crawl_delay(
+        "akf://cd1999", "User-agent: *\nCrawl-delay: 2592000")      # -> 1
+        + parse_crawl_delay(
+        "akf://cd2001", "User-agent: *\nCrawl-delay: 1296000.0"))   # -> 2
+    ddf = spark.createDataFrame(delays, "host string, crawl_delay double")
+    budgets = crawl_delay_budgets(ddf, gen_seconds, HOST_BUDGET)
+    got = {r.host: r.budget for r in budgets.collect()}
+    assert got == {"akf://cd1999": 1, "akf://cd2001": 2}
+
+    engine = CrawlEngine(spark, str(tmp_path), N_DOCS,
+                         host_budget=HOST_BUDGET, n_salts=4)
+    engine.bootstrap(SEEDS, ROBOTS, host_budgets=budgets)
+    docs = X.docs_dataframe(spark, N_DOCS, partitions=8)
+    engine.run(docs, 2)
+    engine.close()
+    resumed = CrawlEngine(spark, str(tmp_path), N_DOCS,
+                          host_budget=HOST_BUDGET, n_salts=4)
+    resumed.run(docs, GENERATIONS - 2)
+    log = sorted((r.scheduled_seq, r.url_hash, r.url, r.doc_id, r.generation)
+                 for r in resumed.fetch_log().collect())
+    seen = {r.url_hash: r.url for r in resumed.seen().collect()}
+    resumed.close()
+
+    o = crawl_oracle(N_DOCS, SEEDS, ROBOTS, HOST_BUDGET, GENERATIONS,
+                     host_budgets=got)
+    assert log == o["fetch_log"]
+    assert seen == o["seen"]
+    plain = crawl_oracle(N_DOCS, SEEDS, ROBOTS, HOST_BUDGET, GENERATIONS)
+    assert log != plain["fetch_log"]
+    import re
+
+    per_gen_host = Counter()
+    for _seq, _h, url, _d, gen in log:
+        host = re.match(r"^([a-z0-9+.\-]+://[^/]+)", url).group(1)
+        per_gen_host[(gen, host)] += 1
+    for (gen, host), n in per_gen_host.items():
+        assert n <= got.get(host, HOST_BUDGET)
