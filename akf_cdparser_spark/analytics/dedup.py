@@ -503,3 +503,71 @@ def fingerprint_containment_pairs(docs: DataFrame, k: int = 8, w: int = 4,
                               / F.least("n_a", "n_b"), 6)
                       .alias("containment")))
     return scored.filter(F.col("containment") >= threshold)
+
+
+def write_minhash_index(docs: DataFrame, path: str,
+                        k: int = DEFAULT_MINHASH_K,
+                        bands: int = DEFAULT_BANDS, n: int = 3) -> None:
+    """Materialize the MinHash/LSH dedup index for INCREMENTAL ingestion —
+    the build-once/probe-many counterpart of ``minhash_candidates`` (same
+    pattern as ``similarity.write_ivf_index``). A nightly pipeline indexes
+    the accepted corpus ONCE; each new batch then probes it instead of
+    re-deduping the world.
+
+    Layout: band keys written ``partitionBy("bkp")`` (the first hex byte
+    of the band_key, 256 directories) so a probe's broadcast join on the
+    partition column triggers dynamic partition pruning — a small batch
+    touches only the directories its own band keys land in, not the whole
+    index; plus the distinct shingle table and per-doc set sizes the exact
+    verifier needs."""
+    keys = lsh_band_keys(docs, k, bands, n).withColumn(
+        "bkp", F.substring("band_key", 1, 2))
+    keys.write.partitionBy("bkp").mode("overwrite").parquet(f"{path}/bands")
+    sh = shingles(docs, n)
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    (sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+     .write.mode("overwrite").parquet(f"{path}/sizes"))
+
+
+def probe_minhash_index(spark, path: str, new_docs: DataFrame,
+                        k: int = DEFAULT_MINHASH_K,
+                        bands: int = DEFAULT_BANDS, n: int = 3) -> DataFrame:
+    """Probe a persisted MinHash index with an incremental batch:
+    ``(new_doc, idx_doc, jaccard)`` for every candidate pair between the
+    batch and the indexed corpus, with the exact-Jaccard verdict computed
+    over the shingle sets (LSH prefilters, exactness decides — the
+    invariant every dedup surface here shares).
+
+    Scale shape: the batch is small by construction (it is one ingestion
+    increment), so the batch side BROADCASTS at every step and the
+    index-side scans never shuffle — the band join prunes partitions via
+    the bkp join key, the shingle verification joins
+    broadcast(candidate-pair x batch-shingles) against the stored shingle
+    table, and only generation-sized frames ever move."""
+    new_keys = (lsh_band_keys(new_docs, k, bands, n)
+                .withColumn("bkp", F.substring("band_key", 1, 2))
+                .withColumnRenamed("doc_id", "new_doc"))
+    idx = spark.read.parquet(f"{path}/bands")
+    cand = (idx.join(F.broadcast(new_keys), ["bkp", "band", "band_key"])
+            .filter(F.col("doc_id") != F.col("new_doc"))
+            .select("new_doc", F.col("doc_id").alias("idx_doc"))
+            .distinct())
+    new_sh = shingles(new_docs, n).withColumnRenamed("doc_id", "new_doc")
+    probe_fan = cand.join(new_sh, "new_doc").alias("p")
+    idx_sh = spark.read.parquet(f"{path}/shingles").alias("s")
+    inter = (idx_sh.join(F.broadcast(probe_fan),
+                         (F.col("s.doc_id") == F.col("p.idx_doc"))
+                         & (F.col("s.shingle") == F.col("p.shingle")))
+             .groupBy("new_doc", "idx_doc")
+             .agg(F.count("*").alias("n_common")))
+    new_sizes = new_sh.groupBy("new_doc").agg(F.count("*").alias("n_new"))
+    idx_sizes = (spark.read.parquet(f"{path}/sizes")
+                 .withColumnRenamed("doc_id", "idx_doc")
+                 .withColumnRenamed("n_sh", "n_idx"))
+    return (inter
+            .join(F.broadcast(new_sizes), "new_doc")
+            .join(idx_sizes, "idx_doc")
+            .select("new_doc", "idx_doc",
+                    F.round(F.col("n_common")
+                            / (F.col("n_new") + F.col("n_idx")
+                               - F.col("n_common")), 6).alias("jaccard")))

