@@ -1,0 +1,139 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary learning — tokenizer
+training as a Spark job, the step a training-data pipeline runs before any
+token-budgeted packing (see ``packing.pack_shards``) or decontamination
+(q78) can be denominated in REAL tokens.
+
+Algorithm (Sennrich et al. 2016, the word-internal variant without the
+end-of-word marker — documented deviation, it keeps the symbol alphabet
+equal to the corpus alphabet): start from characters, repeatedly count
+adjacent symbol pairs over the WORD VOCABULARY weighted by word frequency,
+merge the most frequent pair everywhere, emit (step, left, right,
+pair_count).
+
+Scale shape:
+* the corpus collapses to its distinct-word vocabulary ONCE (one shuffle
+  over (word, count) — words, not documents, are the working set from
+  there on; at 100 TB the vocabulary is millions of rows, not billions);
+* each merge step is one pair-count aggregation over the vocabulary plus
+  one higher-order-function rewrite of the symbol arrays — no shuffle for
+  the rewrite, one groupBy for the counts;
+* the per-step driver read is ONE ROW (the argmax pair) — the same bounded
+  O(steps) driver contract as the dup-cluster convergence checks;
+* iteration state is localCheckpoint-truncated per step (the engine's
+  standard lineage-cut; swap for persist()/checkpoint on a fault-tolerant
+  cluster).
+
+Determinism: integer pair counts (exact in any engine) + total tie-break
+(count DESC, left ASC, right ASC) make the merge sequence a pure function
+of the corpus — partitioning-invariant and value-hashable, which is what
+lets an ITERATIVE algorithm sit behind a pinned oracle
+(scripts/gen_pinned_oracles.py q94_rows; the q80 fixed-point-PageRank
+precedent).
+
+The greedy leftmost-first merge application is an ``F.aggregate`` fold:
+append each symbol, but when the accumulator ends with ``left`` and the
+incoming symbol is ``right``, replace the tail with the merged symbol —
+exactly the non-overlapping left-to-right replace of reference BPE
+("aaa" under (a,a) -> ["aa", "a"]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MERGE_SCHEMA = T.StructType([
+    T.StructField("step", T.IntegerType()),
+    T.StructField("left", T.StringType()),
+    T.StructField("right", T.StringType()),
+    T.StructField("pair_count", T.LongType()),
+])
+
+
+def word_vocab(docs: DataFrame) -> DataFrame:
+    """(word, cnt) over whitespace-split words — the BPE working set."""
+    return (docs
+            .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+            .filter(F.length("word") > 0)
+            .groupBy("word").agg(F.count("*").alias("cnt")))
+
+
+def _adjacent_pairs(syms_col: str = "syms") -> "F.Column":
+    """All adjacent (left, right) symbol pairs of one word's symbol array
+    (empty for single-symbol words)."""
+    syms = F.col(syms_col)
+    heads = F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0)))
+    return F.transform(
+        heads,
+        lambda x, i: F.struct(x.alias("left"),
+                              F.element_at(syms, i + 2).alias("right")))
+
+
+def _apply_merge(syms_col, left: str, right: str) -> "F.Column":
+    """Greedy leftmost-first merge of (left, right) -> left+right inside a
+    symbol array, as a single fold (no Python in the hot path)."""
+    merged = left + right
+
+    def step(acc, x):
+        hit = ((F.size(acc) > 0)
+               & (F.element_at(acc, -1) == F.lit(left))
+               & (x == F.lit(right)))
+        return (F.when(hit,
+                       F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                                F.array(F.lit(merged))))
+                .otherwise(F.concat(acc, F.array(x))))
+
+    return F.aggregate(syms_col,
+                       F.array().cast("array<string>"), step)
+
+
+def learn_bpe(docs: DataFrame, n_merges: int = 12) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over ``docs(text)``; returns the merge
+    table ``(step, left, right, pair_count)`` in merge order. Stops early
+    if no adjacent pair remains (tiny corpora)."""
+    spark = docs.sparkSession
+    cur = (word_vocab(docs)
+           .select(F.split("word", "").alias("syms"), "cnt")
+           .localCheckpoint())
+    merges: list[tuple] = []
+    for step in range(n_merges):
+        top = (cur.select("cnt", F.explode(_adjacent_pairs()).alias("p"))
+               .groupBy(F.col("p.left").alias("left"),
+                        F.col("p.right").alias("right"))
+               .agg(F.sum("cnt").alias("pair_count"))
+               .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+               .limit(1).collect())
+        if not top:
+            break
+        l, r, pc = top[0].left, top[0].right, int(top[0].pair_count)
+        merges.append((step, l, r, pc))
+        nxt = cur.select(_apply_merge("syms", l, r).alias("syms"), "cnt") \
+            .localCheckpoint()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(merges, MERGE_SCHEMA)
+
+
+def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Tokenize ``docs(doc_id, text)`` under a learned merge list (in merge
+    order): per doc, whitespace words -> characters -> the merge folds ->
+    token count + distinct-token count. The merge chain is applied to the
+    DISTINCT word vocabulary and joined back (broadcast — the vocabulary
+    after tokenization is small next to the corpus), so the fold cost is
+    per unique word, not per occurrence."""
+    words = (docs
+             .select("doc_id",
+                     F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+             .filter(F.length("word") > 0))
+    vocab = words.select("word").distinct() \
+        .select("word", F.split("word", "").alias("syms"))
+    for l, r in merges:
+        vocab = vocab.select("word", _apply_merge("syms", l, r).alias("syms"))
+    tokized = vocab.select("word", F.col("syms").alias("tokens"))
+    return (words.join(F.broadcast(tokized), "word")
+            .select("doc_id", F.explode("tokens").alias("token"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.countDistinct("token").alias("n_distinct_tokens")))

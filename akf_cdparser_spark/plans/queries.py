@@ -3061,6 +3061,31 @@ JOIN sizes zb ON zb.doc_id = i.idx_doc
 """)
 
 
+BPE_N_MERGES = 12
+
+
+def q94_learn_bpe(spark, sf_dir):
+    """Distributed BPE vocabulary learning (analytics/bpe.py learn_bpe):
+    12 merges over the documents word vocabulary — integer pair counts +
+    a total tie-break make the merge SEQUENCE a pure function of the
+    corpus, so the iterative algorithm value-hashes against a pinned
+    pure-Python twin (gen_pinned_oracles.q94_rows; the q80 fixed-point
+    precedent). Pinned at sf0.01, the driver's oracle scale."""
+    from ..analytics.bpe import learn_bpe
+
+    return learn_bpe(_t(spark, sf_dir, "documents"), n_merges=BPE_N_MERGES)
+
+
+Q94_SQL = (
+    "SELECT CAST(step AS INT) AS step, \"left\", \"right\",\n"
+    "       CAST(pair_count AS BIGINT) AS pair_count\n"
+    "FROM (VALUES\n"
+    + ",\n".join(f"  ({s}, {l!r}, {r!r}, {c})"
+                  for s, l, r, c in _pinned.Q94_EXPECTED)
+    + "\n) AS t(step, \"left\", \"right\", pair_count)"
+)
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers": (q02_top_customers, Q02_SQL),
@@ -3158,4 +3183,5 @@ REGISTRY: dict[str, tuple] = {
     "q91_freshness_recrawl": (q91_freshness_recrawl, Q91_SQL),
     "q92_crawl_delay_schedule": (q92_crawl_delay_schedule, Q92_SQL),
     "q93_minhash_index_probe": (q93_minhash_index_probe, Q93_SQL),
+    "q94_learn_bpe": (q94_learn_bpe, Q94_SQL),
 }

@@ -297,13 +297,54 @@ def q63_rows() -> list[tuple]:
     return sorted(rows)
 
 
+def q94_rows(n_merges: int = 12) -> list[tuple[int, str, str, int]]:
+    """Pure-Python BPE twin of ``analytics.bpe.learn_bpe`` over the sf0.01
+    documents: whitespace word vocabulary, character start symbols (no
+    end-of-word marker — the engine's documented deviation), integer pair
+    counts, (count DESC, left ASC, right ASC) tie-break, greedy
+    leftmost-first merge application. Independent of any Spark code."""
+    import duckdb
+
+    con = duckdb.connect()
+    words = con.execute(
+        f"SELECT w, count(*) FROM (SELECT UNNEST(regexp_split_to_array("
+        f"trim(text), '\\s+')) AS w FROM read_parquet("
+        f"'{SF001}/documents.parquet')) WHERE length(w) > 0 GROUP BY w"
+    ).fetchall()
+    vocab = {tuple(w): c for w, c in words}
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (l, r), pc = min(counts.items(),
+                         key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((step, l, r, pc))
+        merged = l + r
+        nxt: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + c
+        vocab = nxt
+    return merges
+
+
 HEADER = '''"""GENERATED by scripts/gen_pinned_oracles.py — do not edit.
 
-Pinned expected tables for the q29/q47/q48/q50/q61-q63/q65 oracles, computed
+Pinned expected tables for the q29/q47/q48/q50/q61-q63/q65/q94 oracles, computed
 through sequential non-Spark twins (local kernel / DuckDB+walk / numpy LSH /
 numpy IVF / pure-Python media decoders). See the generator's docstring for
 the independence argument; tests/test_pinned_oracles.py is the drift gate.
-Q29/Q48/Q50/Q65 values are valid for the sf0.01 tables only.
+Q29/Q48/Q50/Q65/Q94 values are valid for the sf0.01 tables only.
 """
 
 '''
@@ -318,6 +359,7 @@ def main():
     q61 = q61_rows()
     q62 = q62_rows()
     q63 = q63_rows()
+    q94 = q94_rows()
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "akf_cdparser_spark", "plans", "pinned.py")
     with open(path, "w", encoding="utf-8") as fh:
@@ -345,6 +387,9 @@ def main():
             fh.write(f"    {r!r},\n")
         fh.write("]\n\nQ63_EXPECTED = [\n")
         for r in q63:
+            fh.write(f"    {r!r},\n")
+        fh.write("]\n\nQ94_EXPECTED = [\n")
+        for r in q94:
             fh.write(f"    {r!r},\n")
         fh.write("]\n")
     print(f"wrote {path}: {len(q29)} q29, {len(q50)} q50, "

@@ -863,3 +863,80 @@ def test_minhash_index_probe_self_is_empty(spark, tmp_path, planted):
     dedup.write_minhash_index(planted, path)
     probed = dedup.probe_minhash_index(spark, path, planted.limit(0))
     assert probed.count() == 0
+
+
+def _py_bpe(texts, n_merges):
+    """Reference BPE (Sennrich-style, no end-of-word marker)."""
+    vocab = {}
+    for t in texts:
+        for w in t.split():
+            k = tuple(w)
+            vocab[k] = vocab.get(k, 0) + 1
+    merges = []
+    for step in range(n_merges):
+        counts = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (l, r), pc = min(counts.items(),
+                         key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((step, l, r, pc))
+        nxt = {}
+        for syms, c in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
+        vocab = nxt
+    return merges, vocab
+
+
+def test_learn_bpe_matches_python_reference(spark):
+    """Distributed BPE learning == the sequential reference on a corpus
+    with ties (the tie-break is exercised) and overlapping pairs ("aaaa"),
+    at two parallelism levels (partitioning invariance)."""
+    from akf_cdparser_spark.analytics.bpe import apply_bpe, learn_bpe
+
+    texts = ["low low low low low lower lower newest newest newest",
+             "newest newest newest widest widest widest aaaa aaaa",
+             "ab ab ba ba ba ab",  # ties: (a,b) vs (b,a) -> left asc wins
+             "zzz zzz"]
+    rows = [(f"d{i}", t) for i, t in enumerate(texts)]
+    expected, final_vocab = _py_bpe(texts, 8)
+
+    for parts in (1, 7):
+        docs = spark.createDataFrame(rows, "doc_id string, text string") \
+            .repartition(parts)
+        got = [(r.step, r.left, r.right, r.pair_count)
+               for r in learn_bpe(docs, n_merges=8)
+               .orderBy("step").collect()]
+        assert got == expected
+
+    # apply_bpe under the learned merges reproduces the reference
+    # tokenization (token counts per doc)
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    merges = [(l, r) for _s, l, r, _c in expected]
+    got_tok = {r.doc_id: (r.n_tokens, r.n_distinct_tokens)
+               for r in apply_bpe(docs, merges).collect()}
+
+    def py_apply(word):
+        out = list(word)
+        for l, r in merges:
+            nxt = []
+            for x in out:
+                if nxt and nxt[-1] == l and x == r:
+                    nxt[-1] = l + r
+                else:
+                    nxt.append(x)
+            out = nxt
+        return out
+    exp_tok = {}
+    for i, t in enumerate(texts):
+        toks = [tok for w in t.split() for tok in py_apply(w)]
+        exp_tok[f"d{i}"] = (len(toks), len(set(toks)))
+    assert got_tok == exp_tok

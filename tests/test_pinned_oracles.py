@@ -69,3 +69,7 @@ def test_q63_pinned_matches_sequential_twin():
 def test_q48_recall_meets_semantic_gate():
     vals = [r for _, r in pinned.Q48_EXPECTED]
     assert sum(vals) / len(vals) >= 0.8
+
+
+def test_q94_pinned_matches_python_bpe_twin():
+    assert gen.q94_rows() == pinned.Q94_EXPECTED
