@@ -1,0 +1,84 @@
+"""Fixed-point k-means over int8-quantized embeddings — document
+clustering for curation (topic balancing, per-cluster sampling, coverage
+audits) that is DETERMINISTIC enough to sit behind a value-hashed oracle.
+
+Float Lloyd iterations are partition-order-nondeterministic (float sums)
+and engine-divergent; this variant stays in integers end-to-end:
+
+* vectors are the int8 codes of ``similarity._quantize_arrays`` (floor
+  quantization — engine-stable, q89);
+* distances are integer squared-L2 over the codes (exact in any engine);
+* assignment ties break to the smallest cluster id via lexicographic
+  ``array_min`` over (dist, cid) structs;
+* centroid updates are floor(sum / count) per dimension — floor of an
+  exact double ratio (|sum| < 2^53), identical to Python's ``//`` for the
+  positive-and-negative integer sums involved;
+* initialization is the deterministic md5-rank sample (the IVF coarse
+  quantizer's trick): the k vectors ranked first by (md5(vec_id), vec_id).
+
+The result is a pure function of the corpus — partitioning-invariant,
+bit-identical across engines, pinned against a numpy twin
+(scripts/gen_pinned_oracles.q96_rows).
+
+Scale shape: per iteration, assignment is a broadcast one-row join (the
+centroid table collapses to k x dim integers) + higher-order functions —
+no shuffle of the corpus; the update is ONE groupBy over (cluster, dim)
+rows (k x dim groups). Driver traffic is k x dim ints per iteration —
+bounded by the model size, never the data (the BPE argmax / dup-cluster
+convergence-read contract). Empty clusters keep their previous centroid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _quantize_arrays
+
+
+def _assign(codes: DataFrame, cents: list[tuple[int, list[int]]]
+            ) -> DataFrame:
+    """Tag each vector with its nearest centroid: (vec_id, q, cluster_id,
+    dist). ``cents`` is the driver-side model (k x dim ints)."""
+    spark = codes.sparkSession
+    cents_row = spark.createDataFrame(
+        [(cents,)], "cents: array<struct<cid: int, c: array<int>>>")
+    scored = F.transform(
+        "cents",
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with("q", s["c"],
+                           lambda a, b: ((a - b) * (a - b)).cast("long")),
+                F.lit(0).cast("long"), lambda acc, x: acc + x).alias("dist"),
+            s["cid"].alias("cid")))
+    return (codes.join(F.broadcast(cents_row))
+            .withColumn("_best", F.array_min(scored))
+            .select("vec_id", "q",
+                    F.col("_best.cid").alias("cluster_id"),
+                    F.col("_best.dist").alias("dist")))
+
+
+def kmeans_int8(embeddings: DataFrame, k: int = 8,
+                n_iter: int = 3) -> DataFrame:
+    """Cluster ``embeddings(vec_id, embedding)`` into ``k`` groups with
+    ``n_iter`` fixed-point Lloyd steps over the int8 codes; returns
+    ``(vec_id, cluster_id, dist)`` under the final centroids."""
+    codes = _quantize_arrays(embeddings).localCheckpoint()
+    init = (codes
+            .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+            .limit(k).collect())
+    cents = [(cid, list(r.q)) for cid, r in enumerate(init)]
+    dim = len(cents[0][1]) if cents else 0
+    for _ in range(n_iter):
+        assigned = _assign(codes, cents)
+        sums = (assigned
+                .select("cluster_id", F.posexplode("q").alias("dim", "v"))
+                .groupBy("cluster_id", "dim")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                .collect())
+        by_cid: dict[int, list[int]] = {}
+        for r in sums:
+            by_cid.setdefault(r.cluster_id, [0] * dim)[r.dim] = \
+                int(r.s) // int(r.n)
+        cents = [(cid, by_cid.get(cid, c)) for cid, c in cents]
+    return _assign(codes, cents).select("vec_id", "cluster_id", "dist")

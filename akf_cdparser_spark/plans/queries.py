@@ -3086,6 +3086,53 @@ Q94_SQL = (
 )
 
 
+def q95_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (analytics/sampling.py): the 5
+    documents per (lang, source) stratum with the smallest md5(doc_id) —
+    the reproducible eval-holdout / inspection-panel primitive. The
+    oracle is the identical window in SQL, so rank AND membership are
+    value-gated."""
+    from ..analytics.sampling import stratified_sample
+
+    return (stratified_sample(_t(spark, sf_dir, "documents"),
+                              ["lang", "source"], k=5)
+            .select("doc_id", "lang", "source", "sample_rank"))
+
+
+Q95_SQL = r"""
+SELECT doc_id, lang, source, CAST(rk AS INT) AS sample_rank
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents)
+WHERE rk <= 5
+"""
+
+
+def q96_kmeans_int8(spark, sf_dir):
+    """Fixed-point integer k-means over int8-quantized embeddings
+    (analytics/clustering.py): md5-rank init, integer squared-L2
+    assignment, floor(sum/count) centroid updates — bit-identical at any
+    parallelism, pinned against a numpy twin
+    (gen_pinned_oracles.q96_rows, sf0.01). The deterministic counterpart
+    of Lloyd k-means for curation-grade clustering."""
+    from ..analytics.clustering import kmeans_int8
+
+    return kmeans_int8(_t(spark, sf_dir, "embeddings"), k=8, n_iter=3)
+
+
+Q96_SQL = (
+    "SELECT CAST(vec_id AS BIGINT) AS vec_id,\n"
+    "       CAST(cluster_id AS INT) AS cluster_id,\n"
+    "       CAST(dist AS BIGINT) AS dist\n"
+    "FROM (VALUES\n"
+    + ",\n".join(f"  ({v}, {c}, {d})" for v, c, d in _pinned.Q96_EXPECTED)
+    + "\n) AS t(vec_id, cluster_id, dist)"
+)
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers": (q02_top_customers, Q02_SQL),
@@ -3184,4 +3231,6 @@ REGISTRY: dict[str, tuple] = {
     "q92_crawl_delay_schedule": (q92_crawl_delay_schedule, Q92_SQL),
     "q93_minhash_index_probe": (q93_minhash_index_probe, Q93_SQL),
     "q94_learn_bpe": (q94_learn_bpe, Q94_SQL),
+    "q95_stratified_sample": (q95_stratified_sample, Q95_SQL),
+    "q96_kmeans_int8": (q96_kmeans_int8, Q96_SQL),
 }

@@ -340,14 +340,58 @@ def q94_rows(n_merges: int = 12) -> list[tuple[int, str, str, int]]:
 
 HEADER = '''"""GENERATED by scripts/gen_pinned_oracles.py — do not edit.
 
-Pinned expected tables for the q29/q47/q48/q50/q61-q63/q65/q94 oracles, computed
+Pinned expected tables for the q29/q47/q48/q50/q61-q63/q65/q94/q96 oracles, computed
 through sequential non-Spark twins (local kernel / DuckDB+walk / numpy LSH /
 numpy IVF / pure-Python media decoders). See the generator's docstring for
 the independence argument; tests/test_pinned_oracles.py is the drift gate.
-Q29/Q48/Q50/Q65/Q94 values are valid for the sf0.01 tables only.
+Q29/Q48/Q50/Q65/Q94/Q96 values are valid for the sf0.01 tables only.
 """
 
 '''
+
+
+def q96_rows(k: int = 8, n_iter: int = 3) -> list[tuple[int, int, int]]:
+    """Numpy twin of ``analytics.clustering.kmeans_int8`` over the sf0.01
+    embeddings: floor int8 quantization, md5-rank init, integer squared-L2
+    assignment with (dist, cid) tie-break, floor(sum/count) centroid
+    updates, empty clusters keep their centroid."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet("
+        f"'{SF001}/embeddings.parquet') ORDER BY vec_id").fetchall()
+    ids = [int(v) for v, _ in rows]
+    vecs = np.array([list(e) for _, e in rows], dtype=np.float64)
+    s = np.abs(vecs).max(axis=1)
+    q = np.zeros_like(vecs, dtype=np.int64)
+    nz = s != 0
+    q[nz] = np.floor(vecs[nz] * 127.0 / s[nz][:, None]).astype(np.int64)
+
+    order = sorted(range(len(ids)),
+                   key=lambda i: (hashlib.md5(str(ids[i]).encode())
+                                  .hexdigest(), ids[i]))
+    cents = [q[order[c]].copy() for c in range(k)]
+
+    def assign():
+        out = []
+        for i in range(len(ids)):
+            best = min(((int(((q[i] - c) ** 2).sum()), cid)
+                        for cid, c in enumerate(cents)))
+            out.append(best)
+        return out
+
+    for _ in range(n_iter):
+        a = assign()
+        for cid in range(k):
+            members = [i for i, (_d, c) in enumerate(a) if c == cid]
+            if members:
+                sums = q[members].sum(axis=0)
+                cents[cid] = np.array([int(x) // len(members)
+                                       for x in sums], dtype=np.int64)
+    final = assign()
+    return [(ids[i], int(final[i][1]), int(final[i][0]))
+            for i in range(len(ids))]
 
 
 def main():
@@ -360,6 +404,7 @@ def main():
     q62 = q62_rows()
     q63 = q63_rows()
     q94 = q94_rows()
+    q96 = q96_rows()
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "akf_cdparser_spark", "plans", "pinned.py")
     with open(path, "w", encoding="utf-8") as fh:
@@ -390,6 +435,9 @@ def main():
             fh.write(f"    {r!r},\n")
         fh.write("]\n\nQ94_EXPECTED = [\n")
         for r in q94:
+            fh.write(f"    {r!r},\n")
+        fh.write("]\n\nQ96_EXPECTED = [\n")
+        for r in q96:
             fh.write(f"    {r!r},\n")
         fh.write("]\n")
     print(f"wrote {path}: {len(q29)} q29, {len(q50)} q50, "

@@ -940,3 +940,29 @@ def test_learn_bpe_matches_python_reference(spark):
         toks = [tok for w in t.split() for tok in py_apply(w)]
         exp_tok[f"d{i}"] = (len(toks), len(set(toks)))
     assert got_tok == exp_tok
+
+
+def test_kmeans_int8_planted_clusters(spark):
+    """Integer k-means recovers planted well-separated clusters, and the
+    assignment is identical at different parallelism (integer arithmetic
+    + total tie-breaks = partitioning-invariant)."""
+    from akf_cdparser_spark.analytics.clustering import kmeans_int8
+
+    rows = []
+    for i in range(30):
+        base = [10.0, 0.0, 0.0, 0.0] if i % 3 == 0 else (
+            [0.0, 10.0, 0.0, 0.0] if i % 3 == 1 else [0.0, 0.0, 10.0, 0.0])
+        rows.append((i, [b + ((i * 7) % 5) * 0.1 for b in base]))
+    outs = []
+    for parts in (1, 8):
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>").repartition(parts)
+        got = {r.vec_id: r.cluster_id
+               for r in kmeans_int8(emb, k=3, n_iter=3).collect()}
+        outs.append(got)
+    assert outs[0] == outs[1]
+    got = outs[0]
+    # planted groups land in single clusters each
+    for m in range(3):
+        assert len({got[i] for i in range(30) if i % 3 == m}) == 1
+    assert len({got[i] for i in range(30)}) == 3

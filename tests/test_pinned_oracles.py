@@ -73,3 +73,7 @@ def test_q48_recall_meets_semantic_gate():
 
 def test_q94_pinned_matches_python_bpe_twin():
     assert gen.q94_rows() == pinned.Q94_EXPECTED
+
+
+def test_q96_pinned_matches_numpy_kmeans_twin():
+    assert gen.q96_rows() == pinned.Q96_EXPECTED
