@@ -3133,6 +3133,38 @@ Q96_SQL = (
 )
 
 
+def q97_bpe_tokenize_corpus(spark, sf_dir):
+    """The full tokenizer plane end-to-end: learn 12 BPE merges over the
+    corpus (q94), tokenize every document under them (apply_bpe — merge
+    folds over the broadcast distinct-word vocabulary), roll up per
+    language. Pinned against the pure-Python learn+apply twin
+    (gen_pinned_oracles.q97_rows), so any drift anywhere in the
+    vocabulary -> merges -> tokenization chain shifts the totals."""
+    from ..analytics.bpe import apply_bpe, learn_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r.left, r.right)
+              for r in learn_bpe(docs, n_merges=BPE_N_MERGES)
+              .orderBy("step").collect()]
+    tok = apply_bpe(docs, merges)
+    return (tok.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum("n_distinct_tokens").alias("total_distinct")))
+
+
+Q97_SQL = (
+    "SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,\n"
+    "       CAST(total_tokens AS BIGINT) AS total_tokens,\n"
+    "       CAST(total_distinct AS BIGINT) AS total_distinct\n"
+    "FROM (VALUES\n"
+    + ",\n".join(f"  ({lg!r}, {n}, {t}, {d})"
+                  for lg, n, t, d in _pinned.Q97_EXPECTED)
+    + "\n) AS t(lang, n_docs, total_tokens, total_distinct)"
+)
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers": (q02_top_customers, Q02_SQL),
@@ -3233,4 +3265,5 @@ REGISTRY: dict[str, tuple] = {
     "q94_learn_bpe": (q94_learn_bpe, Q94_SQL),
     "q95_stratified_sample": (q95_stratified_sample, Q95_SQL),
     "q96_kmeans_int8": (q96_kmeans_int8, Q96_SQL),
+    "q97_bpe_tokenize_corpus": (q97_bpe_tokenize_corpus, Q97_SQL),
 }

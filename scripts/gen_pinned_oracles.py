@@ -340,11 +340,11 @@ def q94_rows(n_merges: int = 12) -> list[tuple[int, str, str, int]]:
 
 HEADER = '''"""GENERATED by scripts/gen_pinned_oracles.py — do not edit.
 
-Pinned expected tables for the q29/q47/q48/q50/q61-q63/q65/q94/q96 oracles, computed
+Pinned expected tables for the q29/q47/q48/q50/q61-q63/q65/q94/q96/q97 oracles, computed
 through sequential non-Spark twins (local kernel / DuckDB+walk / numpy LSH /
 numpy IVF / pure-Python media decoders). See the generator's docstring for
 the independence argument; tests/test_pinned_oracles.py is the drift gate.
-Q29/Q48/Q50/Q65/Q94/Q96 values are valid for the sf0.01 tables only.
+Q29/Q48/Q50/Q65/Q94/Q96/Q97 values are valid for the sf0.01 tables only.
 """
 
 '''
@@ -394,6 +394,45 @@ def q96_rows(k: int = 8, n_iter: int = 3) -> list[tuple[int, int, int]]:
             for i in range(len(ids))]
 
 
+def q97_rows(n_merges: int = 12) -> list[tuple[str, int, int, int]]:
+    """Twin of learn_bpe(sf0.01)+apply_bpe rolled up per language:
+    (lang, n_docs, total_tokens, total_distinct_tokens)."""
+    import duckdb
+
+    merges = [(l, r) for _s, l, r, _c in q94_rows(n_merges)]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, lang, text FROM read_parquet("
+        f"'{SF001}/documents.parquet')").fetchall()
+
+    def apply(word: str) -> list[str]:
+        out = list(word)
+        for l, r in merges:
+            nxt: list[str] = []
+            for x in out:
+                if nxt and nxt[-1] == l and x == r:
+                    nxt[-1] = l + r
+                else:
+                    nxt.append(x)
+            out = nxt
+        return out
+
+    per_lang: dict[str, list[int]] = {}
+    cache: dict[str, list[str]] = {}
+    for _doc_id, lang, text in rows:
+        toks: list[str] = []
+        for w in text.split():
+            if w not in cache:
+                cache[w] = apply(w)
+            toks.extend(cache[w])
+        agg = per_lang.setdefault(lang, [0, 0, 0])
+        agg[0] += 1
+        agg[1] += len(toks)
+        agg[2] += len(set(toks))
+    return [(lang, a[0], a[1], a[2])
+            for lang, a in sorted(per_lang.items())]
+
+
 def main():
     q47 = q47_rows()
     q48 = q48_rows()
@@ -405,6 +444,7 @@ def main():
     q63 = q63_rows()
     q94 = q94_rows()
     q96 = q96_rows()
+    q97 = q97_rows()
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "akf_cdparser_spark", "plans", "pinned.py")
     with open(path, "w", encoding="utf-8") as fh:
@@ -438,6 +478,9 @@ def main():
             fh.write(f"    {r!r},\n")
         fh.write("]\n\nQ96_EXPECTED = [\n")
         for r in q96:
+            fh.write(f"    {r!r},\n")
+        fh.write("]\n\nQ97_EXPECTED = [\n")
+        for r in q97:
             fh.write(f"    {r!r},\n")
         fh.write("]\n")
     print(f"wrote {path}: {len(q29)} q29, {len(q50)} q50, "

@@ -77,3 +77,7 @@ def test_q94_pinned_matches_python_bpe_twin():
 
 def test_q96_pinned_matches_numpy_kmeans_twin():
     assert gen.q96_rows() == pinned.Q96_EXPECTED
+
+
+def test_q97_pinned_matches_python_tokenize_twin():
+    assert gen.q97_rows() == pinned.Q97_EXPECTED
