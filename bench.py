@@ -42,6 +42,9 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         # Gopher repetition, 13-gram decontamination
         "q73_rolling_fingerprints", "q74_fingerprint_containment",
         "q75_repetition_scores", "q78_decontaminate",
+        # round-5 second half: incremental MinHash index (write+probe)
+        # and fixed-point int8 k-means clustering
+        "q93_minhash_index_probe", "q96_kmeans_int8",
     ]
 
     # warm-up: JVM/codegen/parquet-footer/Python-worker startup must not be
