@@ -3229,6 +3229,51 @@ SELECT host_id, CAST(score AS BIGINT) AS score FROM s{PR_N_ITER}
 Q98_SQL = _q98_sql()
 
 
+def q99_repeated_spans(spark, sf_dir):
+    """ExactSubstr-style repeated-substring dedup statistics (Lee et al.):
+    every char 20-gram Rabin-Karp hashed, windows duplicated when the hash
+    occurs >= 2 times corpus-wide, per-doc merged-span stats. The oracle
+    recomputes the polynomial with mod-reduced powers (BIGINT-safe at any
+    k, where the q73 twin's exact HUGEINT powers overflow int128 past
+    k = 15), the global multiplicity gate, and the span merge via a
+    lead() window — value-gating hash arithmetic, the duplicate gate, and
+    the interval-union fold in one hash."""
+    return text.repeated_spans(_t(spark, sf_dir, "documents"), k=20)
+
+
+def _q99_sql(k: int = 20) -> str:
+    # mod-reduced power expansion: term_j = ascii(char_j) * (257^j mod M);
+    # each term < 2^21 * 1e9 and the k-term sum < 2^63, so plain BIGINT
+    # arithmetic matches the engine's Horner fold exactly.
+    mod = 1_000_000_007
+    terms = "\n               + ".join(
+        f"ascii(substr(lower(text), i + {j}, 1))::BIGINT"
+        f" * {pow(257, k - 1 - j, mod)}"
+        for j in range(k))
+    return f"""WITH g AS (
+  SELECT doc_id, i - 1 AS p,
+         ({terms}
+         ) % {mod} AS h
+  FROM documents, UNNEST(range(1, length(text) - {k - 2})) AS u(i)
+  WHERE length(text) >= {k}),
+dh AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+d AS (SELECT g.doc_id, g.p FROM g SEMI JOIN dh USING (h)),
+w AS (SELECT doc_id, p,
+             lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np
+      FROM d)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_dup_windows,
+       CAST(1 + count(CASE WHEN np - p > {k} THEN 1 END) AS INT)
+         AS n_spans,
+       CAST(sum(CASE WHEN np IS NULL THEN {k}
+                     ELSE least(np - p, {k}) END) AS INT) AS dup_chars
+FROM w GROUP BY doc_id
+"""
+
+
+Q99_SQL = _q99_sql()
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers": (q02_top_customers, Q02_SQL),
@@ -3331,4 +3376,5 @@ REGISTRY: dict[str, tuple] = {
     "q96_kmeans_int8": (q96_kmeans_int8, Q96_SQL),
     "q97_bpe_tokenize_corpus": (q97_bpe_tokenize_corpus, Q97_SQL),
     "q98_host_rank": (q98_host_rank, Q98_SQL),
+    "q99_repeated_spans": (q99_repeated_spans, Q99_SQL),
 }

@@ -999,3 +999,80 @@ def test_pagerank_weighted_reduces_to_unweighted_and_is_invariant(spark):
     # weight asymmetry shows up: node 1 (weight-3 in-edge) outranks node 2's
     # teleport-only... compute expected relation instead: heavier in-flow wins
     assert outs[0][1] != outs[0][2]
+
+
+def _repeated_spans_twin(rows, k=20, min_count=2):
+    """Pure-Python ExactSubstr reference: per-position Rabin-Karp k-gram
+    hashes, global multiplicity gate, per-doc merged-span stats (same
+    arithmetic as analytics.text.repeated_spans)."""
+    from collections import Counter
+    M, B = 1_000_000_007, 257
+    grams, cnt = {}, Counter()
+    for doc_id, text in rows:
+        s = text.lower()
+        hs = []
+        for i in range(max(len(s) - k + 1, 0)):
+            acc = 0
+            for c in s[i:i + k]:
+                acc = (acc * B + ord(c)) % M
+            hs.append(acc)
+        grams[doc_id] = hs
+        cnt.update(hs)
+    out = {}
+    for doc_id, hs in grams.items():
+        ps = [i for i, h in enumerate(hs) if cnt[h] >= min_count]
+        if not ps:
+            continue
+        n_spans = 1 + sum(1 for a, b in zip(ps, ps[1:]) if b - a > k)
+        dup_chars = sum(min(b - a, k) for a, b in zip(ps, ps[1:])) + k
+        out[doc_id] = (len(ps), n_spans, dup_chars)
+    return out
+
+
+def test_repeated_spans_planted_and_twin(spark):
+    """repeated_spans == the pure-Python ExactSubstr twin on planted
+    shapes: a cross-doc duplicated sentence, a WITHIN-doc repeat (the
+    multiplicity gate counts repeats inside one document, as the
+    suffix-array original does), a unique doc (absent from output), and
+    two far-apart copies inside one doc (two merged spans)."""
+    from akf_cdparser_spark.analytics import text as T
+    dup = "this exact sentence is repeated verbatim across documents"
+    far = "another duplicated block of text here"
+    rows = [
+        ("a", "unique prefix alpha " + dup + " unique suffix omega"),
+        ("b", dup + " with a completely different continuation body"),
+        ("c", "totally unique document with no repeated content at all xyzq"),
+        ("d", far + " " + " ".join("mid%dtok%d" % (i, i * 7)
+                                    for i in range(12)) + " " + far),
+        ("e", "zz " + dup + " zz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: (r.n_dup_windows, r.n_spans, r.dup_chars)
+           for r in T.repeated_spans(docs, k=20).collect()}
+    expect = _repeated_spans_twin(rows, k=20)
+    assert got == expect
+    assert "c" not in got            # unique doc emits no row
+    assert got["d"][1] == 2          # far-apart in-doc copies: two spans
+    # the duplicated sentence is fully covered in the shorter carrier
+    assert got["b"][2] >= len(dup)
+
+
+def test_repeated_spans_randomized_vs_twin(spark):
+    """Randomized small-alphabet corpus (dense collisions of real repeats,
+    span merges at every gap size) matches the twin stat-for-stat, and is
+    invariant to input partitioning."""
+    import random
+    from akf_cdparser_spark.analytics import text as T
+    rng = random.Random(99)
+    rows = [("d%02d" % i,
+             "".join(rng.choice("abcd ") for _ in range(rng.randint(5, 90))))
+            for i in range(30)]
+    expect = _repeated_spans_twin(rows, k=8)
+    outs = []
+    for parts in (1, 7):
+        docs = spark.createDataFrame(
+            rows, "doc_id string, text string").repartition(parts)
+        outs.append({r.doc_id: (r.n_dup_windows, r.n_spans, r.dup_chars)
+                     for r in T.repeated_spans(docs, k=8).collect()})
+    assert outs[0] == expect
+    assert outs[1] == expect
