@@ -160,6 +160,63 @@ def repeated_spans(docs: DataFrame, k: int = 20,
         dup_chars.cast("int").alias("dup_chars"))
 
 
+def bigram_lm_scores(docs: DataFrame, train: Column | None = None,
+                     scale: int = 1_000_000) -> DataFrame:
+    """CCNet-style language-model quality scoring in exact integer
+    arithmetic: train an add-one-smoothed bigram LM on a trusted subset of
+    the corpus (CCNet trains on Wikipedia; here ``train`` selects the
+    rows, default ``source = 'src0'``), then score EVERY document by its
+    mean per-bigram likelihood — the signal CCNet thresholds into
+    head/middle/tail quality buckets.
+
+    Fixed-point likelihoods (floats would make an iterative-free but
+    hash-hostile score): per bigram
+    ``lik = ((c(w1,w2) + 1) * scale) DIV (c(w1·) + V)`` with ``V`` =
+    distinct training tokens, and per document
+    ``lm_score = sum(lik) DIV n_bigrams`` — integer end-to-end, so the
+    DuckDB twin value-hashes every score bit-for-bit. Higher = more like
+    the trusted subset. Documents with < 2 tokens emit no row; the caller
+    must pick a non-empty training subset (an empty one makes every
+    denominator zero).
+
+    Scale shape: bigram extraction is per-row higher-order functions; the
+    LM tables are two map-side-combinable groupBys over the training
+    subset only; scoring is two equi-joins of the corpus bigram stream
+    against vocabulary-sized count tables (the classic big-to-small join —
+    AQE broadcasts them when they fit, as a Wikipedia-trained LM does) and
+    one one-row broadcast for ``V``. No driver state, no iteration."""
+    if train is None:
+        train = F.col("source") == "src0"
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = (docs.select("doc_id", train.alias("_train"), toks.alias("_t"))
+            .filter(F.size("_t") >= 2))
+    n = F.size("_t")
+    big = (base.select(
+        "doc_id", "_train",
+        F.explode(F.zip_with(
+            F.slice(F.col("_t"), 1, n - 1), F.slice(F.col("_t"), 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))).alias("_b"))
+        .select("doc_id", "_train",
+                F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2")))
+    tbig = big.filter(F.col("_train"))
+    cb = tbig.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = tbig.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vrow = (base.filter(F.col("_train"))
+            .select(F.explode("_t").alias("_w"))
+            .agg(F.countDistinct("_w").alias("v")))
+    lik = (big.join(cb, ["w1", "w2"], "left")
+           .join(cu, "w1", "left")
+           .join(F.broadcast(vrow))
+           .select("doc_id", F.expr(
+               f"((coalesce(cb, 0) + 1) * {scale}L)"
+               " div (coalesce(cu, 0) + v)").alias("_l")))
+    return (lik.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_n"), F.sum("_l").alias("_s"))
+            .select("doc_id",
+                    F.col("_n").cast("int").alias("n_bigrams"),
+                    F.expr("_s div _n").alias("lm_score")))
+
+
 # The public GPT-2 pre-tokenizer split pattern minus its `\s+(?!\S)`
 # lookahead branch: RE2 (the DuckDB oracle engine) has no lookahead, and
 # dropping it only changes how runs of trailing whitespace group — no

@@ -3274,6 +3274,45 @@ FROM w GROUP BY doc_id
 Q99_SQL = _q99_sql()
 
 
+def q100_lm_quality(spark, sf_dir):
+    """CCNet-style bigram-LM quality scoring: add-one-smoothed bigram LM
+    trained on the trusted subset (source = 'src0'), every document scored
+    by mean fixed-point per-bigram likelihood. Integer arithmetic
+    end-to-end ((c+1)*1e6 DIV (prefix+V), then sum DIV n), so the oracle
+    value-hashes every score — gating tokenization parity, the training
+    counts, the smoothing denominators, and both integer divisions."""
+    return text.bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+Q100_SQL = r"""WITH base AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2),
+bg AS (
+  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+  FROM base, UNNEST(range(1, len(t))) AS u(i)),
+cb AS (SELECT w1, w2, count(*) AS cb FROM bg
+       WHERE source = 'src0' GROUP BY w1, w2),
+cu AS (SELECT w1, count(*) AS cu FROM bg
+       WHERE source = 'src0' GROUP BY w1),
+v AS (SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(t) AS w FROM base WHERE source = 'src0')),
+lik AS (
+  SELECT b.doc_id,
+         ((coalesce(cb.cb, 0) + 1) * 1000000)
+           // (coalesce(cu.cu, 0) + v.v) AS l
+  FROM bg b
+  LEFT JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+  LEFT JOIN cu ON b.w1 = cu.w1
+  CROSS JOIN v)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_bigrams,
+       CAST(sum(l) // count(*) AS BIGINT) AS lm_score
+FROM lik GROUP BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers": (q02_top_customers, Q02_SQL),
@@ -3377,4 +3416,5 @@ REGISTRY: dict[str, tuple] = {
     "q97_bpe_tokenize_corpus": (q97_bpe_tokenize_corpus, Q97_SQL),
     "q98_host_rank": (q98_host_rank, Q98_SQL),
     "q99_repeated_spans": (q99_repeated_spans, Q99_SQL),
+    "q100_lm_quality": (q100_lm_quality, Q100_SQL),
 }

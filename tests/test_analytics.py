@@ -1076,3 +1076,48 @@ def test_repeated_spans_randomized_vs_twin(spark):
                      for r in T.repeated_spans(docs, k=8).collect()})
     assert outs[0] == expect
     assert outs[1] == expect
+
+
+def _bigram_lm_twin(rows, train_src="src0", scale=1_000_000):
+    """Pure-Python add-one bigram LM twin of analytics.text.bigram_lm_scores."""
+    from collections import Counter
+    toks = {d: t.strip().lower().split() for d, _s, t in rows}
+    cb, cu, vocab = Counter(), Counter(), set()
+    for d, s, _t in rows:
+        if s != train_src or len(toks[d]) < 2:
+            continue
+        vocab.update(toks[d])
+        for a, b in zip(toks[d], toks[d][1:]):
+            cb[(a, b)] += 1
+            cu[a] += 1
+    out = {}
+    for d, _s, _t in rows:
+        t = toks[d]
+        if len(t) < 2:
+            continue
+        liks = [((cb[(a, b)] + 1) * scale) // (cu[a] + len(vocab))
+                for a, b in zip(t, t[1:])]
+        out[d] = (len(liks), sum(liks) // len(liks))
+    return out
+
+
+def test_bigram_lm_scores_twin_and_ordering(spark):
+    """bigram_lm_scores == the pure-Python add-one LM twin, and the
+    semantics hold: a document made of trusted-subset phrases outscores
+    junk the LM never saw, single-token docs emit no row, and unseen
+    bigrams floor at scale DIV (cu + V) not zero (smoothing)."""
+    from akf_cdparser_spark.analytics import text as T
+    rows = [
+        ("t1", "src0", "the quick brown fox jumps over the lazy dog"),
+        ("t2", "src0", "the quick brown fox runs over the green hill"),
+        ("s1", "src1", "the quick brown fox jumps over the lazy dog"),
+        ("s2", "src1", "zzq wwk vvp qqm nnb zzq wwk"),
+        ("s3", "src1", "single"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    got = {r.doc_id: (r.n_bigrams, r.lm_score)
+           for r in T.bigram_lm_scores(docs).collect()}
+    assert got == _bigram_lm_twin(rows)
+    assert "s3" not in got                      # no bigrams, no row
+    assert got["s1"][1] > got["s2"][1]          # in-domain >> junk
+    assert got["s2"][1] > 0                     # add-one smoothing floor
