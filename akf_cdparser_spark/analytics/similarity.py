@@ -468,3 +468,96 @@ def cosine_topk_int8(embeddings: DataFrame, query_ids: list[int],
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def _idot(a, b):
+    """Exact 64-bit integer dot product of two int-code arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def cosine_topk_ivf_int8(embeddings: DataFrame, query_ids: list[int],
+                         k: int = 5, n_lists: int = IVF_N_LISTS,
+                         n_assign: int = IVF_N_ASSIGN,
+                         n_probe: int = IVF_N_PROBE,
+                         round_to: int = 4) -> DataFrame:
+    """IVF probe over int8-quantized codes — the two scale levers composed
+    (roadmap lever #7): the coarse quantizer prunes the scan to
+    ``n_probe/n_lists`` of the corpus (same float assignment as
+    ``cosine_topk_ivf``, computed once at build/probe time), and the scan
+    itself — the memory-bandwidth-bound part — reads 4x-smaller int8
+    codes and ranks with pure 64-bit integer dot products (the
+    ``cosine_topk_int8`` arithmetic; per-vector symmetric scales cancel
+    out of cosine exactly, floats only in the final sqrt/divide).
+
+    The inverted lists carry (list_id, q codes) — at 100 TB that is the
+    parked index format: centroid assignment happens once per vector at
+    build time, every probe streams codes, never float32 vectors. The
+    assignment and the quantization are both per-row projections off ONE
+    corpus scan (the codes are derived in the same select chain, no
+    self-join back to the corpus). Accuracy gate = recall vs the FLOAT
+    brute-force oracle, so quantization noise is inside the gate."""
+    cents = ivf_centroid_row(embeddings, n_lists)
+
+    def with_codes_and_lists(df, m, out_key):
+        base = (df.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("_v"))
+            .select("vec_id", "_v",
+                    F.array_max(F.transform(
+                        "_v", lambda x: F.abs(x))).alias("_s"))
+            .select("vec_id", "_v", "_s", _norm(F.col("_v")).alias("_nrm")))
+        q = F.when(F.col("_s") == 0.0,
+                   F.transform("_v", lambda x: F.lit(0))).otherwise(
+            F.transform("_v", lambda x: F.floor(x * 127.0 / F.col("_s"))
+                        .cast("int")))
+        return (base.join(F.broadcast(cents))
+                .select("vec_id", q.alias(out_key),
+                        F.slice(_list_scores(F.col("_v"), F.col("cents"),
+                                             norm_col=F.col("_nrm")),
+                                1, m).alias("_lists"))
+                .select("vec_id", out_key,
+                        F.explode(F.col("_lists.list_id")).alias("list_id")))
+
+    inv = with_codes_and_lists(embeddings, n_assign, "q")
+    queries = (with_codes_and_lists(
+        embeddings.filter(F.col("vec_id").isin(query_ids)), n_probe, "q_q")
+        .select(F.col("vec_id").alias("query_id"), "q_q", "list_id"))
+    cands = (inv.join(F.broadcast(queries), "list_id")
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "q_q", "vec_id", "q")
+             .dropDuplicates(["query_id", "vec_id"]))
+    scored = cands.select(
+        "query_id", "vec_id",
+        F.round(_idot("q_q", "q")
+                / (F.sqrt(_idot("q_q", "q_q")) * F.sqrt(_idot("q", "q"))),
+                round_to).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def ivf_int8_recall_vs_bruteforce(embeddings: DataFrame,
+                                  query_ids: list[int], k: int = 5,
+                                  n_lists: int = IVF_N_LISTS,
+                                  n_assign: int = IVF_N_ASSIGN,
+                                  n_probe: int = IVF_N_PROBE) -> DataFrame:
+    """Recall@k of the int8 IVF probe against the FLOAT brute-force oracle
+    — one gate covering both the IVF pruning loss and the int8
+    quantization loss (same contract as ``ivf_recall_vs_bruteforce``)."""
+    brute = (cosine_topk_bruteforce(embeddings, query_ids, k)
+             .select("query_id", "vec_id"))
+    ivf = (cosine_topk_ivf_int8(embeddings, query_ids, k, n_lists,
+                                n_assign, n_probe)
+           .select("query_id", F.col("vec_id").alias("ivf_vec_id")))
+    hits = brute.join(ivf, (brute.query_id == ivf.query_id)
+                      & (brute.vec_id == ivf.ivf_vec_id), "left_semi")
+    return (brute.groupBy("query_id").agg(F.count("*").alias("n_true"))
+            .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+                  "query_id", "left")
+            .select("query_id",
+                    F.round(F.coalesce(F.col("n_hit"), F.lit(0))
+                            / F.col("n_true"), 4).alias("recall")))

@@ -2467,7 +2467,8 @@ FROM labels l JOIN csizes c USING (cluster_id)
 # its corpus is the fixed 40-doc synthetic set)
 PINNED_SF01 = {"q29_lse_grouped", "q48_ann_recall", "q50_lse_coupled",
                "q65_ivf_recall", "q94_learn_bpe", "q96_kmeans_int8",
-               "q97_bpe_tokenize_corpus"}
+               "q97_bpe_tokenize_corpus",
+               "q101_ivf_int8_recall"}
 
 
 def q65_ivf_recall(spark, sf_dir):
@@ -3274,6 +3275,27 @@ FROM w GROUP BY doc_id
 Q99_SQL = _q99_sql()
 
 
+def q101_ivf_int8_recall(spark, sf_dir):
+    """Int8 IVF probe accuracy gate (roadmap lever #7 composed): recall@5
+    of the quantized-scan IVF path against the FLOAT brute-force oracle —
+    one gate covering the IVF pruning loss AND the int8 quantization
+    loss. Oracle = exact pinned recall vector from the numpy twin
+    (scripts/gen_pinned_oracles.q101_rows), valid at sf0.01 — plus the
+    semantic floor asserted in tests (mean >= 0.8, matching q65's)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_int8_recall_vs_bruteforce(
+        emb, [0, 7, 42, 99, 123], k=5)
+
+
+Q101_SQL = (
+    "SELECT CAST(query_id AS BIGINT) AS query_id,\n"
+    "       CAST(recall AS DOUBLE) AS recall\n"
+    "FROM (VALUES\n"
+    + ",\n".join(f"  ({q}, {r!r})" for q, r in _pinned.Q101_EXPECTED)
+    + "\n) AS t(query_id, recall)"
+)
+
+
 def q100_lm_quality(spark, sf_dir):
     """CCNet-style bigram-LM quality scoring: add-one-smoothed bigram LM
     trained on the trusted subset (source = 'src0'), every document scored
@@ -3417,4 +3439,5 @@ REGISTRY: dict[str, tuple] = {
     "q98_host_rank": (q98_host_rank, Q98_SQL),
     "q99_repeated_spans": (q99_repeated_spans, Q99_SQL),
     "q100_lm_quality": (q100_lm_quality, Q100_SQL),
+    "q101_ivf_int8_recall": (q101_ivf_int8_recall, Q101_SQL),
 }

@@ -165,6 +165,74 @@ def q65_rows(query_ids=(0, 7, 42, 99, 123), k=5, n_lists=16, n_assign=3,
     return rows
 
 
+def q101_rows(query_ids=(0, 7, 42, 99, 123), k=5, n_lists=16, n_assign=3,
+              n_probe=4) -> list[tuple[int, float]]:
+    """Numpy twin of the int8 IVF recall gate (analytics.similarity
+    cosine_topk_ivf_int8): the q65 coarse quantizer + candidate mask
+    verbatim (float assignment, 6 dp ccos), but candidates rank by the
+    INT8 cosine — floor(v*127/max|v|) codes, exact integer dot products,
+    sqrt/divide and 4 dp rounding at the end — against the FLOAT
+    brute-force top-k. Pinned AT sf0.01 only."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF001, "embeddings.parquet"))
+    vec_ids = t.column("vec_id").to_numpy()
+    emb = np.array([np.asarray(v, dtype=np.float64)
+                    for v in t.column("embedding").to_pylist()])
+    order = np.argsort(vec_ids)
+    vec_ids, emb = vec_ids[order], emb[order]
+    norms = np.sqrt((emb * emb).sum(axis=1))
+    n = len(emb)
+
+    s = np.abs(emb).max(axis=1)
+    q = np.zeros_like(emb, dtype=np.int64)
+    nz = s != 0
+    q[nz] = np.floor(emb[nz] * 127.0 / s[nz][:, None]).astype(np.int64)
+    qn2 = (q * q).sum(axis=1)
+
+    def topk_float(qid: int, cand_mask: np.ndarray) -> list[int]:
+        qi = int(np.searchsorted(vec_ids, qid))
+        mask = cand_mask.copy()
+        mask[qi] = False
+        idx = np.nonzero(mask)[0]
+        cos = (emb[idx] @ emb[qi]) / (norms[idx] * norms[qi])
+        cos = np.array([spark_round(c, 4) for c in cos])
+        sel = sorted(range(len(idx)), key=lambda j: (-cos[j], vec_ids[idx[j]]))
+        return [int(vec_ids[idx[j]]) for j in sel[:k]]
+
+    def topk_int8(qid: int, cand_mask: np.ndarray) -> list[int]:
+        qi = int(np.searchsorted(vec_ids, qid))
+        mask = cand_mask.copy()
+        mask[qi] = False
+        idx = np.nonzero(mask)[0]
+        cos = (q[idx] @ q[qi]) / (np.sqrt(qn2[qi]) * np.sqrt(qn2[idx]))
+        cos = np.array([spark_round(c, 4) for c in cos])
+        sel = sorted(range(len(idx)), key=lambda j: (-cos[j], vec_ids[idx[j]]))
+        return [int(vec_ids[idx[j]]) for j in sel[:k]]
+
+    key = sorted(range(n), key=lambda i: (
+        hashlib.md5(str(int(vec_ids[i])).encode()).hexdigest(), vec_ids[i]))
+    cents = emb[key[:n_lists]]
+    c_norms = np.sqrt((cents * cents).sum(axis=1))
+    ccos = (emb @ cents.T) / np.outer(norms, c_norms)
+    ccos = np.vectorize(lambda c: spark_round(c, 6))(ccos)
+
+    def top_lists(i: int, m: int) -> list[int]:
+        return sorted(range(n_lists), key=lambda l: (-ccos[i, l], l))[:m]
+
+    assign_sets = [set(top_lists(i, n_assign)) for i in range(n)]
+    all_mask = np.ones(n, dtype=bool)
+    rows = []
+    for qid in query_ids:
+        qi = int(np.searchsorted(vec_ids, qid))
+        probes = set(top_lists(qi, n_probe))
+        mask = np.array([bool(assign_sets[i] & probes) for i in range(n)])
+        true_k = topk_float(qid, all_mask)
+        ivf_k = topk_int8(qid, mask)
+        recall = spark_round(len(set(true_k) & set(ivf_k)) / len(true_k), 4)
+        rows.append((int(qid), recall))
+    return rows
+
 def q29_rows() -> list[tuple[str, int, int, int]]:
     """Sequential twin of the q29 streak grouping at sf0.01: the histogram
     comes from DuckDB running the SAME classed-elements SQL the (green) q28
@@ -340,11 +408,11 @@ def q94_rows(n_merges: int = 12) -> list[tuple[int, str, str, int]]:
 
 HEADER = '''"""GENERATED by scripts/gen_pinned_oracles.py — do not edit.
 
-Pinned expected tables for the q29/q47/q48/q50/q61-q63/q65/q94/q96/q97 oracles, computed
+Pinned expected tables for the q29/q47/q48/q50/q61-q63/q65/q94/q96/q97/q101 oracles, computed
 through sequential non-Spark twins (local kernel / DuckDB+walk / numpy LSH /
 numpy IVF / pure-Python media decoders). See the generator's docstring for
 the independence argument; tests/test_pinned_oracles.py is the drift gate.
-Q29/Q48/Q50/Q65/Q94/Q96/Q97 values are valid for the sf0.01 tables only.
+Q29/Q48/Q50/Q65/Q94/Q96/Q97/Q101 values are valid for the sf0.01 tables only.
 """
 
 '''
@@ -437,6 +505,7 @@ def main():
     q47 = q47_rows()
     q48 = q48_rows()
     q65 = q65_rows()
+    q101 = q101_rows()
     q29 = q29_rows()
     q50 = q50_rows()
     q61 = q61_rows()
@@ -464,6 +533,9 @@ def main():
         fh.write("]\n\nQ65_EXPECTED = [\n")
         for r in q65:
             fh.write(f"    {r!r},\n")
+        fh.write("]\n\nQ101_EXPECTED = [\n")
+        for r in q101:
+            fh.write(f"    {r!r},\n")
         fh.write("]\n\nQ61_EXPECTED = [\n")
         for r in q61:
             fh.write(f"    {r!r},\n")
@@ -488,6 +560,7 @@ def main():
           f"{len(q61)} q61, {len(q62)} q62, {len(q63)} q63 rows")
     print("q48:", q48)
     print("q65:", q65)
+    print("q101:", q101)
 
 
 if __name__ == "__main__":

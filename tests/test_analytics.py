@@ -1121,3 +1121,26 @@ def test_bigram_lm_scores_twin_and_ordering(spark):
     assert "s3" not in got                      # no bigrams, no row
     assert got["s1"][1] > got["s2"][1]          # in-domain >> junk
     assert got["s2"][1] > 0                     # add-one smoothing floor
+
+
+def test_ivf_int8_recall_gate_and_quantization_consistency(spark):
+    """The int8 IVF probe (q101) reaches the same mean recall floor as the
+    float IVF path on the sf0.01 embeddings, and its candidate PRUNING is
+    identical to the float path's (assignment stays float; only the scan
+    arithmetic is quantized) — so any recall delta is quantization noise,
+    never a different index."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = [0, 7, 42, 99, 123]
+    rows = similarity.ivf_int8_recall_vs_bruteforce(emb, qids, k=5).collect()
+    recalls = [r.recall for r in rows]
+    assert len(recalls) == 5
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    # exhaustive k: top-k == the ENTIRE candidate set, so set equality
+    # pins that both paths probe the exact same inverted lists
+    big = 10 ** 6
+    flt = {(r.query_id, r.vec_id)
+           for r in similarity.cosine_topk_ivf(emb, qids, k=big).collect()}
+    i8 = {(r.query_id, r.vec_id)
+          for r in similarity.cosine_topk_ivf_int8(emb, qids,
+                                                   k=big).collect()}
+    assert flt == i8 and len(flt) > 5 * len(qids)

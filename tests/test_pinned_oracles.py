@@ -81,3 +81,12 @@ def test_q96_pinned_matches_numpy_kmeans_twin():
 
 def test_q97_pinned_matches_python_tokenize_twin():
     assert gen.q97_rows() == pinned.Q97_EXPECTED
+
+
+def test_q101_pinned_matches_numpy_twin():
+    assert gen.q101_rows() == pinned.Q101_EXPECTED
+
+
+def test_q101_int8_recall_meets_semantic_gate():
+    vals = [r for _, r in pinned.Q101_EXPECTED]
+    assert sum(vals) / len(vals) >= 0.8, vals
