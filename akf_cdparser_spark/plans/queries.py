@@ -3275,6 +3275,54 @@ FROM w GROUP BY doc_id
 Q99_SQL = _q99_sql()
 
 
+def q102_unimax_mix(spark, sf_dir):
+    """UniMax epoch-capped training-mix allocation (Chung et al. 2023)
+    over per-source whitespace-token totals, budget = half the corpus,
+    cap = 3 epochs. Pure integer arithmetic via the closed form of the
+    smallest-first walk (division-free threshold test + DIV share +
+    tail-remainder — property-tested equal to the sequential walk on 20k
+    randomized instances); the oracle recomputes the identical closed
+    form relationally, value-gating ranks, thresholds and every
+    allocation."""
+    from ..analytics import mix
+    return mix.unimax_allocation(_t(spark, sf_dir, "documents"),
+                                 epoch_cap=3)
+
+
+Q102_SQL = r"""WITH counts AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT count(*) AS k, sum(n_tokens) // 2 AS b FROM counts),
+ranked AS (
+  SELECT source, n_tokens, k, b,
+         row_number() OVER (ORDER BY n_tokens, source) AS r,
+         sum(n_tokens * 3) OVER (ORDER BY n_tokens, source
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts CROSS JOIN tot),
+rr AS (
+  SELECT *, cum - n_tokens * 3 AS prev, k - r + 1 AS cnt,
+         (n_tokens * 3 * (k - r + 1)) > (b - (cum - n_tokens * 3)) AS over
+  FROM ranked),
+mrow AS (
+  SELECT min(r) AS m, arg_min(prev, r) AS prev_m, arg_min(cnt, r) AS cnt_m
+  FROM rr WHERE over),
+alloc AS (
+  SELECT rr.source, rr.n_tokens,
+         CASE WHEN m IS NULL OR r < m THEN n_tokens * 3
+              ELSE (b - prev_m) // cnt_m
+                   + CASE WHEN r - m >= cnt_m - (b - prev_m) % cnt_m
+                          THEN 1 ELSE 0 END
+         END AS alloc_tokens
+  FROM rr CROSS JOIN mrow)
+SELECT source, n_tokens,
+       CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+       CAST((alloc_tokens * 1000000) // n_tokens AS BIGINT) AS epochs_micro
+FROM alloc
+"""
+
+
 def q101_ivf_int8_recall(spark, sf_dir):
     """Int8 IVF probe accuracy gate (roadmap lever #7 composed): recall@5
     of the quantized-scan IVF path against the FLOAT brute-force oracle —
@@ -3440,4 +3488,5 @@ REGISTRY: dict[str, tuple] = {
     "q99_repeated_spans": (q99_repeated_spans, Q99_SQL),
     "q100_lm_quality": (q100_lm_quality, Q100_SQL),
     "q101_ivf_int8_recall": (q101_ivf_int8_recall, Q101_SQL),
+    "q102_unimax_mix": (q102_unimax_mix, Q102_SQL),
 }

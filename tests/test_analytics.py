@@ -1144,3 +1144,43 @@ def test_ivf_int8_recall_gate_and_quantization_consistency(spark):
           for r in similarity.cosine_topk_ivf_int8(emb, qids,
                                                    k=big).collect()}
     assert flt == i8 and len(flt) > 5 * len(qids)
+
+
+def _seq_unimax(counts, budget, cap):
+    """Sequential smallest-first UniMax walk (Chung et al. 2023), integer
+    quotas — the ground truth the closed form must reproduce."""
+    order = sorted(counts, key=lambda t: (t[1], t[0]))
+    rem, k, out = budget, len(order), {}
+    for i, (s, n) in enumerate(order):
+        a = min(cap * n, rem // (k - i))
+        out[s] = a
+        rem -= a
+    return out
+
+
+def test_unimax_allocation_matches_sequential_walk(spark):
+    """The relational closed form == the sequential UniMax walk on a
+    SKEWED mix (tiny sources hit the epoch cap, big ones split the rest
+    with a remainder tail) and on an all-capped mix (budget >= cap*total);
+    allocations exhaust exactly min(budget, cap*total)."""
+    from akf_cdparser_spark.analytics import mix
+    rows = []
+    sizes = {"tiny": 3, "small": 8, "mid": 120, "big": 400, "huge": 401}
+    for src, n_tok in sizes.items():
+        rows.append((f"{src}-doc", src, " ".join(f"w{j}" for j in range(n_tok))))
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    total = sum(sizes.values())
+
+    for budget in (total // 2, 5 * total, 7, 0):
+        got = {r.source: r.alloc_tokens
+               for r in mix.unimax_allocation(docs, budget=budget,
+                                              epoch_cap=3).collect()}
+        expect = _seq_unimax(list(sizes.items()), budget, 3)
+        assert got == expect, (budget, got, expect)
+        assert sum(got.values()) == min(budget, 3 * total)
+    # skewed default-budget case: caps bind for the tiny sources
+    got = {r.source: r.alloc_tokens
+           for r in mix.unimax_allocation(docs, epoch_cap=3).collect()}
+    expect = _seq_unimax(list(sizes.items()), total // 2, 3)
+    assert got == expect
+    assert got["tiny"] == 9 and got["small"] == 24   # capped region real
