@@ -571,3 +571,78 @@ def probe_minhash_index(spark, path: str, new_docs: DataFrame,
                     F.round(F.col("n_common")
                             / (F.col("n_new") + F.col("n_idx")
                                - F.col("n_common")), 6).alias("jaccard")))
+
+
+def cdc_chunk_stats(docs: DataFrame, k: int = 8, mask: int = 64,
+                    min_count: int = 2) -> DataFrame:
+    """Content-defined chunking + chunk-level exact dedup — the LBFS /
+    FastCDC-family storage primitive: cut each document where the
+    Rabin-Karp ``k``-gram hash of the lowercased text satisfies
+    ``h % mask == 0`` (average chunk ~``mask`` chars), so an insertion
+    shifts at most the two chunks around the edit while fixed-offset
+    blocking reshuffles everything after it. Chunks dedupe EXACTLY by
+    md5 across the corpus (multiplicity counted, within-doc included).
+
+    Cut rule (deterministic, oracle-reproducible): cut points are 0 plus
+    every gram START position p > 0 with ``h_p % mask == 0``; chunk i =
+    ``[cut_i, cut_{i+1})``, last chunk runs to end-of-doc; docs shorter
+    than ``k`` are one chunk. Output, one row per document:
+    ``n_chunks``, ``n_dup_chunks`` (chunks whose md5 occurs >=
+    ``min_count`` times corpus-wide) and ``dup_chunk_chars`` (characters
+    those chunks cover — 1 - dup/total is the storage-dedup ratio).
+
+    Scale shape: cuts and chunk substrings are per-row higher-order
+    functions (no shuffle); the dedup plane explodes O(chars/mask) chunk
+    rows, one map-side-combinable groupBy on the chunk hash, one
+    equi-join back. The shuffle carries (md5, doc_id, length) — chunk
+    TEXT never shuffles (hash projected before the join)."""
+    base = docs.select("doc_id", F.lower(F.col("text")).alias("_s"))
+    codes = base.select(
+        "doc_id", "_s",
+        F.transform(F.split(F.col("_s"), ""),
+                    lambda c: F.ascii(c)).alias("_codes"))
+    gram_hash = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_codes")) - k),
+        lambda i: F.aggregate(
+            F.slice(F.col("_codes"), i + 1, k),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 257 + c) % 1_000_000_007))
+    hs = F.when(F.length("_s") >= k, gram_hash) \
+        .otherwise(F.array().cast("array<long>"))
+    with_cuts = (codes.select("doc_id", "_s", hs.alias("_hs"))
+                 .select("doc_id", "_s", F.concat(
+                     F.array(F.lit(0)),
+                     F.filter(F.sequence(F.lit(0),
+                                         F.greatest(F.size("_hs") - 1,
+                                                    F.lit(0))),
+                              lambda p: (p > 0)
+                              & (F.element_at(F.col("_hs"), p + 1)
+                                 % mask == 0)),
+                     F.array(F.length("_s"))).alias("_cuts")))
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), F.size("_cuts") - 1),
+        lambda j: F.struct(
+            F.col("_s").substr(
+                F.element_at(F.col("_cuts"), j) + 1,
+                F.element_at(F.col("_cuts"), j + 1)
+                - F.element_at(F.col("_cuts"), j)).alias("chunk")))
+    # zero-length tail when the last cut == doc length (a boundary at the
+    # final gram start with k == remaining chars can't happen for k >= 1,
+    # but a cut at position n would): filter empties for a clean contract
+    ch = (with_cuts.select(
+        "doc_id", F.explode(chunk_structs).alias("_c"))
+        .select("doc_id", F.col("_c.chunk").alias("chunk"))
+        .filter(F.length("chunk") > 0)
+        .select("doc_id", F.md5("chunk").alias("ch_h"),
+                F.length("chunk").alias("ch_len")))
+    dup = (ch.groupBy("ch_h").agg(F.count(F.lit(1)).alias("_c"))
+           .filter(F.col("_c") >= min_count).select(
+               "ch_h", F.lit(True).alias("_dup")))
+    return (ch.join(dup, "ch_h", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_chunks"),
+                 F.sum(F.when(F.col("_dup"), 1).otherwise(0))
+                 .cast("int").alias("n_dup_chunks"),
+                 F.sum(F.when(F.col("_dup"), F.col("ch_len"))
+                       .otherwise(F.lit(0)))
+                 .cast("int").alias("dup_chunk_chars")))

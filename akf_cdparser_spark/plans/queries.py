@@ -3323,6 +3323,54 @@ FROM alloc
 """
 
 
+def q103_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking + chunk-level exact dedup (LBFS/FastCDC
+    family): Rabin-Karp boundary rule h % 64 == 0 over char 8-grams (the
+    q73 polynomial), chunks deduped by md5 corpus-wide. The oracle
+    recomputes the polynomial (HUGEINT), the cut rule, the chunk
+    substrings via a lead() window, and the multiplicity gate — value-
+    hashing boundary placement AND the dedup accounting in one hash."""
+    return dedup.cdc_chunk_stats(_t(spark, sf_dir, "documents"))
+
+
+Q103_SQL = r"""WITH s AS (SELECT doc_id, lower(text) AS t FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS p,
+         CAST((  ascii(substr(t, i,     1))::HUGEINT * 74051159531521793
+               + ascii(substr(t, i + 1, 1))::HUGEINT * 288136807515649
+               + ascii(substr(t, i + 2, 1))::HUGEINT * 1121154893057
+               + ascii(substr(t, i + 3, 1))::HUGEINT * 4362470401
+               + ascii(substr(t, i + 4, 1))::HUGEINT * 16974593
+               + ascii(substr(t, i + 5, 1))::HUGEINT * 66049
+               + ascii(substr(t, i + 6, 1))::HUGEINT * 257
+               + ascii(substr(t, i + 7, 1))::HUGEINT
+               ) % 1000000007 AS BIGINT) AS h
+  FROM s, UNNEST(range(1, length(t) - 6)) AS u(i)
+  WHERE length(t) >= 8),
+cuts AS (
+  SELECT doc_id, p FROM g WHERE p > 0 AND h % 64 = 0
+  UNION ALL SELECT doc_id, 0 FROM s),
+ch0 AS (
+  SELECT c.doc_id,
+         substr(s.t, c.p + 1,
+                coalesce(lead(c.p) OVER (PARTITION BY c.doc_id
+                                         ORDER BY c.p),
+                         length(s.t)) - c.p) AS chunk
+  FROM cuts c JOIN s USING (doc_id)),
+ch AS (SELECT doc_id, md5(chunk) AS ch_h, length(chunk) AS ch_len
+       FROM ch0 WHERE length(chunk) > 0),
+dup AS (SELECT ch_h FROM ch GROUP BY ch_h HAVING count(*) >= 2)
+SELECT ch.doc_id,
+       CAST(count(*) AS INT) AS n_chunks,
+       CAST(sum(CASE WHEN d.ch_h IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+         AS n_dup_chunks,
+       CAST(sum(CASE WHEN d.ch_h IS NOT NULL THEN ch_len ELSE 0 END)
+            AS INT) AS dup_chunk_chars
+FROM ch LEFT JOIN dup d ON ch.ch_h = d.ch_h
+GROUP BY ch.doc_id
+"""
+
+
 def q101_ivf_int8_recall(spark, sf_dir):
     """Int8 IVF probe accuracy gate (roadmap lever #7 composed): recall@5
     of the quantized-scan IVF path against the FLOAT brute-force oracle —
@@ -3489,4 +3537,5 @@ REGISTRY: dict[str, tuple] = {
     "q100_lm_quality": (q100_lm_quality, Q100_SQL),
     "q101_ivf_int8_recall": (q101_ivf_int8_recall, Q101_SQL),
     "q102_unimax_mix": (q102_unimax_mix, Q102_SQL),
+    "q103_cdc_chunks": (q103_cdc_chunks, Q103_SQL),
 }
