@@ -217,6 +217,60 @@ def bigram_lm_scores(docs: DataFrame, train: Column | None = None,
                     F.expr("_s div _n").alias("lm_score")))
 
 
+def dsir_importance(docs: DataFrame, train: Column | None = None,
+                    n_buckets: int = 4096,
+                    scale: int = 1_000_000) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weighting (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): every
+    document's bigrams hash into ``n_buckets`` feature buckets (feature
+    hashing is DSIR's signature move — the model is over buckets, not an
+    unbounded vocabulary), and each document scores by how much more
+    often its buckets appear in the TARGET distribution (``train`` rows,
+    default ``source = 'src0'``) than in the raw corpus.
+
+    Deviation from the paper, for engine-exact oracles: the paper sums
+    log((p_target+eps)/(p_raw+eps)) per feature; ``ln`` is not
+    correctly-rounded-guaranteed across engines, so this variant sums the
+    fixed-point RATIO ``((c_target(f)+1) * scale) DIV (c_raw(f)+1)`` and
+    divides by the feature count — monotone in the same per-feature
+    evidence, integer end-to-end, value-hashable. The global
+    N_target/N_raw normalizer is a document-independent constant and is
+    omitted (rank-preserving). Output: (doc_id, n_feats, dsir_score);
+    higher = more target-like.
+
+    Scale shape: one corpus scan feeds the feature stream; target and raw
+    bucket counts are two map-side-combinable groupBys with at most
+    ``n_buckets`` output rows each — broadcastable at ANY corpus size
+    (the point of hashing); scoring is a broadcast join + one groupBy."""
+    if train is None:
+        train = F.col("source") == "src0"
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = (docs.select("doc_id", train.alias("_train"), toks.alias("_t"))
+            .filter(F.size("_t") >= 2))
+    n = F.size("_t")
+    feat = (base.select(
+        "doc_id", "_train",
+        F.explode(F.zip_with(
+            F.slice(F.col("_t"), 1, n - 1), F.slice(F.col("_t"), 2, n - 1),
+            lambda a, b: F.concat(a, F.lit("\u001f"), b))).alias("_bg"))
+        .select("doc_id", "_train",
+                (F.conv(F.substring(F.md5("_bg"), 1, 8), 16, 10)
+                 .cast("long") % n_buckets).alias("f")))
+    ct = (feat.filter(F.col("_train")).groupBy("f")
+          .agg(F.count(F.lit(1)).alias("ct")))
+    cr = feat.groupBy("f").agg(F.count(F.lit(1)).alias("cr"))
+    lik = (feat.join(F.broadcast(ct), "f", "left")
+           .join(F.broadcast(cr), "f")
+           .select("doc_id", F.expr(
+               f"((coalesce(ct, 0) + 1) * {scale}L) div (cr + 1)")
+               .alias("_l")))
+    return (lik.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_n"), F.sum("_l").alias("_s"))
+            .select("doc_id",
+                    F.col("_n").cast("int").alias("n_feats"),
+                    F.expr("_s div _n").alias("dsir_score")))
+
+
 # The public GPT-2 pre-tokenizer split pattern minus its `\s+(?!\S)`
 # lookahead branch: RE2 (the DuckDB oracle engine) has no lookahead, and
 # dropping it only changes how runs of trailing whitespace group — no

@@ -3371,6 +3371,41 @@ GROUP BY ch.doc_id
 """
 
 
+def q104_dsir_weights(spark, sf_dir):
+    """DSIR-style hashed-bigram importance weights (Xie et al. 2023):
+    4096-bucket feature hashing (md5-derived, engine-portable), target =
+    source 'src0', raw = whole corpus; per-doc mean fixed-point
+    target/raw count ratio (the documented ln-free variant — see the
+    operator docstring). Oracle recomputes bucket hashing, both count
+    tables and the integer divisions, value-hashing every weight."""
+    return text.dsir_importance(_t(spark, sf_dir, "documents"))
+
+
+Q104_SQL = r"""WITH base AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2),
+feat AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(t[i] || chr(31) || t[i + 1]), 1, 8)
+              AS BIGINT) % 4096 AS f
+  FROM base, UNNEST(range(1, len(t))) AS u(i)),
+ct AS (SELECT f, count(*) AS ct FROM feat WHERE source = 'src0' GROUP BY f),
+cr AS (SELECT f, count(*) AS cr FROM feat GROUP BY f),
+lik AS (
+  SELECT b.doc_id,
+         ((coalesce(ct.ct, 0) + 1) * 1000000) // (cr.cr + 1) AS l
+  FROM feat b
+  LEFT JOIN ct ON b.f = ct.f
+  JOIN cr ON b.f = cr.f)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_feats,
+       CAST(sum(l) // count(*) AS BIGINT) AS dsir_score
+FROM lik GROUP BY doc_id
+"""
+
+
 def q101_ivf_int8_recall(spark, sf_dir):
     """Int8 IVF probe accuracy gate (roadmap lever #7 composed): recall@5
     of the quantized-scan IVF path against the FLOAT brute-force oracle —
@@ -3538,4 +3573,5 @@ REGISTRY: dict[str, tuple] = {
     "q101_ivf_int8_recall": (q101_ivf_int8_recall, Q101_SQL),
     "q102_unimax_mix": (q102_unimax_mix, Q102_SQL),
     "q103_cdc_chunks": (q103_cdc_chunks, Q103_SQL),
+    "q104_dsir_weights": (q104_dsir_weights, Q104_SQL),
 }

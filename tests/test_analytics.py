@@ -1235,3 +1235,57 @@ def test_cdc_chunks_twin_and_shift_resilience(spark):
     assert n_dup >= n_chunks - 2              # only the edited head differs
     assert dup_chars > 0
     assert got["uniq"][1] == 0
+
+
+def _dsir_twin(rows, train_src="src0", n_buckets=4096, scale=1_000_000):
+    """Pure-Python twin of analytics.text.dsir_importance."""
+    import hashlib
+    from collections import Counter
+
+    def feats(text):
+        t = text.strip().lower().split()
+        out = []
+        for a, b in zip(t, t[1:]):
+            h = int(hashlib.md5((a + "\x1f" + b).encode()).hexdigest()[:8],
+                    16)
+            out.append(h % n_buckets)
+        return out
+
+    ct, cr, per_doc = Counter(), Counter(), {}
+    for d, s, text in rows:
+        fs = feats(text)
+        if len(fs) == 0:
+            continue
+        per_doc[d] = fs
+        cr.update(fs)
+        if s == train_src:
+            ct.update(fs)
+    out = {}
+    for d, fs in per_doc.items():
+        liks = [((ct[f] + 1) * scale) // (cr[f] + 1) for f in fs]
+        out[d] = (len(liks), sum(liks) // len(liks))
+    return out
+
+
+def test_dsir_importance_twin_and_contrast(spark):
+    """dsir_importance == the pure-Python hashed-feature twin, and the
+    contrastive semantics hold: a raw-corpus doc phrased like the target
+    subset outscores one phrased like the (non-target) bulk — the axis
+    q100's absolute LM likelihood does not give you."""
+    from akf_cdparser_spark.analytics import text as T
+    target_phrase = "curated encyclopedic prose with careful editing"
+    bulk_phrase = "buy cheap pills now click here winner prize"
+    rows = [
+        ("t1", "src0", target_phrase + " about history and science"),
+        ("t2", "src0", target_phrase + " covering art and culture"),
+        ("b1", "src1", bulk_phrase + " limited offer act fast today"),
+        ("b2", "src1", bulk_phrase + " free money guaranteed results"),
+        ("x_target_like", "src1", target_phrase + " regarding geography"),
+        ("x_bulk_like", "src2", bulk_phrase + " unsubscribe link below"),
+    ]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id string, source string, text string")
+    got = {r.doc_id: (r.n_feats, r.dsir_score)
+           for r in T.dsir_importance(docs).collect()}
+    assert got == _dsir_twin(rows)
+    assert got["x_target_like"][1] > got["x_bulk_like"][1]
