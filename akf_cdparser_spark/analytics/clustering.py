@@ -82,3 +82,51 @@ def kmeans_int8(embeddings: DataFrame, k: int = 8,
                 int(r.s) // int(r.n)
         cents = [(cid, by_cid.get(cid, c)) for cid, c in cents]
     return _assign(codes, cents).select("vec_id", "cluster_id", "dist")
+
+
+def semdedup(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
+             threshold: float = 0.4, round_to: int = 4) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embeddings,
+    then inside each cluster drop near-semantic-duplicates — for every
+    pair with cosine >= ``threshold``, the member FARTHER from the
+    centroid survives (the paper's keep-low-centroid-similarity rule:
+    retain the most diverse representative). Clustering is the
+    fixed-point int8 k-means (q96) and cosines are the int8 4-dp scan
+    (q90), so the whole verdict is engine-exact: a vector is removed iff
+    some same-cluster neighbor has cosine >= threshold AND strictly wins
+    the (dist DESC, vec_id ASC) keeper order.
+
+    Returns (vec_id, cluster_id, dist, is_kept) for every vector.
+
+    Scale shape: the pair scan is an equi-join on cluster_id — pairwise
+    work bounded per cluster, which is exactly SemDeDup's own trade (the
+    paper runs k ~ sqrt(N) clusters so within-cluster pair counts stay
+    ~N); the removal rule is per-pair local (no connected components, no
+    sequential sweep), one semi-join back."""
+    assigned = kmeans_int8(embeddings, k=k, n_iter=n_iter)
+    codes = _quantize_arrays(embeddings)
+    x = assigned.join(codes, "vec_id")
+    a, b = x.alias("a"), x.alias("b")
+    cos = F.round(
+        F.aggregate(F.zip_with(F.col("a.q"), F.col("b.q"),
+                               lambda p, q: (p * q).cast("long")),
+                    F.lit(0).cast("long"), lambda acc, v: acc + v)
+        / (F.sqrt(F.aggregate(F.transform(
+            F.col("a.q"), lambda p: (p * p).cast("long")),
+            F.lit(0).cast("long"), lambda acc, v: acc + v))
+           * F.sqrt(F.aggregate(F.transform(
+               F.col("b.q"), lambda p: (p * p).cast("long")),
+               F.lit(0).cast("long"), lambda acc, v: acc + v))),
+        round_to)
+    beats = ((F.col("b.dist") > F.col("a.dist"))
+             | ((F.col("b.dist") == F.col("a.dist"))
+                & (F.col("b.vec_id") < F.col("a.vec_id"))))
+    removed = (a.join(b, (F.col("a.cluster_id") == F.col("b.cluster_id"))
+                      & (F.col("a.vec_id") != F.col("b.vec_id")))
+               .filter((cos >= threshold) & beats)
+               .select(F.col("a.vec_id").alias("vec_id")).distinct()
+               .withColumn("_rm", F.lit(True)))
+    return (assigned.join(removed, "vec_id", "left")
+            .select("vec_id", "cluster_id", "dist",
+                    F.coalesce(~F.col("_rm"), F.lit(True)).alias("is_kept")))

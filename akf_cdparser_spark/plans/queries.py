@@ -2468,7 +2468,8 @@ FROM labels l JOIN csizes c USING (cluster_id)
 PINNED_SF01 = {"q29_lse_grouped", "q48_ann_recall", "q50_lse_coupled",
                "q65_ivf_recall", "q94_learn_bpe", "q96_kmeans_int8",
                "q97_bpe_tokenize_corpus",
-               "q101_ivf_int8_recall"}
+               "q101_ivf_int8_recall",
+               "q105_semdedup"}
 
 
 def q65_ivf_recall(spark, sf_dir):
@@ -3406,6 +3407,41 @@ FROM lik GROUP BY doc_id
 """
 
 
+def q105_semdedup(spark, sf_dir):
+    """SemDeDup per-cluster summary: fixed-point int8 k-means (q96) +
+    within-cluster int8-cosine pruning with the paper's keep-farthest-
+    from-centroid rule. Columns carry member/removed counts plus vec_id
+    checksums of both partitions, so the hash gates the exact removal
+    SET, not just its size. Oracle = pinned numpy twin
+    (gen_pinned_oracles.q105_rows), valid at sf0.01."""
+    from ..analytics.clustering import semdedup
+    out = semdedup(_t(spark, sf_dir, "embeddings"))
+    return (out.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_members"),
+                 F.sum(F.when(~F.col("is_kept"), 1).otherwise(0))
+                 .cast("int").alias("n_removed"),
+                 F.sum(F.when(~F.col("is_kept"), F.col("vec_id"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("removed_vec_sum"),
+                 F.sum(F.when(F.col("is_kept"), F.col("vec_id"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("kept_vec_sum")))
+
+
+Q105_SQL = (
+    "SELECT CAST(cluster_id AS INT) AS cluster_id,\n"
+    "       CAST(n_members AS INT) AS n_members,\n"
+    "       CAST(n_removed AS INT) AS n_removed,\n"
+    "       CAST(removed_vec_sum AS BIGINT) AS removed_vec_sum,\n"
+    "       CAST(kept_vec_sum AS BIGINT) AS kept_vec_sum\n"
+    "FROM (VALUES\n"
+    + ",\n".join(f"  ({c}, {n}, {r}, {rs}, {ks})"
+                 for c, n, r, rs, ks in _pinned.Q105_EXPECTED)
+    + "\n) AS t(cluster_id, n_members, n_removed,"
+    " removed_vec_sum, kept_vec_sum)"
+)
+
+
 def q101_ivf_int8_recall(spark, sf_dir):
     """Int8 IVF probe accuracy gate (roadmap lever #7 composed): recall@5
     of the quantized-scan IVF path against the FLOAT brute-force oracle —
@@ -3574,4 +3610,5 @@ REGISTRY: dict[str, tuple] = {
     "q102_unimax_mix": (q102_unimax_mix, Q102_SQL),
     "q103_cdc_chunks": (q103_cdc_chunks, Q103_SQL),
     "q104_dsir_weights": (q104_dsir_weights, Q104_SQL),
+    "q105_semdedup": (q105_semdedup, Q105_SQL),
 }

@@ -233,6 +233,55 @@ def q101_rows(query_ids=(0, 7, 42, 99, 123), k=5, n_lists=16, n_assign=3,
         rows.append((int(qid), recall))
     return rows
 
+def q105_rows(k=8, n_iter=3, threshold=0.4) -> list[tuple[int, int, int, int, int]]:
+    """Twin of analytics.clustering.semdedup rolled up per cluster: the
+    q96 kmeans twin provides (vec_id, cluster_id, dist); within each
+    cluster, int8 cosines (4 dp, spark_round) mark pairs >= threshold and
+    the (dist DESC, vec_id ASC) keeper order removes the centroid-closer
+    member. Rows: (cluster_id, n_members, n_removed, removed_vec_sum,
+    kept_vec_sum). Pinned AT sf0.01 only."""
+    import pyarrow.parquet as pq
+
+    base = q96_rows(k=k, n_iter=n_iter)  # (vec_id, cluster_id, dist)
+    t = pq.read_table(os.path.join(SF001, "embeddings.parquet"))
+    vec_ids = t.column("vec_id").to_numpy()
+    emb = np.array([np.asarray(v, dtype=np.float64)
+                    for v in t.column("embedding").to_pylist()])
+    order = np.argsort(vec_ids)
+    vec_ids, emb = vec_ids[order], emb[order]
+    s = np.abs(emb).max(axis=1)
+    q = np.zeros_like(emb, dtype=np.int64)
+    nz = s != 0
+    q[nz] = np.floor(emb[nz] * 127.0 / s[nz][:, None]).astype(np.int64)
+    qn2 = (q * q).sum(axis=1)
+    pos = {int(v): i for i, v in enumerate(vec_ids)}
+
+    by_cid: dict[int, list[tuple[int, int]]] = {}
+    for vid, cid, dist in base:
+        by_cid.setdefault(int(cid), []).append((int(vid), int(dist)))
+    rows = []
+    for cid in sorted(by_cid):
+        members = by_cid[cid]
+        removed = set()
+        for vid_a, dist_a in members:
+            ia = pos[vid_a]
+            for vid_b, dist_b in members:
+                if vid_b == vid_a:
+                    continue
+                ib = pos[vid_b]
+                cos = spark_round(
+                    float(q[ia] @ q[ib])
+                    / (np.sqrt(qn2[ia]) * np.sqrt(qn2[ib])), 4)
+                if cos >= threshold and (
+                        dist_b > dist_a
+                        or (dist_b == dist_a and vid_b < vid_a)):
+                    removed.add(vid_a)
+                    break
+        rows.append((cid, len(members), len(removed),
+                     sum(removed),
+                     sum(v for v, _ in members if v not in removed)))
+    return rows
+
 def q29_rows() -> list[tuple[str, int, int, int]]:
     """Sequential twin of the q29 streak grouping at sf0.01: the histogram
     comes from DuckDB running the SAME classed-elements SQL the (green) q28
@@ -408,11 +457,11 @@ def q94_rows(n_merges: int = 12) -> list[tuple[int, str, str, int]]:
 
 HEADER = '''"""GENERATED by scripts/gen_pinned_oracles.py — do not edit.
 
-Pinned expected tables for the q29/q47/q48/q50/q61-q63/q65/q94/q96/q97/q101 oracles, computed
+Pinned expected tables for the q29/q47/q48/q50/q61-q63/q65/q94/q96/q97/q101/q105 oracles, computed
 through sequential non-Spark twins (local kernel / DuckDB+walk / numpy LSH /
 numpy IVF / pure-Python media decoders). See the generator's docstring for
 the independence argument; tests/test_pinned_oracles.py is the drift gate.
-Q29/Q48/Q50/Q65/Q94/Q96/Q97/Q101 values are valid for the sf0.01 tables only.
+Q29/Q48/Q50/Q65/Q94/Q96/Q97/Q101/Q105 values are valid for the sf0.01 tables only.
 """
 
 '''
@@ -506,6 +555,7 @@ def main():
     q48 = q48_rows()
     q65 = q65_rows()
     q101 = q101_rows()
+    q105 = q105_rows()
     q29 = q29_rows()
     q50 = q50_rows()
     q61 = q61_rows()
@@ -536,6 +586,9 @@ def main():
         fh.write("]\n\nQ101_EXPECTED = [\n")
         for r in q101:
             fh.write(f"    {r!r},\n")
+        fh.write("]\n\nQ105_EXPECTED = [\n")
+        for r in q105:
+            fh.write(f"    {r!r},\n")
         fh.write("]\n\nQ61_EXPECTED = [\n")
         for r in q61:
             fh.write(f"    {r!r},\n")
@@ -561,6 +614,7 @@ def main():
     print("q48:", q48)
     print("q65:", q65)
     print("q101:", q101)
+    print("q105:", q105)
 
 
 if __name__ == "__main__":

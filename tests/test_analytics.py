@@ -1289,3 +1289,30 @@ def test_dsir_importance_twin_and_contrast(spark):
            for r in T.dsir_importance(docs).collect()}
     assert got == _dsir_twin(rows)
     assert got["x_target_like"][1] > got["x_bulk_like"][1]
+
+
+def test_semdedup_planted_near_duplicate_pair(spark):
+    """A planted near-identical embedding pair must land in one cluster
+    with the centroid-CLOSER member removed and the farther one kept (the
+    SemDeDup diversity rule); a far-off singleton survives untouched."""
+    from akf_cdparser_spark.analytics.clustering import semdedup
+    base = [1.0, 0.0, 0.5, -0.25]
+    rows = [
+        (0, [v * 2.0 for v in base]),          # anchor (shapes centroid)
+        (1, [v * 2.0 + 0.01 for v in base]),   # near-dup of 0
+        (2, [v * 1.9 for v in base]),          # same direction, closer in
+        (3, [-5.0, 4.0, -3.0, 2.0]),           # unrelated singleton
+    ]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in semdedup(docs, k=2, n_iter=2,
+                                         threshold=0.95).collect()}
+    same = {got[0].cluster_id, got[1].cluster_id, got[2].cluster_id}
+    assert len(same) == 1                    # colinear trio clusters as one
+    kept = [v for v in (0, 1, 2) if got[v].is_kept]
+    removed = [v for v in (0, 1, 2) if not got[v].is_kept]
+    assert removed, "cosine ~1 pairs must trigger removals"
+    # the survivor of the trio is the max-dist member; every removed
+    # member is beaten by a kept (or farther) one by construction
+    max_dist = max(got[v].dist for v in (0, 1, 2))
+    assert any(got[v].dist == max_dist for v in kept)
+    assert got[3].is_kept

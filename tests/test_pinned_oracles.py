@@ -90,3 +90,13 @@ def test_q101_pinned_matches_numpy_twin():
 def test_q101_int8_recall_meets_semantic_gate():
     vals = [r for _, r in pinned.Q101_EXPECTED]
     assert sum(vals) / len(vals) >= 0.8, vals
+
+
+def test_q105_pinned_matches_numpy_twin():
+    assert gen.q105_rows() == pinned.Q105_EXPECTED
+
+
+def test_q105_semdedup_removes_something_but_not_everything():
+    n = sum(m for _, m, _, _, _ in pinned.Q105_EXPECTED)
+    r = sum(x for _, _, x, _, _ in pinned.Q105_EXPECTED)
+    assert 0 < r < n // 4, (r, n)
