@@ -646,3 +646,26 @@ def cdc_chunk_stats(docs: DataFrame, k: int = 8, mask: int = 64,
                  F.sum(F.when(F.col("_dup"), F.col("ch_len"))
                        .otherwise(F.lit(0)))
                  .cast("int").alias("dup_chunk_chars")))
+
+
+def quality_canonical(clusters: DataFrame, quality: DataFrame) -> DataFrame:
+    """Quality-aware canonical selection — the last step of a production
+    dedup pass: instead of keeping each duplicate cluster's min-id member
+    (``dup_clusters``' is_canonical), keep its BEST member by a
+    deterministic quality order: quality_ok first, then more tokens, then
+    smallest doc_id (total order, engine-portable). Input: the
+    ``dup_clusters`` output and a ``quality_scores``-shaped frame.
+    Output: (doc_id, cluster_id, cluster_size, n_tokens, is_kept) with
+    exactly one kept row per cluster.
+
+    Scale shape: one equi-join + a window partitioned by cluster_id —
+    partitions are duplicate clusters (bounded, skew-handled by AQE),
+    never the corpus."""
+    j = clusters.join(quality.select("doc_id", "quality_ok", "n_tokens"),
+                      "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_ok"), F.desc("n_tokens"), F.asc("doc_id"))
+    return (j.withColumn("is_kept", F.row_number().over(w) == 1)
+            .select("doc_id", "cluster_id",
+                    F.col("cluster_size").cast("long").alias("cluster_size"),
+                    "n_tokens", "is_kept"))

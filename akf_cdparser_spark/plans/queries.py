@@ -3442,6 +3442,42 @@ Q105_SQL = (
 )
 
 
+def q106_quality_canonical(spark, sf_dir):
+    """Quality-aware duplicate-cluster canonical selection: the q49
+    clusters re-resolved with the production keeper rule — best
+    (quality_ok, n_tokens, -doc_id) member survives instead of min-id.
+    Oracle splices the q49 recursive-CTE component chain with the q21
+    quality expressions and the same window order, value-hashing the
+    keeper choice for every cluster."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5,
+                                      max_doc_freq=None)
+    return dedup.quality_canonical(dedup.dup_clusters(pairs),
+                                   text.quality_scores(docs))
+
+
+_Q49_HEAD = Q49_SQL[:Q49_SQL.rindex("SELECT l.doc_id")].rstrip()
+Q106_SQL = _Q49_HEAD + r""",
+q AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         (len(regexp_split_to_array(trim(text), '\s+')) >= 5
+          AND length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+              / greatest(length(text), 1) < 0.3) AS quality_ok
+  FROM documents),
+ranked AS (
+  SELECT l.doc_id, l.cluster_id, c.cluster_size, q.n_tokens,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY q.quality_ok DESC, q.n_tokens DESC,
+                                     l.doc_id ASC) AS rn
+  FROM labels l JOIN csizes c USING (cluster_id)
+  JOIN q ON q.doc_id = l.doc_id)
+SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       n_tokens, rn = 1 AS is_kept
+FROM ranked
+"""
+
+
 def q101_ivf_int8_recall(spark, sf_dir):
     """Int8 IVF probe accuracy gate (roadmap lever #7 composed): recall@5
     of the quantized-scan IVF path against the FLOAT brute-force oracle —
@@ -3611,4 +3647,5 @@ REGISTRY: dict[str, tuple] = {
     "q103_cdc_chunks": (q103_cdc_chunks, Q103_SQL),
     "q104_dsir_weights": (q104_dsir_weights, Q104_SQL),
     "q105_semdedup": (q105_semdedup, Q105_SQL),
+    "q106_quality_canonical": (q106_quality_canonical, Q106_SQL),
 }

@@ -1316,3 +1316,24 @@ def test_semdedup_planted_near_duplicate_pair(spark):
     max_dist = max(got[v].dist for v in (0, 1, 2))
     assert any(got[v].dist == max_dist for v in kept)
     assert got[3].is_kept
+
+
+def test_quality_canonical_prefers_quality_over_min_id(spark):
+    """The keeper rule must override min-id: in a cluster where the
+    LOWEST doc_id member fails the quality gate, a higher-id passing
+    member is kept; within equal quality_ok, more tokens win; exactly
+    one keeper per cluster."""
+    from akf_cdparser_spark.analytics import text as T
+    long_a = BASE                                 # good quality
+    junk = ".,;:!? " * 12 + BASE                  # punct_ratio >= 0.3
+    rows = [("a0", junk), ("a1", long_a), ("a2", long_a + " extra words")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3,
+                                      max_doc_freq=None)
+    out = dedup.quality_canonical(dedup.dup_clusters(pairs),
+                                  T.quality_scores(docs)).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len({r.cluster_id for r in out}) == 1       # one cluster
+    kept = [r.doc_id for r in out if r.is_kept]
+    assert kept == ["a2"]            # passes gate AND has the most tokens
+    assert not by_id["a0"].is_kept   # min-id member loses on quality
