@@ -867,3 +867,36 @@ def lse_grouped(docs: DataFrame, n_sectors: int = 10,
         return pd.DataFrame(rows, columns=cols)
 
     return hist.groupBy("token_class").applyInPandas(walk, schema)
+
+
+def write_text_index(docs: DataFrame, path: str) -> None:
+    """Persist an inverted keyword index: one (token, doc_id) posting per
+    distinct whitespace token per document, written
+    ``partitionBy(tkp)`` where ``tkp`` is the token's first byte — so a
+    probe for a handful of terms dynamically prunes to the partitions
+    holding those terms' postings instead of scanning the index (the q93 /
+    write_ivf_index build-once/probe-many contract, for keyword search)."""
+    postings = (docs.select(
+        "doc_id", F.explode(F.array_distinct(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")))
+        .alias("token"))
+        .filter(F.length("token") > 0)
+        .withColumn("tkp", F.substring("token", 1, 1)))
+    postings.write.partitionBy("tkp").mode("overwrite").parquet(path)
+
+
+def keyword_search_index(spark, path: str, terms: list[str]) -> DataFrame:
+    """AND-semantics keyword search against a persisted inverted index:
+    documents containing EVERY term. The term filter includes the
+    partition column, so the scan reads only the matching ``tkp``
+    partitions (partition pruning — probes touch O(terms) partitions at
+    any index size); the match is one groupBy counting distinct terms
+    hit. Returns (doc_id, n_terms_matched) for full matches only."""
+    want = sorted(set(t.strip().lower() for t in terms if t.strip()))
+    idx = spark.read.parquet(path)
+    hits = (idx.filter(F.col("tkp").isin(
+        sorted({t[:1] for t in want})) & F.col("token").isin(want))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("token").cast("int").alias("n_terms_matched"))
+        .filter(F.col("n_terms_matched") == len(want)))
+    return hits

@@ -3478,6 +3478,35 @@ FROM ranked
 """
 
 
+def q107_keyword_search(spark, sf_dir):
+    """Persisted inverted keyword index, build + AND-probe (the q93
+    build-once/probe-many contract for text search): postings
+    partitionBy(first token byte), probe for three corpus terms reads
+    only those partitions (partition pruning), match = count-distinct
+    equality. Oracle recomputes the posting set and the AND semantics
+    from the raw table."""
+    import os
+
+    docs = _t(spark, sf_dir, "documents")
+    path = ("/tmp/akf_q107_idx_"
+            + os.path.normpath(sf_dir).strip("/").replace("/", "_"))
+    text.write_text_index(docs, path)
+    return text.keyword_search_index(spark, path,
+                                     ["data", "join", "table"])
+
+
+Q107_SQL = r"""WITH toks AS (
+  SELECT DISTINCT doc_id, t AS token
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        FROM documents)
+  WHERE length(t) > 0)
+SELECT doc_id, CAST(count(DISTINCT token) AS INT) AS n_terms_matched
+FROM toks WHERE token IN ('data', 'join', 'table')
+GROUP BY doc_id HAVING count(DISTINCT token) = 3
+"""
+
+
 def q101_ivf_int8_recall(spark, sf_dir):
     """Int8 IVF probe accuracy gate (roadmap lever #7 composed): recall@5
     of the quantized-scan IVF path against the FLOAT brute-force oracle —
@@ -3648,4 +3677,5 @@ REGISTRY: dict[str, tuple] = {
     "q104_dsir_weights": (q104_dsir_weights, Q104_SQL),
     "q105_semdedup": (q105_semdedup, Q105_SQL),
     "q106_quality_canonical": (q106_quality_canonical, Q106_SQL),
+    "q107_keyword_search": (q107_keyword_search, Q107_SQL),
 }

@@ -1337,3 +1337,22 @@ def test_quality_canonical_prefers_quality_over_min_id(spark):
     kept = [r.doc_id for r in out if r.is_kept]
     assert kept == ["a2"]            # passes gate AND has the most tokens
     assert not by_id["a0"].is_kept   # min-id member loses on quality
+
+
+def test_keyword_index_and_semantics_and_pruned_probe(spark, tmp_path):
+    """Inverted-index probe == raw-corpus AND semantics, and the probe's
+    scan carries PartitionFilters on the token-prefix partition column —
+    the plan shape that makes probes O(terms) partitions at any index
+    size (q93/write_ivf_index contract for keyword search)."""
+    from akf_cdparser_spark.analytics import text as T
+    rows = [("d1", "alpha data join table extra"),
+            ("d2", "data join but no third term"),
+            ("d3", "table data join"),
+            ("d4", "nothing relevant here")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    path = str(tmp_path / "kwidx")
+    T.write_text_index(docs, path)
+    out = T.keyword_search_index(spark, path, ["data", "join", "table"])
+    assert {r.doc_id for r in out.collect()} == {"d1", "d3"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [tkp" in plan and "IN (d,j,t)" in plan, plan
