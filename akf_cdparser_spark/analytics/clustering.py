@@ -59,10 +59,12 @@ def _assign(codes: DataFrame, cents: list[tuple[int, list[int]]]
 
 
 def kmeans_int8(embeddings: DataFrame, k: int = 8,
-                n_iter: int = 3) -> DataFrame:
+                n_iter: int = 3, keep_codes: bool = False) -> DataFrame:
     """Cluster ``embeddings(vec_id, embedding)`` into ``k`` groups with
     ``n_iter`` fixed-point Lloyd steps over the int8 codes; returns
-    ``(vec_id, cluster_id, dist)`` under the final centroids."""
+    ``(vec_id, cluster_id, dist)`` under the final centroids —
+    plus the checkpointed ``q`` codes when ``keep_codes`` (consumers like
+    semdedup reuse them instead of re-scanning + re-joining the corpus)."""
     codes = _quantize_arrays(embeddings).localCheckpoint()
     init = (codes
             .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
@@ -81,7 +83,10 @@ def kmeans_int8(embeddings: DataFrame, k: int = 8,
             by_cid.setdefault(r.cluster_id, [0] * dim)[r.dim] = \
                 int(r.s) // int(r.n)
         cents = [(cid, by_cid.get(cid, c)) for cid, c in cents]
-    return _assign(codes, cents).select("vec_id", "cluster_id", "dist")
+    final = _assign(codes, cents)
+    if keep_codes:
+        return final.select("vec_id", "q", "cluster_id", "dist")
+    return final.select("vec_id", "cluster_id", "dist")
 
 
 def semdedup(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
@@ -99,14 +104,18 @@ def semdedup(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
 
     Returns (vec_id, cluster_id, dist, is_kept) for every vector.
 
-    Scale shape: the pair scan is an equi-join on cluster_id — pairwise
-    work bounded per cluster, which is exactly SemDeDup's own trade (the
-    paper runs k ~ sqrt(N) clusters so within-cluster pair counts stay
-    ~N); the removal rule is per-pair local (no connected components, no
-    sequential sweep), one semi-join back."""
-    assigned = kmeans_int8(embeddings, k=k, n_iter=n_iter)
-    codes = _quantize_arrays(embeddings)
-    x = assigned.join(codes, "vec_id")
+    Scale shape: the pair scan is an equi-join on cluster_id over each
+    UNORDERED pair once (a.vec_id < b.vec_id; the cosine is symmetric and
+    the keeper order is a strict total order, so one evaluation decides
+    the pair) — pairwise work bounded per cluster, which is exactly
+    SemDeDup's own trade (the paper runs k ~ sqrt(N) clusters so
+    within-cluster pair counts stay ~N); the removal rule is per-pair
+    local (no connected components, no sequential sweep), one join back.
+    The int8 codes ride along from the clustering pass (keep_codes) —
+    no second corpus scan, no corpus-wide re-join."""
+    with_codes = kmeans_int8(embeddings, k=k, n_iter=n_iter,
+                             keep_codes=True)
+    x = with_codes
     a, b = x.alias("a"), x.alias("b")
     cos = F.round(
         F.aggregate(F.zip_with(F.col("a.q"), F.col("b.q"),
@@ -119,14 +128,17 @@ def semdedup(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
                F.col("b.q"), lambda p: (p * p).cast("long")),
                F.lit(0).cast("long"), lambda acc, v: acc + v))),
         round_to)
-    beats = ((F.col("b.dist") > F.col("a.dist"))
-             | ((F.col("b.dist") == F.col("a.dist"))
-                & (F.col("b.vec_id") < F.col("a.vec_id"))))
+    # each unordered pair once; the keeper-order LOSER is removed
+    b_beats_a = ((F.col("b.dist") > F.col("a.dist"))
+                 | ((F.col("b.dist") == F.col("a.dist"))
+                    & (F.col("b.vec_id") < F.col("a.vec_id"))))
     removed = (a.join(b, (F.col("a.cluster_id") == F.col("b.cluster_id"))
-                      & (F.col("a.vec_id") != F.col("b.vec_id")))
-               .filter((cos >= threshold) & beats)
-               .select(F.col("a.vec_id").alias("vec_id")).distinct()
+                      & (F.col("a.vec_id") < F.col("b.vec_id")))
+               .filter(cos >= threshold)
+               .select(F.when(b_beats_a, F.col("a.vec_id"))
+                       .otherwise(F.col("b.vec_id")).alias("vec_id"))
+               .distinct()
                .withColumn("_rm", F.lit(True)))
-    return (assigned.join(removed, "vec_id", "left")
+    return (with_codes.join(removed, "vec_id", "left")
             .select("vec_id", "cluster_id", "dist",
                     F.coalesce(~F.col("_rm"), F.lit(True)).alias("is_kept")))

@@ -601,12 +601,8 @@ def cdc_chunk_stats(docs: DataFrame, k: int = 8, mask: int = 64,
         "doc_id", "_s",
         F.transform(F.split(F.col("_s"), ""),
                     lambda c: F.ascii(c)).alias("_codes"))
-    gram_hash = F.transform(
-        F.sequence(F.lit(0), F.size(F.col("_codes")) - k),
-        lambda i: F.aggregate(
-            F.slice(F.col("_codes"), i + 1, k),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * 257 + c) % 1_000_000_007))
+    from .text import _char_gram_hashes
+    gram_hash = _char_gram_hashes("_codes", k)
     hs = F.when(F.length("_s") >= k, gram_hash) \
         .otherwise(F.array().cast("array<long>"))
     with_cuts = (codes.select("doc_id", "_s", hs.alias("_hs"))

@@ -414,6 +414,18 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
         .alias("q_codes"))
 
 
+def _quant_code_expr():
+    """The int8 code Column over bound ``_v`` (double array) / ``_s``
+    (max-abs scale) columns — THE quantization rule (floor(x*127/s),
+    zeros at scale 0) single-sourced for q89/q90/q96/q101/q105 and
+    mirrored by the numpy twins. Callers must project ``_v`` and ``_s``
+    first (multi-consumer binding, the lambda-CSE rule)."""
+    return F.when(F.col("_s") == 0.0,
+                  F.transform("_v", lambda x: F.lit(0))).otherwise(
+        F.transform("_v",
+                    lambda x: F.floor(x * 127.0 / F.col("_s")).cast("int")))
+
+
 def _quantize_arrays(embeddings: DataFrame) -> DataFrame:
     """Internal int8 quantization keeping codes as array<int> (the
     operator plane of ``quantize_embeddings``, which string-renders for
@@ -426,11 +438,7 @@ def _quantize_arrays(embeddings: DataFrame) -> DataFrame:
             .select("vec_id", "_v",
                     F.array_max(F.transform(
                         "_v", lambda x: F.abs(x))).alias("_s")))
-    q = F.when(F.col("_s") == 0.0,
-               F.transform("_v", lambda x: F.lit(0))).otherwise(
-        F.transform("_v",
-                    lambda x: F.floor(x * 127.0 / F.col("_s")).cast("int")))
-    return base.select("vec_id", q.alias("q"))
+    return base.select("vec_id", _quant_code_expr().alias("q"))
 
 
 def cosine_topk_int8(embeddings: DataFrame, query_ids: list[int],
@@ -447,18 +455,12 @@ def cosine_topk_int8(embeddings: DataFrame, query_ids: list[int],
     queries = (codes.filter(F.col("vec_id").isin(query_ids))
                .select(F.col("vec_id").alias("query_id"),
                        F.col("q").alias("q_q")))
-
-    def idot(a: str, b: str):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
-            F.lit(0).cast("long"), lambda acc, v: acc + v)
-
     scored = (codes.join(F.broadcast(queries),
                          F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id",
-                      idot("q_q", "q").alias("_d"),
-                      idot("q", "q").alias("_n2"),
-                      idot("q_q", "q_q").alias("_qn2"))
+                      _idot("q_q", "q").alias("_d"),
+                      _idot("q", "q").alias("_n2"),
+                      _idot("q_q", "q_q").alias("_qn2"))
               .withColumn("cosine",
                           F.round(F.col("_d")
                                   / (F.sqrt("_qn2") * F.sqrt("_n2")),
@@ -508,12 +510,8 @@ def cosine_topk_ivf_int8(embeddings: DataFrame, query_ids: list[int],
                     F.array_max(F.transform(
                         "_v", lambda x: F.abs(x))).alias("_s"))
             .select("vec_id", "_v", "_s", _norm(F.col("_v")).alias("_nrm")))
-        q = F.when(F.col("_s") == 0.0,
-                   F.transform("_v", lambda x: F.lit(0))).otherwise(
-            F.transform("_v", lambda x: F.floor(x * 127.0 / F.col("_s"))
-                        .cast("int")))
         return (base.join(F.broadcast(cents))
-                .select("vec_id", q.alias(out_key),
+                .select("vec_id", _quant_code_expr().alias(out_key),
                         F.slice(_list_scores(F.col("_v"), F.col("cents"),
                                              norm_col=F.col("_nrm")),
                                 1, m).alias("_lists"))

@@ -40,6 +40,24 @@ FP_MOD = 1_000_000_007
 FP_POS_BITS = 20
 
 
+def _char_gram_hashes(codes_col, k: int):
+    """Array of Rabin-Karp hashes, one per character ``k``-gram start, over
+    a bound codepoint-array column — THE polynomial every char-hash plane
+    shares (winnowing q73, repeated spans q99, CDC chunking q103; the
+    DuckDB twins' HUGEINT/mod-reduced power literals encode the same
+    fold). ``codes_col`` must be a PROJECTED column, not an inline
+    expression: it has two consumers here (sequence bound + slice), which
+    is what keeps CollapseProject from re-inlining the per-char split
+    into the lambda (the documented lambda-CSE O(n) vs O(n^2) hazard)."""
+    c = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    return F.transform(
+        F.sequence(F.lit(0), F.size(c) - k),
+        lambda i: F.aggregate(
+            F.slice(c, i + 1, k),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * FP_BASE + ch) % FP_MOD))
+
+
 def rolling_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     """Rolling-hash document fingerprinting (winnowing, Schleimer/Wilkerson/
     Aiken): polynomial Rabin-Karp hash of every character ``k``-gram of the
@@ -70,12 +88,7 @@ def rolling_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
                     lambda c: F.ascii(c)).alias("_codes"))
     # size(split(s, "")) == length(s): Spark's empty-pattern split emits
     # exactly one element per character, no trailing empty element
-    gram_hash = F.transform(
-        F.sequence(F.lit(0), F.size(F.col("_codes")) - k),
-        lambda i: F.aggregate(
-            F.slice(F.col("_codes"), i + 1, k),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * FP_BASE + c) % FP_MOD))
+    gram_hash = _char_gram_hashes("_codes", k)
     grams = (codes.select("doc_id", gram_hash.alias("_gh"))
              .select("doc_id",
                      F.transform(F.col("_gh"), lambda h, i:
@@ -129,12 +142,7 @@ def repeated_spans(docs: DataFrame, k: int = 20,
         "doc_id",
         F.transform(F.split(F.lower(F.col("text")), ""),
                     lambda c: F.ascii(c)).alias("_codes"))
-    gram_hash = F.transform(
-        F.sequence(F.lit(0), F.size(F.col("_codes")) - k),
-        lambda i: F.aggregate(
-            F.slice(F.col("_codes"), i + 1, k),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * FP_BASE + c) % FP_MOD))
+    gram_hash = _char_gram_hashes("_codes", k)
     # the O(k*n) per-char hash pass feeds TWO branches (multiplicity count
     # + position join-back); localCheckpoint runs it once (q74/q40
     # precedent — measured 11.4 -> 6.7-8.8 s at sf0.1, interleaved ABAB)

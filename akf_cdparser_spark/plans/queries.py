@@ -573,7 +573,8 @@ SELECT doc_id,
        round(n_punct / greatest(length(text), 1), 6) AS punct_ratio,
        round({hits} / greatest(n_tokens, 1), 6) AS stopword_ratio,
        round(length(text) / greatest(n_tokens, 1), 4) AS avg_token_len,
-       (n_tokens >= 5 AND n_punct / greatest(length(text), 1) < 0.3) AS quality_ok
+       (n_tokens >= 5
+        AND round(n_punct / greatest(length(text), 1), 6) < 0.3) AS quality_ok
 FROM base
 """.format(hits=_sql_hits(_DE + _EN))
 
@@ -3281,8 +3282,8 @@ def q102_unimax_mix(spark, sf_dir):
     over per-source whitespace-token totals, budget = half the corpus,
     cap = 3 epochs. Pure integer arithmetic via the closed form of the
     smallest-first walk (division-free threshold test + DIV share +
-    tail-remainder — property-tested equal to the sequential walk on 20k
-    randomized instances); the oracle recomputes the identical closed
+    tail-remainder — the randomized walk-parity property test lives in
+    tests/test_analytics.py); the oracle recomputes the identical closed
     form relationally, value-gating ranks, thresholds and every
     allocation."""
     from ..analytics import mix
@@ -3462,8 +3463,8 @@ q AS (
   SELECT doc_id,
          len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
          (len(regexp_split_to_array(trim(text), '\s+')) >= 5
-          AND length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-              / greatest(length(text), 1) < 0.3) AS quality_ok
+          AND round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                    / greatest(length(text), 1), 6) < 0.3) AS quality_ok
   FROM documents),
 ranked AS (
   SELECT l.doc_id, l.cluster_id, c.cluster_size, q.n_tokens,

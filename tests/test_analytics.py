@@ -1356,3 +1356,41 @@ def test_keyword_index_and_semantics_and_pruned_probe(spark, tmp_path):
     assert {r.doc_id for r in out.collect()} == {"d1", "d3"}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [tkp" in plan and "IN (d,j,t)" in plan, plan
+
+
+def test_unimax_closed_form_matches_walk_randomized():
+    """The q102 closed form == the sequential UniMax walk on randomized
+    instances (source counts incl. zeros, budgets from 0 past cap*total,
+    caps 1-5) — the committed safety net behind the docstring's claim;
+    pure Python, no Spark (the Spark expression mirrors closed_form
+    line-for-line and is pinned to it by test_unimax_allocation_...)."""
+    import random
+
+    def closed_form(counts, B, cap):
+        order = sorted(counts, key=lambda t: (t[1], t[0]))
+        k = len(order)
+        prefix, m, prev_m, cnt_m = 0, None, 0, 0
+        for i, (_s, n) in enumerate(order, start=1):
+            cnt = k - i + 1
+            if cap * n * cnt > B - prefix:
+                m, prev_m, cnt_m = i, prefix, cnt
+                break
+            prefix += cap * n
+        out = {}
+        for i, (src, n) in enumerate(order, start=1):
+            if m is None or i < m:
+                out[src] = cap * n
+            else:
+                share, extra = divmod(B - prev_m, cnt_m)
+                out[src] = share + (1 if (i - m) >= (cnt_m - extra) else 0)
+        return out
+
+    rng = random.Random(7)
+    for _ in range(4000):
+        k = rng.randint(1, 12)
+        counts = [(f"s{j}", rng.randint(0, 500)) for j in range(k)]
+        total = sum(n for _, n in counts)
+        cap = rng.randint(1, 5)
+        budget = rng.randint(0, cap * total + 100)
+        assert closed_form(counts, budget, cap) == \
+            _seq_unimax(counts, budget, cap), (counts, budget, cap)
