@@ -88,28 +88,98 @@ def _apply_merge(syms_col, left: str, right: str) -> "F.Column":
                        F.array().cast("array<string>"), step)
 
 
-def learn_bpe(docs: DataFrame, n_merges: int = 12) -> DataFrame:
+def _select_batch(rows, max_m: int, top_k: int | None = None):
+    """Greedy EXACT batch selection over one round's ranked pair counts
+    (``rows``: Row(left, right, pair_count) in (count DESC, left, right)
+    order — the sequential tie-break). Returns the longest prefix of the
+    sequential merge sequence provably computable from these counts alone:
+
+    * DISJOINTNESS — a candidate sharing any symbol with an already-
+      selected pair (or with a merged string the batch creates) STOPS the
+      batch: merging a disjoint pair cannot change the counts or the
+      adjacencies of the others, so the selected counts stay exact.
+      Stopping (not skipping) preserves the sequential ORDER — an
+      interacting candidate's count only decreases, but it may still be
+      the true next merge.
+    * NEW-PAIR BOUND — a merge (l, r) -> M can create pairs only at
+      occurrence boundaries ``x·l·r`` / ``l·r·y``, so every created
+      pair's count is bounded by the PRE-batch count of some (x, l) or
+      (r, y) pair. ``bound`` tracks the max such count over selected
+      pairs (floored at the K-th collected count for pairs below the
+      collect horizon); a later candidate is only taken while its count
+      strictly exceeds the bound, so no created pair could have outranked
+      it in strict sequential order.
+
+    Both guards together make batch_m > 1 bit-identical to sequential
+    (tested: test_analytics.py batched-vs-sequential equality)."""
+    if not rows:
+        return []
+    # pairs below the collect horizon count <= the K-th count; when the
+    # collect came back short, every pair is visible and the floor is 0
+    floor_count = (int(rows[-1].pair_count)
+                   if top_k is not None and len(rows) >= top_k else 0)
+    selected = [(rows[0].left, rows[0].right, int(rows[0].pair_count))]
+    used = {rows[0].left, rows[0].right, rows[0].left + rows[0].right}
+
+    def created_bound(l, r):
+        # No self-exclusion: for l != r the (l, r) pair itself can never
+        # match right==l / left==r, and for a self-pair (a, a) it MUST
+        # count (a·a·a·a runs create (M, M) pairs bounded by count(a,a)),
+        # which correctly stops the batch right after a self-pair.
+        b = floor_count
+        for row in rows:
+            if row.right == l or row.left == r:
+                b = max(b, int(row.pair_count))
+        return b
+
+    bound = created_bound(rows[0].left, rows[0].right)
+    for row in rows[1:]:
+        if len(selected) >= max_m:
+            break
+        l, r, pc = row.left, row.right, int(row.pair_count)
+        if l in used or r in used or (l + r) in used or pc <= bound:
+            break
+        selected.append((l, r, pc))
+        used.update((l, r, l + r))
+        bound = max(bound, created_bound(l, r))
+    return selected
+
+
+def learn_bpe(docs: DataFrame, n_merges: int = 12,
+              batch_m: int = 1) -> DataFrame:
     """Learn ``n_merges`` BPE merges over ``docs(text)``; returns the merge
     table ``(step, left, right, pair_count)`` in merge order. Stops early
-    if no adjacent pair remains (tiny corpora)."""
+    if no adjacent pair remains (tiny corpora).
+
+    ``batch_m`` applies up to m provably-independent merges per
+    count-round (see :func:`_select_batch` — EXACT, not approximate: the
+    merge table is bit-identical to ``batch_m=1`` for any corpus). A real
+    32k-merge tokenizer at batch_m=1 is 32k sequential Spark jobs — days
+    of driver orchestration; batching cuts rounds ~m× wherever the top of
+    the pair distribution is symbol-disjoint (natural text usually is).
+    Driver traffic stays bounded: one <=4*m-row collect per round."""
     spark = docs.sparkSession
     cur = (word_vocab(docs)
            .select(F.split("word", "").alias("syms"), "cnt")
            .localCheckpoint())
+    top_k = max(32, 4 * batch_m)
     merges: list[tuple] = []
-    for step in range(n_merges):
-        top = (cur.select("cnt", F.explode(_adjacent_pairs()).alias("p"))
-               .groupBy(F.col("p.left").alias("left"),
-                        F.col("p.right").alias("right"))
-               .agg(F.sum("cnt").alias("pair_count"))
-               .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
-               .limit(1).collect())
-        if not top:
+    while len(merges) < n_merges:
+        rows = (cur.select("cnt", F.explode(_adjacent_pairs()).alias("p"))
+                .groupBy(F.col("p.left").alias("left"),
+                         F.col("p.right").alias("right"))
+                .agg(F.sum("cnt").alias("pair_count"))
+                .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+                .limit(top_k).collect())
+        batch = _select_batch(rows, min(batch_m, n_merges - len(merges)),
+                              top_k=top_k)
+        if not batch:
             break
-        l, r, pc = top[0].left, top[0].right, int(top[0].pair_count)
-        merges.append((step, l, r, pc))
-        nxt = cur.select(_apply_merge("syms", l, r).alias("syms"), "cnt") \
-            .localCheckpoint()
+        nxt = cur
+        for l, r, pc in batch:
+            merges.append((len(merges), l, r, pc))
+            nxt = nxt.select(_apply_merge("syms", l, r).alias("syms"), "cnt")
+        nxt = nxt.localCheckpoint()
         cur.unpersist()
         cur = nxt
     cur.unpersist()
@@ -120,9 +190,12 @@ def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     """Tokenize ``docs(doc_id, text)`` under a learned merge list (in merge
     order): per doc, whitespace words -> characters -> the merge folds ->
     token count + distinct-token count. The merge chain is applied to the
-    DISTINCT word vocabulary and joined back (broadcast — the vocabulary
-    after tokenization is small next to the corpus), so the fold cost is
-    per unique word, not per occurrence."""
+    DISTINCT word vocabulary and joined back, so the fold cost is per
+    unique word, not per occurrence. No explicit broadcast hint: a 100-TB
+    corpus's distinct-word vocabulary (millions of rows × per-word token
+    arrays) can exceed driver/broadcast limits, so the join strategy is
+    left to AQE — it broadcasts when the tokenized vocabulary fits and
+    shuffle-hash-joins when it doesn't (ADVICE r5)."""
     words = (docs
              .select("doc_id",
                      F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
@@ -132,7 +205,7 @@ def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     for l, r in merges:
         vocab = vocab.select("word", _apply_merge("syms", l, r).alias("syms"))
     tokized = vocab.select("word", F.col("syms").alias("tokens"))
-    return (words.join(F.broadcast(tokized), "word")
+    return (words.join(tokized, "word")
             .select("doc_id", F.explode("tokens").alias("token"))
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_tokens"),

@@ -29,7 +29,9 @@ KMV_HASH_SPACE = 2**60  # conv(substr(md5, 1, 15), 16, 10): 15 hex digits
 
 
 def _kmv_hashes(df: DataFrame, col: str) -> DataFrame:
-    return (df.select(
+    # NULLs excluded: md5(NULL) is a NULL hv that sorts first (NULLS
+    # FIRST) and would displace a real hash from the k-sample (ADVICE r5)
+    return (df.filter(F.col(col).isNotNull()).select(
         F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15),
                16, 10).cast("long").alias("hv"))
         .distinct())
@@ -157,10 +159,13 @@ def kmv_distinct(df: DataFrame, cols: list[str], k: int = 256) -> DataFrame:
     Estimator: with h_k the k-th smallest distinct hash in [0, 2^60),
     est = floor((k-1) * 2^60 / h_k); when fewer than k distinct hashes
     exist the sketch is exhaustive and est is the exact count (h_k is
-    NULL in that branch). Standard error ~ 1/sqrt(k-2)."""
+    NULL in that branch). Standard error ~ 1/sqrt(k-2). NULL column
+    values are excluded (md5(NULL) is a NULL hv that would sort first
+    under NULLS FIRST and inflate the sample by one; ADVICE r5)."""
     out = None
     for c in cols:
-        hashes = (df.select(
+        hashes = (df.filter(F.col(c).isNotNull())
+            .select(
             F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 15),
                    16, 10).cast("long").alias("hv"))
             .distinct())

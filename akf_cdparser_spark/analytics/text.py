@@ -34,10 +34,14 @@ def token_count(docs: DataFrame) -> DataFrame:
 
 # Rabin-Karp / winnowing parameters: polynomial base, modulus (fits every
 # intermediate in a signed 64-bit long: acc*257 + codepoint < 1e9*257+2^21),
-# and the position-packing shift (hash < 2^30 packs above a 20-bit position)
+# and the position-packing shift. hash < 2^30, so a 31-bit position field
+# still fits signed 64 (30+31=61 bits) — and 2^31-1 is the JVM string
+# length ceiling, so NO representable document can overflow the position
+# field into the hash bits (a 20-bit field silently corrupted docs >=
+# 2^20 chars; ADVICE r5).
 FP_BASE = 257
 FP_MOD = 1_000_000_007
-FP_POS_BITS = 20
+FP_POS_BITS = 31
 
 
 def _char_gram_hashes(codes_col, k: int):
@@ -67,7 +71,7 @@ def rolling_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     (position, hash) per document.
 
     Selection rule (deterministic, oracle-reproducible): each window keeps
-    its minimal ``hash * 2^20 + position`` packing — min hash, leftmost
+    its minimal ``hash * 2^31 + position`` packing — min hash, leftmost
     position on ties (the original paper keeps the RIGHTMOST; leftmost is
     the same guarantee and is a plain ``min`` in any engine). Exact
     integer arithmetic end-to-end: codepoints -> fold ``(acc*257 + c) %%
@@ -444,7 +448,14 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 # otherwise be visible to the phone pattern after partial rewrites), then
 # email / IPv4 / phone — none of the later patterns can match inside an
 # earlier placeholder.
-PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# Email local-part/domain quantifiers are BOUNDED (RFC 5321 limits: 64 /
+# 255). Unbounded `+` on classes containing '.' is O(n^2) on long dot
+# runs (TOC leader dots, ASCII art — common in crawled docs): a single
+# 2MB doc with a 600k-dot run stalled an executor for minutes. Bounds
+# cap per-start-position work, making the scan O(n); behavior differs
+# only on local parts > 64 chars (invalid emails), where the match
+# keeps the last 64 chars — identical under Java regex and RE2.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,}"
 PII_PHONE_RE = r"\+49[ 0-9]{7,13}[0-9]"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_IBAN_RE = r"\bDE[0-9]{20}\b"
@@ -579,16 +590,33 @@ def _count_hits(words: tuple[str, ...]) -> Column:
     return hits.cast("long")
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
-    """Length / punctuation / stopword-ratio quality features + a flag."""
+def quality_gate_exprs() -> dict[str, Column]:
+    """THE quality-gate expressions — single-sourced so the batch scorer
+    (:func:`quality_scores`) and the streaming ingest gate
+    (streaming.pipeline.stream_curation_gate) compute bit-identical
+    flags: both gate on the 6-dp-ROUNDED punct_ratio (a raw ratio in
+    [0.2999995, 0.3) must pass in both planes; ADVICE r5)."""
     n_tokens = F.size(tokens_col())
     n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    punct_ratio = F.round(
+        n_punct / F.greatest(F.length("text"), F.lit(1)), 6)
+    return {
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ratio,
+        "quality_ok": (n_tokens >= 5) & (punct_ratio < 0.3),
+    }
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a flag."""
+    g = quality_gate_exprs()
+    n_tokens = g["n_tokens"]
     stop_hits = _count_hits(DE_STOPWORDS + EN_STOPWORDS)
     out = docs.select(
         "doc_id",
         F.length("text").alias("n_chars_measured"),
         n_tokens.alias("n_tokens"),
-        F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 6).alias("punct_ratio"),
+        g["punct_ratio"].alias("punct_ratio"),
         F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
         F.round(F.length("text") / F.greatest(n_tokens, F.lit(1)), 4).alias("avg_token_len"),
     )

@@ -1100,7 +1100,7 @@ alldocs AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents)
 SELECT doc_id,
        len(regexp_extract_all(text,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,}')) AS n_emails,
        len(regexp_extract_all(text, '\+49[ 0-9]{7,13}[0-9]')) AS n_phones,
        len(regexp_extract_all(text,
            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
@@ -1109,12 +1109,12 @@ SELECT doc_id,
          regexp_replace(
            regexp_replace(
              regexp_replace(text, '\bDE[0-9]{20}\b', '<IBAN>', 'g'),
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,}', '<EMAIL>',
              'g'),
            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
          '\+49[ 0-9]{7,13}[0-9]', '<PHONE>', 'g') AS redacted,
        (len(regexp_extract_all(text,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,}'))
         + len(regexp_extract_all(text, '\+49[ 0-9]{7,13}[0-9]'))
         + len(regexp_extract_all(text,
               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
@@ -1744,7 +1744,7 @@ g AS (
   FROM documents, UNNEST(range(1, length(text) - 6)) AS u(i)
   WHERE length(text) >= 8),
 pk AS (
-  SELECT doc_id, p, h * 1048576 + p AS packed,
+  SELECT doc_id, p, h * 2147483648 + p AS packed,
          count(*) OVER (PARTITION BY doc_id) AS m
   FROM g),
 sel AS (
@@ -1754,8 +1754,8 @@ sel AS (
   FROM pk),
 fpx AS (
   SELECT DISTINCT doc_id,
-         CAST(v % 1048576 AS INT) AS fp_pos,
-         v // 1048576 AS fp_hash
+         CAST(v % 2147483648 AS INT) AS fp_pos,
+         v // 2147483648 AS fp_hash
   FROM sel WHERE p <= greatest(m - 4, 0))"""
 
 Q73_SQL = "WITH " + _WINNOW_SQL + r"""

@@ -126,16 +126,17 @@ def stream_curation_gate(docs: DataFrame) -> DataFrame:
     winnowing pairs) stay in the nightly batch pass by design; this gate
     is what an ingest microbatch can afford.
 
-    Output: doc_id, redacted, has_pii, n_tokens, quality_ok."""
-    from ..analytics.text import pii_columns, tokens_col
+    Output: doc_id, redacted, has_pii, n_tokens, quality_ok. The gate
+    expressions are SHARED with analytics.text.quality_scores
+    (quality_gate_exprs), so batch and stream flag bit-identically —
+    including the 6-dp rounding of punct_ratio (ADVICE r5)."""
+    from ..analytics.text import pii_columns, quality_gate_exprs
 
     c = pii_columns()
-    n_tokens = F.size(tokens_col())
-    punct_ratio = (F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
-                   / F.greatest(F.length("text"), F.lit(1)))
+    g = quality_gate_exprs()
     return docs.select(
         "doc_id",
         c["redacted"].alias("redacted"),
         c["has_pii"].alias("has_pii"),
-        n_tokens.alias("n_tokens"),
-        ((n_tokens >= 5) & (punct_ratio < 0.3)).alias("quality_ok"))
+        g["n_tokens"].alias("n_tokens"),
+        g["quality_ok"].alias("quality_ok"))

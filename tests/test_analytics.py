@@ -330,8 +330,10 @@ def test_lse_coupled_spark_matches_sequential(spark):
 
 def _winnow_twin(text: str, k: int = 8, w: int = 4) -> set:
     """Pure-Python winnowing reference: Rabin-Karp k-gram hashes of the
-    lowercased text, min of hash*2^20+pos per w-window, leftmost-on-tie
-    (same packing trick as analytics.text.rolling_fingerprints)."""
+    lowercased text, min of hash*2^POS_BITS+pos per w-window,
+    leftmost-on-tie (same packing as analytics.text.rolling_fingerprints;
+    the shift is imported so the twin tracks the engine constant)."""
+    from akf_cdparser_spark.analytics.text import FP_POS_BITS
     s = text.lower()
     if len(s) < k:
         return set()
@@ -341,10 +343,10 @@ def _winnow_twin(text: str, k: int = 8, w: int = 4) -> set:
         for c in s[i:i + k]:
             acc = (acc * 257 + ord(c)) % 1_000_000_007
         hashes.append(acc)
-    packed = [(h << 20) + i for i, h in enumerate(hashes)]
+    packed = [(h << FP_POS_BITS) + i for i, h in enumerate(hashes)]
     sel = {min(packed[i:i + w])
            for i in range(max(len(packed) - w, 0) + 1)}
-    return {(p & ((1 << 20) - 1), p >> 20) for p in sel}
+    return {(p & ((1 << FP_POS_BITS) - 1), p >> FP_POS_BITS) for p in sel}
 
 
 def test_rolling_fingerprints_match_python_twin(spark):
@@ -1394,3 +1396,164 @@ def test_unimax_closed_form_matches_walk_randomized():
         budget = rng.randint(0, cap * total + 100)
         assert closed_form(counts, budget, cap) == \
             _seq_unimax(counts, budget, cap), (counts, budget, cap)
+
+
+def test_rolling_fingerprints_long_doc_position_headroom(spark):
+    """Docs longer than 2^20 chars must NOT overflow the position field
+    into the hash bits (the round-5 ADVICE finding: a 20-bit position
+    field silently corrupted fp_hash/fp_pos for >=1.05M-char docs;
+    FP_POS_BITS is now 31, covering any JVM string). Verified against an
+    O(n) pure-Python rolling twin on a 2^20+64-char document."""
+    from akf_cdparser_spark.analytics import text as T
+
+    assert T.FP_POS_BITS >= 31  # position headroom for max JVM strings
+    assert T.FP_MOD < 2 ** (63 - T.FP_POS_BITS)  # packing fits signed 64
+
+    k, w = 8, 4
+    n = (1 << 20) + 64
+    # deterministic aperiodic text over 8 letters (LCG), fast to hash
+    lcg, chars = 12345, []
+    for _ in range(n):
+        lcg = (lcg * 1103515245 + 12345) % (1 << 31)
+        chars.append("abcdefgh"[lcg % 8])
+    text = "".join(chars)
+
+    # O(n) rolling Rabin-Karp + monotonic-deque window minimum
+    from collections import deque
+    mod, base = T.FP_MOD, T.FP_BASE
+    pow_k1 = pow(base, k - 1, mod)
+    codes = [ord(c) for c in text]
+    acc = 0
+    for c in codes[:k]:
+        acc = (acc * base + c) % mod
+    packed = [acc << T.FP_POS_BITS]
+    for i in range(1, n - k + 1):
+        acc = ((acc - codes[i - 1] * pow_k1) * base + codes[i + k - 1]) % mod
+        packed.append((acc << T.FP_POS_BITS) + i)
+    dq, expected = deque(), set()
+    for i, v in enumerate(packed):
+        while dq and packed[dq[-1]] > v:
+            dq.pop()
+        dq.append(i)
+        if dq[0] <= i - w:
+            dq.popleft()
+        if i >= w - 1:
+            expected.add(packed[dq[0]])
+    mask = (1 << T.FP_POS_BITS) - 1
+    expected = {(p & mask, p >> T.FP_POS_BITS) for p in expected}
+
+    got = {(r.fp_pos, r.fp_hash) for r in T.rolling_fingerprints(
+        spark.createDataFrame([("big", text)], "doc_id string, text string"),
+        k=k, w=w).collect()}
+    assert got == expected
+    assert max(p for p, _ in got) > (1 << 20)  # positions beyond old field
+    assert all(0 <= h < mod for _, h in got)
+
+
+def test_select_batch_exactness_guards():
+    """_select_batch unit cases: disjoint prefix selected; interacting
+    candidate STOPS (not skips); a self-pair stops the batch right after
+    itself ((M,M) pairs are bounded by its own count); the created-pair
+    bound stops when a later candidate's count does not strictly exceed
+    the max count of pairs feeding new-symbol pairs."""
+    from collections import namedtuple
+
+    from akf_cdparser_spark.analytics.bpe import _select_batch
+    R = namedtuple("R", "left right pair_count")
+
+    # fully disjoint, well-separated counts -> all selected
+    rows = [R("a", "b", 100), R("c", "d", 50), R("e", "f", 20)]
+    assert _select_batch(rows, 8, top_k=32) == \
+        [("a", "b", 100), ("c", "d", 50), ("e", "f", 20)]
+
+    # (b,c) shares 'b' with (a,b): stop AT it, don't skip to (x,y)
+    rows = [R("a", "b", 100), R("b", "c", 90), R("x", "y", 80)]
+    assert _select_batch(rows, 8, top_k=32) == [("a", "b", 100)]
+
+    # self-pair: (q,q) runs can create (qq,qq) pairs bounded by its own
+    # count -> nothing after it is provably next
+    rows = [R("q", "q", 100), R("x", "y", 99)]
+    assert _select_batch(rows, 8, top_k=32) == [("q", "q", 100)]
+
+    # created-pair bound: (z,a) count 60 means merging (a,b) can create
+    # (z, ab) pairs with count up to 60 -> (c,d) at 50 is NOT provably
+    # before them; (z,a) itself interacts so the batch stops there anyway
+    rows = [R("a", "b", 100), R("z", "a", 60), R("c", "d", 50)]
+    assert _select_batch(rows, 8, top_k=32) == [("a", "b", 100)]
+
+    # cap respected
+    rows = [R("a", "b", 9), R("c", "d", 8), R("e", "f", 7)]
+    assert _select_batch(rows, 2, top_k=32) == [("a", "b", 9), ("c", "d", 8)]
+
+
+def test_learn_bpe_batched_equals_sequential(spark):
+    """batch_m > 1 is EXACT: the merge table is bit-identical to the
+    sequential batch_m=1 walk (and to the pure-Python reference) on the
+    tie/overlap corpus and on randomized corpora over a small alphabet
+    (maximally interacting pairs — the worst case for batching)."""
+    import random
+
+    from akf_cdparser_spark.analytics.bpe import learn_bpe
+
+    corpora = [[
+        "low low low low low lower lower newest newest newest",
+        "newest newest newest widest widest widest aaaa aaaa",
+        "ab ab ba ba ba ab", "zzz zzz"]]
+    rng = random.Random(42)
+    for _ in range(2):
+        corpora.append([
+            " ".join("".join(rng.choice("abcd") for _ in
+                             range(rng.randint(1, 7)))
+                     for _ in range(30)) for _ in range(6)])
+
+    for texts in corpora:
+        rows = [(f"d{i}", t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        expected, _ = _py_bpe(texts, 10)
+        for m in (3, 8):
+            got = [(r.step, r.left, r.right, r.pair_count)
+                   for r in learn_bpe(docs, n_merges=10, batch_m=m)
+                   .orderBy("step").collect()]
+            assert got == expected, (m, texts)
+
+
+def test_learn_bpe_batching_engages(spark):
+    """On a disjoint-heavy corpus batch_m=8 must actually batch (fewer
+    count-rounds than merges) — guarded by counting _select_batch calls."""
+    from unittest import mock
+
+    from akf_cdparser_spark.analytics import bpe
+
+    texts = ["ab ab ab cd cd cd ef ef ef gh gh gh ij ij ij kl kl kl",
+             "mn mn mn op op op qr qr qr st st st uv uv uv wx wx wx"]
+    docs = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(texts)],
+        "doc_id string, text string")
+    calls = []
+    orig = bpe._select_batch
+
+    def spy(rows, max_m, top_k=None):
+        out = orig(rows, max_m, top_k=top_k)
+        calls.append(len(out))
+        return out
+
+    with mock.patch.object(bpe, "_select_batch", side_effect=spy):
+        merges = bpe.learn_bpe(docs, n_merges=8, batch_m=8).collect()
+    assert len(merges) == 8
+    assert len(calls) < 8          # fewer rounds than merges
+    assert max(calls) > 1          # a batch actually carried >1 merge
+
+
+def test_kmv_distinct_ignores_nulls(spark):
+    """NULL column values are excluded from the sketch: md5(NULL) is a
+    NULL hv that sorts first under NULLS FIRST and would displace a real
+    hash from the k-sample (round-5 ADVICE). Exhaustive branch: the
+    estimate equals the exact NON-NULL distinct count."""
+    from akf_cdparser_spark.analytics.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [(x,) for x in ["a", "b", "c", None, None, "a"]], "v string")
+    row = kmv_distinct(df, ["v"], k=16).head()
+    assert row.n_kept == 3
+    assert row.est_distinct == 3
+    assert row.kth_hash is None

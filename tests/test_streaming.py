@@ -139,3 +139,27 @@ def test_stream_curation_gate_matches_batch(spark, tmp_path):
         assert any(r.has_pii for r in pii.values())
     finally:
         q.stop()
+
+
+def test_stream_gate_rounding_edge_agrees_with_batch(spark):
+    """The round-5 ADVICE drift case: a doc whose RAW punct_ratio is in
+    [0.2999995, 0.3) rounds to 0.3 at 6 dp, so the batch gate rejects it
+    — the stream gate must reject it too (both now share
+    text.quality_gate_exprs). A doc one punct short of the edge passes
+    both."""
+    from akf_cdparser_spark.analytics import text as T
+
+    def doc(n_punct):
+        # 5 leading tokens keep n_tokens >= 5; total length 2_000_000
+        head = "a a a a "
+        return head + "." * n_punct + "x" * (2_000_000 - len(head) - n_punct)
+
+    base = spark.createDataFrame(
+        [("edge", doc(599_999)),    # ratio exactly 0.2999995 -> rounds 0.3
+         ("below", doc(599_998))],  # ratio 0.299999 -> passes
+        "doc_id string, text string")
+    batch = {r.doc_id: r.quality_ok
+             for r in T.quality_scores(base).collect()}
+    stream = {r.doc_id: r.quality_ok
+              for r in pipeline.stream_curation_gate(base).collect()}
+    assert batch == stream == {"edge": False, "below": True}
