@@ -30,6 +30,8 @@ convergence-read contract). Empty clusters keep their previous centroid.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -89,8 +91,9 @@ def kmeans_int8(embeddings: DataFrame, k: int = 8,
     return final.select("vec_id", "cluster_id", "dist")
 
 
-def semdedup(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
-             threshold: float = 0.4, round_to: int = 4) -> DataFrame:
+def semdedup(embeddings: DataFrame, k: int | None = None, n_iter: int = 3,
+             threshold: float = 0.4, round_to: int = 4,
+             max_cluster_size: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): cluster the embeddings,
     then inside each cluster drop near-semantic-duplicates — for every
@@ -108,14 +111,57 @@ def semdedup(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
     UNORDERED pair once (a.vec_id < b.vec_id; the cosine is symmetric and
     the keeper order is a strict total order, so one evaluation decides
     the pair) — pairwise work bounded per cluster, which is exactly
-    SemDeDup's own trade (the paper runs k ~ sqrt(N) clusters so
-    within-cluster pair counts stay ~N); the removal rule is per-pair
-    local (no connected components, no sequential sweep), one join back.
-    The int8 codes ride along from the clustering pass (keep_codes) —
-    no second corpus scan, no corpus-wide re-join."""
+    SemDeDup's own trade (the paper, §3, runs k ~ sqrt(N) clusters so
+    within-cluster pair counts stay ~N^1.5 total); the removal rule is
+    per-pair local (no connected components, no sequential sweep), one
+    join back. The int8 codes ride along from the clustering pass
+    (keep_codes) — no second corpus scan, no corpus-wide re-join.
+
+    Quadratic-collapse guards (both derived from one O(1)-driver count
+    when left at their ``None`` defaults):
+
+    * ``k=None`` -> ceil(sqrt(N)), the paper's own sizing — a caller who
+      forgets k can no longer point k=8 at a 10^9-doc corpus (~10^17
+      pairs);
+    * ``max_cluster_size=None`` -> max(1024, 4*ceil(sqrt(N))): clusters
+      the k-means leaves larger than the bound (skewed corpora, centroid
+      collapse on near-identical embeddings) are SPLIT into
+      ceil(size/bound) deterministic md5(vec_id) subcells before the
+      pair join, so no input distribution can go quadratic. The trade:
+      pairs straddling two subcells of an OVERSIZED cluster are not
+      compared — bounded-recall sampling of exactly the pathological
+      surface, mirroring the paper's own per-cluster cap. Clusters
+      within bound take the identical single-key path (the pinned q105
+      oracle is byte-unchanged when no cluster exceeds the bound)."""
+    if k is None or max_cluster_size is None:
+        n = embeddings.count()
+    if k is None:
+        k = max(1, math.ceil(math.sqrt(n)))
+    if max_cluster_size is None:
+        max_cluster_size = max(1024, 4 * math.ceil(math.sqrt(n)))
     with_codes = kmeans_int8(embeddings, k=k, n_iter=n_iter,
                              keep_codes=True)
-    x = with_codes
+    oversized = (with_codes.groupBy("cluster_id")
+                 .agg(F.count(F.lit(1)).alias("_n"))
+                 .filter(F.col("_n") > max_cluster_size)
+                 .collect())  # <= k rows
+    if oversized:
+        spark = embeddings.sparkSession
+        split_df = spark.createDataFrame(
+            [(int(r.cluster_id),
+              math.ceil(int(r._n) / max_cluster_size)) for r in oversized],
+            "cluster_id int, _splits int")
+        sub = F.pmod(
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")),
+                               1, 15), 16, 10).cast("long"),
+            F.coalesce(F.col("_splits"), F.lit(1)))
+        x = (with_codes.join(F.broadcast(split_df), "cluster_id", "left")
+             .withColumn("_cell",
+                         F.concat_ws("#", F.col("cluster_id"), sub))
+             .drop("_splits"))
+    else:
+        x = with_codes.withColumn(
+            "_cell", F.col("cluster_id").cast("string"))
     a, b = x.alias("a"), x.alias("b")
     cos = F.round(
         F.aggregate(F.zip_with(F.col("a.q"), F.col("b.q"),
@@ -132,7 +178,7 @@ def semdedup(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
     b_beats_a = ((F.col("b.dist") > F.col("a.dist"))
                  | ((F.col("b.dist") == F.col("a.dist"))
                     & (F.col("b.vec_id") < F.col("a.vec_id"))))
-    removed = (a.join(b, (F.col("a.cluster_id") == F.col("b.cluster_id"))
+    removed = (a.join(b, (F.col("a._cell") == F.col("b._cell"))
                       & (F.col("a.vec_id") < F.col("b.vec_id")))
                .filter(cos >= threshold)
                .select(F.when(b_beats_a, F.col("a.vec_id"))

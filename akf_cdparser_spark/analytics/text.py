@@ -657,7 +657,11 @@ def curate_training_mix(docs: DataFrame, *, min_tokens: int = 5,
                         max_punct_ratio: float = 0.3,
                         keep_langs: tuple[str, ...] = ("de", "en"),
                         n_shards: int = 8,
-                        repetition_gate: bool = False) -> DataFrame:
+                        repetition_gate: bool = False,
+                        semantic_dedup: DataFrame | None = None,
+                        semdedup_k: int | None = None,
+                        semdedup_threshold: float = 0.4,
+                        quality_canonical: bool = False) -> DataFrame:
     """The nightly pass a 100-TB training-data pipeline actually runs,
     composed in ONE declarative plan: exact-dedup keep-list (md5
     fingerprint window) -> quality gate (token floor + punctuation
@@ -679,11 +683,34 @@ def curate_training_mix(docs: DataFrame, *, min_tokens: int = 5,
     whitespace/case the fingerprint normalizes away (the pinned choice:
     a gated-out doc can never be the surviving canonical). Adds the gram
     aggregation shuffles, so the one-Exchange guard applies to the
-    default shape only."""
+    default shape only.
+
+    ``semantic_dedup`` (a doc_id-aligned ``(vec_id, embedding)`` frame)
+    prepends the SemDeDup keep-list (clustering.semdedup, q105) the same
+    way — semantic near-dups are removed before the exact pass ever
+    fingerprints them. The prepass adds the k-means + pair-scan stages
+    plus ONE id-equi-join against the corpus (at 100 TB the keep-list is
+    corpus-sized, so this join shuffles on doc_id — the honest cost of
+    semantic dedup; everything downstream is unchanged).
+
+    ``quality_canonical=True`` swaps the min-doc_id canonical rule for
+    the q106 keeper order — (quality_ok DESC, n_tokens DESC, doc_id ASC)
+    per fingerprint group via row_number over the SAME window partition,
+    so the one-Exchange shape is preserved: a duplicate group keeps its
+    best member, and a group whose best member fails the gate drops
+    entirely (identical to before only because exact-dup members tie on
+    n_tokens; the rule matters when gates diverge within a group)."""
     if repetition_gate:
         keep = (repetition_scores(docs)
                 .filter(F.col("repetition_ok")).select("doc_id"))
         docs = docs.join(keep, "doc_id", "left_semi")
+    if semantic_dedup is not None:
+        from .clustering import semdedup as _semdedup
+        sem_keep = (_semdedup(semantic_dedup, k=semdedup_k,
+                              threshold=semdedup_threshold)
+                    .filter(F.col("is_kept"))
+                    .select(F.col("vec_id").alias("doc_id")))
+        docs = docs.join(sem_keep, "doc_id", "left_semi")
     n_tokens = F.size(tokens_col())
     n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
     de = _count_hits(DE_STOPWORDS)
@@ -699,11 +726,18 @@ def curate_training_mix(docs: DataFrame, *, min_tokens: int = 5,
         .alias("lang_guess"),
         fp.alias("fingerprint"))
     w = Window.partitionBy("fingerprint")
+    if quality_canonical:
+        q_ok = ((F.col("n_tokens") >= min_tokens)
+                & (F.col("punct_ratio") < max_punct_ratio))
+        wq = Window.partitionBy("fingerprint").orderBy(
+            F.desc(q_ok), F.desc("n_tokens"), F.asc("doc_id"))
+        is_canonical = F.row_number().over(wq) == 1
+    else:
+        is_canonical = F.col("doc_id") == F.min("doc_id").over(w)
     shard = F.pmod(F.conv(F.substring("fingerprint", 1, 15), 16, 10)
                    .cast("long"), F.lit(n_shards)).cast("int")
     return (base
-            .withColumn("is_canonical",
-                        F.col("doc_id") == F.min("doc_id").over(w))
+            .withColumn("is_canonical", is_canonical)
             .filter(F.col("is_canonical")
                     & (F.col("n_tokens") >= min_tokens)
                     & (F.col("punct_ratio") < max_punct_ratio)

@@ -3416,7 +3416,9 @@ def q105_semdedup(spark, sf_dir):
     SET, not just its size. Oracle = pinned numpy twin
     (gen_pinned_oracles.q105_rows), valid at sf0.01."""
     from ..analytics.clustering import semdedup
-    out = semdedup(_t(spark, sf_dir, "embeddings"))
+    # k pinned to the generator's configuration; the operator default is
+    # now k=None -> ceil(sqrt(N)) (the SemDeDup paper's sizing)
+    out = semdedup(_t(spark, sf_dir, "embeddings"), k=8)
     return (out.groupBy("cluster_id")
             .agg(F.count(F.lit(1)).cast("int").alias("n_members"),
                  F.sum(F.when(~F.col("is_kept"), 1).otherwise(0))
@@ -3506,6 +3508,49 @@ SELECT doc_id, CAST(count(DISTINCT token) AS INT) AS n_terms_matched
 FROM toks WHERE token IN ('data', 'join', 'table')
 GROUP BY doc_id HAVING count(DISTINCT token) = 3
 """
+
+
+def q108_curated_semantic_mix(spark, sf_dir):
+    """The curation capstone with the SEMANTIC plane composed in:
+    curate_training_mix(semantic_dedup=embeddings, quality_canonical=True)
+    — SemDeDup keep-list prepass (q105, k=8 pinned config) -> exact-dedup
+    with the q106 quality-keeper rule -> quality/lang gates -> shards.
+    Oracle: the full relational tail recomputed by DuckDB over documents
+    prefiltered by the PINNED semdedup removal set
+    (gen_pinned_oracles.q105_detail; valid at sf0.01, like q105)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return text.curate_training_mix(docs, semantic_dedup=emb, semdedup_k=8,
+                                    quality_canonical=True)
+
+
+Q108_SQL = r"""
+WITH padded AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents
+  WHERE doc_id NOT IN ({removed})),
+base AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+               / greatest(length(text), 1), 6) AS punct_ratio,
+         CASE WHEN {de} > {en} THEN 'de'
+              WHEN {en} > {de} THEN 'en' ELSE 'und' END AS lang_guess,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM padded),
+dd AS (
+  SELECT *, row_number() OVER (
+             PARTITION BY fingerprint
+             ORDER BY (n_tokens >= 5 AND punct_ratio < 0.3) DESC,
+                      n_tokens DESC, doc_id ASC) = 1 AS is_canonical
+  FROM base)
+SELECT doc_id, lang_guess, n_tokens, fingerprint,
+       CAST(CAST(concat('0x', substr(fingerprint, 1, 15)) AS BIGINT) % 8
+            AS INT) AS shard
+FROM dd
+WHERE is_canonical AND n_tokens >= 5 AND punct_ratio < 0.3
+  AND lang_guess IN ('de', 'en')
+""".format(de=_sql_hits(_DE), en=_sql_hits(_EN),
+           removed=", ".join(map(str, _pinned.Q105_REMOVED)) or "-1")
 
 
 def q101_ivf_int8_recall(spark, sf_dir):
@@ -3679,4 +3724,5 @@ REGISTRY: dict[str, tuple] = {
     "q105_semdedup": (q105_semdedup, Q105_SQL),
     "q106_quality_canonical": (q106_quality_canonical, Q106_SQL),
     "q107_keyword_search": (q107_keyword_search, Q107_SQL),
+    "q108_curated_semantic_mix": (q108_curated_semantic_mix, Q108_SQL),
 }

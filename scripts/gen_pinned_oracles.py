@@ -233,7 +233,7 @@ def q101_rows(query_ids=(0, 7, 42, 99, 123), k=5, n_lists=16, n_assign=3,
         rows.append((int(qid), recall))
     return rows
 
-def q105_rows(k=8, n_iter=3, threshold=0.4) -> list[tuple[int, int, int, int, int]]:
+def q105_detail(k=8, n_iter=3, threshold=0.4):
     """Twin of analytics.clustering.semdedup rolled up per cluster: the
     q96 kmeans twin provides (vec_id, cluster_id, dist); within each
     cluster, int8 cosines (4 dp, spark_round) mark pairs >= threshold and
@@ -260,6 +260,7 @@ def q105_rows(k=8, n_iter=3, threshold=0.4) -> list[tuple[int, int, int, int, in
     for vid, cid, dist in base:
         by_cid.setdefault(int(cid), []).append((int(vid), int(dist)))
     rows = []
+    all_removed: set[int] = set()
     for cid in sorted(by_cid):
         members = by_cid[cid]
         removed = set()
@@ -280,7 +281,12 @@ def q105_rows(k=8, n_iter=3, threshold=0.4) -> list[tuple[int, int, int, int, in
         rows.append((cid, len(members), len(removed),
                      sum(removed),
                      sum(v for v, _ in members if v not in removed)))
-    return rows
+        all_removed.update(removed)
+    return rows, sorted(all_removed)
+
+
+def q105_rows(k=8, n_iter=3, threshold=0.4) -> list[tuple[int, int, int, int, int]]:
+    return q105_detail(k=k, n_iter=n_iter, threshold=threshold)[0]
 
 def q29_rows() -> list[tuple[str, int, int, int]]:
     """Sequential twin of the q29 streak grouping at sf0.01: the histogram
@@ -555,7 +561,7 @@ def main():
     q48 = q48_rows()
     q65 = q65_rows()
     q101 = q101_rows()
-    q105 = q105_rows()
+    q105, q105_removed = q105_detail()
     q29 = q29_rows()
     q50 = q50_rows()
     q61 = q61_rows()
@@ -588,6 +594,11 @@ def main():
             fh.write(f"    {r!r},\n")
         fh.write("]\n\nQ105_EXPECTED = [\n")
         for r in q105:
+            fh.write(f"    {r!r},\n")
+        fh.write("]\n\n# semdedup(k=8) removed vec_ids at sf0.01 — the"
+                 "\n# semantic-dedup prepass of the q108 composed-curation"
+                 " oracle\nQ105_REMOVED = [\n")
+        for r in q105_removed:
             fh.write(f"    {r!r},\n")
         fh.write("]\n\nQ61_EXPECTED = [\n")
         for r in q61:

@@ -1557,3 +1557,116 @@ def test_kmv_distinct_ignores_nulls(spark):
     assert row.n_kept == 3
     assert row.est_distinct == 3
     assert row.kth_hash is None
+
+
+def test_semdedup_skew_guard_splits_oversized_clusters(spark):
+    """Planted skew — 400 identical embeddings collapse k-means into ONE
+    cluster. With max_cluster_size=50 the guard must split the pair scan
+    into md5(vec_id) subcells (exactly the ceil(size/bound) the impl
+    derives), keeping one survivor per subcell instead of running a
+    400^2/2 self-join; a healthy small cluster rides the identical
+    single-key path. Deterministic: two runs agree."""
+    import hashlib
+    import math
+
+    from akf_cdparser_spark.analytics.clustering import semdedup
+
+    n_skew = 400
+    rows = [(i, [1.0, 0.5, -0.25, 2.0]) for i in range(n_skew)]
+    rows += [(1000 + j, [-4.0 - j / 10.0, 3.0, -2.0, 1.0])
+             for j in range(3)]  # small healthy cluster, far away
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = {r.vec_id: r for r in semdedup(
+        docs, k=2, n_iter=2, threshold=0.95,
+        max_cluster_size=50).collect()}
+    assert len(out) == n_skew + 3            # one verdict per vector
+
+    skew_cluster = out[0].cluster_id
+    assert all(out[i].cluster_id == skew_cluster for i in range(n_skew))
+    splits = math.ceil(n_skew / 50)          # what the guard derives
+
+    def bucket(vec_id):
+        hv = int(hashlib.md5(str(vec_id).encode()).hexdigest()[:15], 16)
+        return hv % splits
+
+    # identical vectors: every subcell keeps exactly its keeper-order
+    # winner -> survivors == one per NON-EMPTY subcell, and each is that
+    # subcell's min vec_id (dists all tie, min id wins the keeper order)
+    expected_kept = {min(v for v in range(n_skew) if bucket(v) == b)
+                     for b in {bucket(v) for v in range(n_skew)}}
+    got_kept = {v for v in range(n_skew) if out[v].is_kept}
+    assert got_kept == expected_kept
+    assert 1 < len(got_kept) <= splits       # split actually engaged
+
+    again = {r.vec_id: r.is_kept for r in semdedup(
+        docs, k=2, n_iter=2, threshold=0.95,
+        max_cluster_size=50).collect()}
+    assert again == {v: r.is_kept for v, r in out.items()}
+
+
+def test_semdedup_default_k_is_sqrt_n(spark):
+    """k=None derives ceil(sqrt(N)) clusters (the SemDeDup paper sizing)
+    — on 30 vectors that is 6; the output must carry <= 6 distinct
+    cluster ids and every vector gets a verdict."""
+    import random
+
+    from akf_cdparser_spark.analytics.clustering import semdedup
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(30)]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(docs, threshold=0.99).collect()
+    assert len(out) == 30
+    assert len({r.cluster_id for r in out}) <= 6
+
+
+def test_curate_quality_canonical_rescues_group(spark):
+    """quality_canonical=True composes the q106 keeper rule into the
+    curation pass: a fingerprint group whose MIN-id member fails the
+    punct gate but whose higher-id member passes is DROPPED by the
+    default rule (canonical fails the gate) yet SURVIVES via its passing
+    member under the quality keeper order."""
+    from akf_cdparser_spark.analytics import text as T
+
+    words = "der die das und nicht mit"
+    punct = ",.!?;:" * 3
+    compact = words + punct                      # high punct ratio, fails
+    spaced = words.replace(" ", " " * 30) + punct  # same fingerprint, passes
+    docs = spark.createDataFrame(
+        [(1, compact), (2, spaced)], "doc_id long, text string")
+
+    q = {r.doc_id: r for r in T.quality_scores(docs).collect()}
+    assert not q[1].quality_ok and q[2].quality_ok  # gate precondition
+
+    default_kept = {r.doc_id for r in T.curate_training_mix(docs).collect()}
+    assert default_kept == set()                 # min-id canonical fails
+    quality_kept = {r.doc_id for r in T.curate_training_mix(
+        docs, quality_canonical=True).collect()}
+    assert quality_kept == {2}                   # best member rescues it
+
+
+def test_curate_semantic_dedup_prepass(spark):
+    """semantic_dedup routes the SemDeDup keep-list in ahead of the exact
+    pass: of two identical embeddings the keeper-order loser's doc never
+    reaches the output; the distinct doc and the keeper survive."""
+    from akf_cdparser_spark.analytics import text as T
+
+    docs = spark.createDataFrame(
+        [(10, "der schnelle braune fuchs springt heute hier"),
+         (11, "die alte graue katze schlaeft nicht gerne dort"),
+         (12, "und das dritte dokument ist mit abstand anders")],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.5, -0.25, 2.0]),
+         (11, [1.0, 0.5, -0.25, 2.0]),        # identical to 10
+         (12, [-4.0, 3.0, -2.0, 1.0])],
+        "vec_id long, embedding array<float>")
+
+    base_kept = {r.doc_id for r in T.curate_training_mix(docs).collect()}
+    assert base_kept == {10, 11, 12}             # all pass without prepass
+
+    kept = {r.doc_id for r in T.curate_training_mix(
+        docs, semantic_dedup=emb, semdedup_k=2,
+        semdedup_threshold=0.95).collect()}
+    assert kept == {10, 12}  # identical pair ties on dist -> min id kept

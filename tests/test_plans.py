@@ -113,6 +113,27 @@ def test_q67_training_mix_single_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
 
 
+def test_q108_semantic_mix_plan_shape(spark):
+    """The semantically-composed capstone: the relational tail must STILL
+    shuffle exactly once on the fingerprint (the q67 guard extended — the
+    semdedup prepass adds its own clustering stages, but composing it in
+    must not degrade the tail into per-feature joins), and the
+    quality-canonical window must not add a second fingerprint Exchange
+    (row_number rides the same partitioning)."""
+    p = _plan(spark, REGISTRY["q108_curated_semantic_mix"][0](spark, SF))
+    # formatted mode lists Exchange args on their own "Arguments:" line
+    assert len(re.findall(r"hashpartitioning\(fingerprint", p)) == 1, p
+
+
+def test_quality_canonical_mix_single_exchange(spark):
+    """quality_canonical=True alone keeps the one-Exchange promise: the
+    keeper-order row_number shares the fingerprint window partition."""
+    from akf_cdparser_spark.analytics import text as T
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(spark, T.curate_training_mix(docs, quality_canonical=True))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
 def test_q06_filters_pushed(spark):
     p = _plan(spark, REGISTRY["q06_revenue_filter"][0](spark, SF))
     assert "PushedFilters: [IsNotNull" in p
