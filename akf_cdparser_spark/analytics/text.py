@@ -910,7 +910,7 @@ def lse_grouped(docs: DataFrame, n_sectors: int = 10,
                         F.col("first_seen.doc_id").alias("first_doc"),
                         F.col("first_seen.pos").alias("first_pos")))
 
-        def walk_all(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        def walk_all(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             by_class: dict[str, dict[int, int]] = {}
             rank: dict[tuple, tuple] = {}
             for r in pdf.itertuples(index=False):
@@ -929,7 +929,7 @@ def lse_grouped(docs: DataFrame, n_sectors: int = 10,
 
     hist = lse_histogram(docs, n_sectors)
 
-    def walk(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def walk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cls = key[0]
         rows = streak_grouping(
             {cls: dict(zip(pdf["sector"].astype(int),

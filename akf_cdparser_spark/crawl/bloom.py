@@ -192,7 +192,7 @@ def build_shards(seen: DataFrame, n_shards: int = 32,
     a bloom passing the fill-ratio safety also spills."""
     prev_counts = prev_counts or {}
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(key[0])
         hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
         n = len(hashes)

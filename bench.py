@@ -42,9 +42,12 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         # Gopher repetition, 13-gram decontamination
         "q73_rolling_fingerprints", "q74_fingerprint_containment",
         "q75_repetition_scores", "q78_decontaminate",
-        # round-5 second half: incremental MinHash index (write+probe)
-        # and fixed-point int8 k-means clustering
-        "q93_minhash_index_probe", "q96_kmeans_int8",
+        # round-5 second half: fixed-point int8 k-means clustering
+        # (the incremental MinHash index is timed as the split
+        # q93_build / q93_probe legs below — VERDICT r5 #5: the combined
+        # registry call billed the one-time index WRITE to the
+        # steady-state probe, hiding the sub-second probe behind 15s)
+        "q96_kmeans_int8",
     ]
 
     # warm-up: JVM/codegen/parquet-footer/Python-worker startup must not be
@@ -73,6 +76,34 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         timings[name] = round(runs[1], 3)
         spreads[name] = [round(runs[0], 3), round(runs[1], 3),
                          round(runs[-1], 3)]
+
+    # q93 split into build/probe (VERDICT r5 #5): build = the one-time
+    # index write (amortized over every later batch in production);
+    # probe = the steady-state operation the operator exists for —
+    # broadcast batch signatures + partition-pruned index read
+    from pyspark.sql import functions as F
+
+    from akf_cdparser_spark.analytics import dedup as D
+
+    q93_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q93_is_new = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+                  < F.lit("4"))
+    with tempfile.TemporaryDirectory(prefix="bench_q93_idx_") as idx_path:
+        for leg, action in (
+                ("q93_build", lambda: D.write_minhash_index(
+                    q93_docs.filter(~q93_is_new), idx_path)),
+                ("q93_probe", lambda: D.probe_minhash_index(
+                    spark, idx_path, q93_docs.filter(q93_is_new))
+                 .write.format("noop").mode("overwrite").save())):
+            runs = []
+            for _rep in range(3):
+                t0 = time.time()
+                action()
+                runs.append(time.time() - t0)
+            runs.sort()
+            timings[leg] = round(runs[1], 3)
+            spreads[leg] = [round(runs[0], 3), round(runs[1], 3),
+                            round(runs[-1], 3)]
 
     # extraction throughput over the synthetic spans corpus (warm single
     # shot: the corpus synthesis dominates a repeat, medians would measure
@@ -123,11 +154,15 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         warm.bootstrap(fixtures.seed_urls(30, 300), fixtures.robots_rules(300))
         warm.run(X.docs_dataframe(spark, 300), 2)
 
-    def crawl_leg(n_docs: int) -> tuple[float, dict]:
-        """Best-of-2 fresh crawls: the shared host's neighbor load can
-        inflate a single run 3x (BENCH/BASELINE.md noise protocol)."""
-        best_wall, best_tot = None, None
-        for _rep in range(2):
+    def crawl_leg(n_docs: int, reps: int = 3) -> tuple[float, list, dict]:
+        """Median-of-``reps`` fresh crawls WITH the full spread (VERDICT
+        r5 #1: the crawl legs were the last ones judged without a
+        dispersion — best-of-2 medians hid whether a round-over-round
+        delta was engine or the documented ±30% host drift). The
+        scheduled/parsed totals are schedule-deterministic (identical
+        across reps), so throughput is computed from the median wall."""
+        walls, tot = [], None
+        for _rep in range(reps):
             with tempfile.TemporaryDirectory() as state_dir:
                 engine = CrawlEngine(spark, state_dir, n_docs,
                                      host_budget=max(40, n_docs // 14),
@@ -138,16 +173,19 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
                 docs = X.docs_dataframe(spark, n_docs)
                 t0 = time.time()
                 tot = engine.run(docs, generations=3)
-                wall = time.time() - t0
+                walls.append(time.time() - t0)
                 engine.close()
-            if best_wall is None or wall < best_wall:
-                best_wall, best_tot = wall, tot
-        return best_wall, best_tot
+        walls.sort()
+        med = walls[len(walls) // 2]
+        return med, [round(walls[0], 3), round(med, 3),
+                     round(walls[-1], 3)], tot
 
-    crawl_wall, totals = crawl_leg(crawl_docs)
+    crawl_wall, crawl_spread, totals = crawl_leg(crawl_docs)
     timings["crawl_3gen"] = round(crawl_wall, 3)
-    small_wall, small_tot = crawl_leg(crawl_docs_small)
+    spreads["crawl_3gen"] = crawl_spread
+    small_wall, small_spread, small_tot = crawl_leg(crawl_docs_small)
     timings["crawl_3gen_small"] = round(small_wall, 3)
+    spreads["crawl_3gen_small"] = small_spread
 
     total = round(sum(timings.values()), 3)
     return {

@@ -37,10 +37,43 @@ for t in ("lineitem", "orders", "customer", "events", "documents",
           "embeddings"):
     spark.read.parquet(f"{sf_dir}/{t}.parquet") \
         .write.format("noop").mode("overwrite").save()
-REGISTRY[names[0]][0](spark, sf_dir) \
-    .write.format("noop").mode("overwrite").save()  # warm the lane
+for _n in names:  # warm the query lane (crawl legs warm themselves)
+    if not _n.startswith("crawl_3gen"):
+        REGISTRY[_n][0](spark, sf_dir) \
+            .write.format("noop").mode("overwrite").save()
+        break
+def crawl_leg(n_docs):
+    # one fresh 3-generation crawl at the bench corpus size, after the
+    # same small warm-up crawl bench.py runs (stage types: schedule
+    # windows, bloom cogroup, parse, snapshot writes)
+    import tempfile
+    from akf_cdparser_spark import fixtures
+    from akf_cdparser_spark.crawl.frontier import CrawlEngine
+    from akf_cdparser_spark.operators import extract as X
+    with tempfile.TemporaryDirectory() as warm_dir:
+        warm = CrawlEngine(spark, warm_dir, 300, host_budget=20, n_salts=4)
+        warm.bootstrap(fixtures.seed_urls(30, 300), fixtures.robots_rules(300))
+        warm.run(X.docs_dataframe(spark, 300), 2)
+    with tempfile.TemporaryDirectory() as state_dir:
+        engine = CrawlEngine(spark, state_dir, n_docs,
+                             host_budget=max(40, n_docs // 14),
+                             n_shards=16, n_salts=4)
+        engine.bootstrap(fixtures.seed_urls(max(50, n_docs // 10), n_docs),
+                         fixtures.robots_rules(n_docs))
+        docs = X.docs_dataframe(spark, n_docs)
+        t0 = time.time()
+        engine.run(docs, generations=3)
+        wall = time.time() - t0
+        engine.close()
+    return wall
+
 out = {}
 for name in names:
+    if name.startswith("crawl_3gen"):
+        # pseudo-leg: "crawl_3gen" (64k docs) or "crawl_3gen:<n_docs>"
+        n_docs = int(name.split(":", 1)[1]) if ":" in name else 64000
+        out[name] = round(crawl_leg(n_docs), 3)
+        continue
     fn, _ = REGISTRY[name]
     # discard the first run: it pays per-JVM codegen/plan compile, a
     # one-time cost that round-over-round comparisons must not bill to
