@@ -110,10 +110,18 @@ def main() -> None:
         try:
             runs: dict[str, list[dict]] = {"HEAD": [], rev: []}
             for rep in range(reps):
-                # interleave: the host drifts on minutes timescales, so
-                # each rep samples both versions back to back
-                runs["HEAD"].append(run_side(REPO, queries))
-                runs[rev].append(run_side(wt, queries))
+                # interleave AND alternate which side goes first (ABBA):
+                # measured on this host (round 6, crawl_3gen), the
+                # FIRST-of-pair position reads up to ~40% slower than the
+                # second regardless of which version occupies it — a
+                # fixed order would misattribute that position penalty to
+                # one version (it did: HEAD-first read a spurious 1.36x
+                # "regression" that flipped to 1.05 when swapped)
+                sides = [("HEAD", REPO), (rev, wt)]
+                if rep % 2:
+                    sides.reverse()
+                for label, path in sides:
+                    runs[label].append(run_side(path, queries))
                 print(f"rep {rep + 1}/{reps}: "
                       f"HEAD={runs['HEAD'][-1]} {rev}={runs[rev][-1]}",
                       flush=True)
