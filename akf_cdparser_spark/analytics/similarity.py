@@ -538,6 +538,185 @@ def cosine_topk_ivf_int8(embeddings: DataFrame, query_ids: list[int],
             .select("query_id", "vec_id", "cosine", "rank"))
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compression lever BEYOND int8: dim floats
+# become M byte-sized codes (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011 — the FAISS IVF-PQ building block)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8           # subspaces
+PQ_KS = 16         # codes per subspace (codebook entries)
+PQ_RERANK_R = 150  # ADC shortlist size before the exact rerank — a
+# per-query CONSTANT (not a corpus fraction), so at 100 TB the rerank is
+# noise; it is sized generously because the synthetic sf0.01 embeddings
+# are isotropic (no cluster structure — PQ's worst case, same phenomenon
+# as the measured Lloyd recall DROP documented at ivf_centroid_row)
+
+
+def _unit(col):
+    """Unit-L2-normalize a float array (float64; zero vectors stay zero) —
+    PQ-for-cosine: on unit vectors, squared L2 = 2 - 2*cosine, so ADC's
+    ascending-L2 ranking is exactly descending-cosine."""
+    v = F.transform(col, lambda x: x.cast("double"))
+    n = _norm(v)
+    return F.when(n == 0.0, v).otherwise(
+        F.transform(v, lambda x: x / n))
+
+
+def _d2(a, b):
+    """Squared L2 distance between two double arrays, rounded half-up to
+    6 dp so rankings are reproducible on any engine (the _list_scores
+    convention, for distances)."""
+    return F.round(F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v), 6)
+
+
+def pq_codebook_row(embeddings: DataFrame, dim: int, m_sub: int = PQ_M,
+                    ks: int = PQ_KS) -> DataFrame:
+    """Deterministic PQ codebook, collapsed to ONE row holding
+    ``books: array<array<array<double>>>`` (m_sub x ks x dim/m_sub):
+    subspace m's centroids are the m-th sub-slices of the ``ks`` corpus
+    vectors ranked first by ``(md5('pq:' || vec_id), vec_id)`` — the
+    ivf_centroid_row sampling quantizer (data-dependent, no RNG state,
+    reproducible on any engine), sliced after unit-normalization.
+
+    Lloyd refinement is deliberately omitted for the same reason as IVF
+    (float averages are partition-order-nondeterministic under a
+    hash-gated oracle); refined codebooks can be fed to ``pq_encode`` /
+    ``pq_topk_adc`` via ``codebook_row``."""
+    d = dim // m_sub
+    sample = (embeddings
+              .orderBy(F.md5(F.concat(F.lit("pq:"),
+                                      F.col("vec_id").cast("string"))),
+                       F.col("vec_id"))
+              .limit(ks)
+              .select(F.md5(F.concat(F.lit("pq:"),
+                                     F.col("vec_id").cast("string")))
+                      .alias("_key"),
+                      F.col("vec_id").alias("_vid"),
+                      _unit(F.col("embedding")).alias("_u")))
+    ordered = F.array_sort(F.collect_list(
+        F.struct(F.col("_key"), F.col("_vid"), F.col("_u"))))
+    return sample.agg(
+        F.transform(F.sequence(F.lit(0), F.lit(m_sub - 1)),
+                    lambda m: F.transform(
+                        ordered, lambda c: F.slice(c["_u"], m * d + 1, d)))
+        .alias("books"))
+
+
+def pq_encode(embeddings: DataFrame, dim: int, m_sub: int = PQ_M,
+              ks: int = PQ_KS,
+              codebook_row: DataFrame | None = None) -> DataFrame:
+    """Encode every vector as ``m_sub`` codebook indices: per subspace,
+    the argmin squared-L2 centroid (6 dp, ties -> lowest code via
+    array_position's first-match). Returns (vec_id, codes array<int>,
+    u array<double>) — ``u`` is the unit-normalized vector, carried for
+    in-plan reranks; a parked index would persist (vec_id, codes) only:
+    dim float32s become m_sub small ints (a 32x scan-size cut at
+    dim=64/M=8 vs float32, 8x vs int8).
+
+    Plan shape: one-row codebook broadcast + pure higher-order-function
+    projections — the corpus NEVER shuffles."""
+    d = dim // m_sub
+    books = codebook_row if codebook_row is not None \
+        else pq_codebook_row(embeddings, dim, m_sub, ks)
+    base = (embeddings
+            .select("vec_id", _unit(F.col("embedding")).alias("u"))
+            .join(F.broadcast(books)))
+    # bind the per-subspace distance rows to a projected column FIRST —
+    # array_min + array_position both consume each row, and codegen CSE
+    # does not reach into lambda bodies (the lambda-CSE rule)
+    dists = F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.transform(
+            F.element_at("books", (m + 1).cast("int")),
+            lambda c: _d2(F.slice(F.col("u"), m * d + 1, d), c)))
+    codes = F.transform(
+        F.col("_dists"),
+        lambda row: (F.array_position(row, F.array_min(row)) - 1)
+        .cast("int"))
+    return (base.select("vec_id", "u", dists.alias("_dists"))
+            .select("vec_id", "u", codes.alias("codes")))
+
+
+def pq_topk_adc(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                dim: int = 64, m_sub: int = PQ_M, ks: int = PQ_KS,
+                rerank_r: int = PQ_RERANK_R, round_to: int = 4,
+                codebook_row: DataFrame | None = None) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC) + exact rerank —
+    the FAISS refine pipeline: each query precomputes its (m_sub x ks)
+    distance table ONCE (a broadcast-side projection), the corpus scan
+    ranks candidates by ``sum_m dtab[m][code_m]`` — m_sub table lookups
+    per vector, touching only the codes — and the top ``rerank_r``
+    shortlist is reranked by exact cosine. Scores/ties follow the house
+    contract (4 dp half-up, (cosine desc, vec_id asc)).
+
+    100-TB shape: identical to ``cosine_topk_int8`` (queries broadcast,
+    one corpus pass, per-partition top-k) but the scan reads m_sub small
+    ints per vector instead of dim floats — memory bandwidth is what ANN
+    scans are bound by. The in-plan rerank reads ``u`` carried alongside;
+    a parked deployment reranks via a (vec_id) join against the float
+    store, rerank_r rows per query."""
+    books = codebook_row if codebook_row is not None \
+        else pq_codebook_row(embeddings, dim, m_sub, ks)
+    enc = pq_encode(embeddings, dim, m_sub, ks, codebook_row=books)
+    d = dim // m_sub
+    dtab = F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.transform(
+            F.element_at("books", (m + 1).cast("int")),
+            lambda c: _d2(F.slice(F.col("q_u"), m * d + 1, d), c)))
+    queries = (embeddings.filter(F.col("vec_id").isin(query_ids))
+               .select(F.col("vec_id").alias("query_id"),
+                       _unit(F.col("embedding")).alias("q_u"))
+               .join(F.broadcast(books))
+               .select("query_id", "q_u", dtab.alias("dtab")))
+    # ADC: left-to-right fold over (code_m, dtab row m) pairs — a fixed
+    # summation order, so the double sum is bit-reproducible everywhere
+    adist = F.aggregate(
+        F.zip_with("codes", "dtab",
+                   lambda c, row: F.element_at(row, (c + 1).cast("int"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    cands = (enc.join(F.broadcast(queries),
+                      F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "q_u", "vec_id", "u",
+                     F.round(adist, 6).alias("adist")))
+    ws = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("vec_id"))
+    short = (cands.withColumn("_r", F.row_number().over(ws))
+             .filter(F.col("_r") <= rerank_r))
+    scored = short.select(
+        "query_id", "vec_id",
+        F.round(_dot("q_u", "u"), round_to).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def pq_recall_vs_bruteforce(embeddings: DataFrame, query_ids: list[int],
+                            k: int = 5, dim: int = 64, m_sub: int = PQ_M,
+                            ks: int = PQ_KS,
+                            rerank_r: int = PQ_RERANK_R) -> DataFrame:
+    """Recall@k of the PQ-ADC + rerank pipeline against the float
+    brute-force oracle — one gate covering codebook quality, the ADC
+    shortlist loss, and the rerank (same contract as the IVF gates)."""
+    brute = (cosine_topk_bruteforce(embeddings, query_ids, k)
+             .select("query_id", "vec_id"))
+    pq = (pq_topk_adc(embeddings, query_ids, k, dim, m_sub, ks, rerank_r)
+          .select("query_id", F.col("vec_id").alias("pq_vec_id")))
+    hits = brute.join(pq, (brute.query_id == pq.query_id)
+                      & (brute.vec_id == pq.pq_vec_id), "left_semi")
+    return (brute.groupBy("query_id").agg(F.count("*").alias("n_true"))
+            .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+                  "query_id", "left")
+            .select("query_id",
+                    F.round(F.coalesce(F.col("n_hit"), F.lit(0))
+                            / F.col("n_true"), 4).alias("recall")))
+
+
 def ivf_int8_recall_vs_bruteforce(embeddings: DataFrame,
                                   query_ids: list[int], k: int = 5,
                                   n_lists: int = IVF_N_LISTS,

@@ -955,6 +955,80 @@ def write_text_index(docs: DataFrame, path: str) -> None:
     postings.write.partitionBy("tkp").mode("overwrite").parquet(path)
 
 
+BM25_SCALE = 1_000_000  # micro-units; k1 = 12/10, b = 3/4 (the standard 1.2/0.75)
+
+
+def bm25_rank(docs: DataFrame, terms: list[str], top_k: int = 20) -> DataFrame:
+    """BM25 ranked retrieval — the scoring sibling of the AND-probe
+    (``keyword_search_index``): per query term, the Robertson/Spärck-Jones
+    saturation ``idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` summed over
+    terms, top-k docs by score.
+
+    Arithmetic is FIXED-POINT end to end (BIGINT micro-units, truncating
+    ``div`` on all-positive operands — floor in both engines), the same
+    ln-free trade as DSIR/q104: the classic ``ln((N-df+0.5)/(df+0.5))``
+    idf is replaced by the RATIO itself in micro-units
+    (``(2(N-df)+1)*S div (2df+1)``, the x2 clearing the halves exactly),
+    because ``ln`` is not correctly-rounded across engines and a single
+    ULP flips top-k order. The ratio is a strictly monotone transform of
+    the log-idf, so per-term RANKINGS are preserved; absolute scores are
+    the documented variant, not textbook BM25. Every intermediate is
+    value-hashable by the DuckDB twin (q109).
+
+    Overflow bounds (documented, not silently wrong): dl < 9.2e6 tokens
+    and tf < 8.3e5 keep the BIGINT intermediates exact; the one product
+    that scales with corpus size (idf_fp * tfn_fp, idf_fp <= 2N*S) is
+    widened to DECIMAL(38,0) (HUGEINT in the twin) so N is unbounded.
+
+    100-TB shape: one corpus scan -> explode ONLY the query terms (the
+    per-(doc,term) frame is |terms|-bounded per doc), df/N/avgdl are a
+    |terms|-row and a 1-row broadcast, the final top-k is a window over
+    candidates that matched at least one term — the corpus itself never
+    shuffles. For build-once/probe-many, point it at tf-carrying postings
+    (``write_text_index`` + a doc-length sidecar) instead of docs."""
+    want = sorted(set(t.strip().lower() for t in terms if t.strip()))
+    toks = (docs.select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                 lambda t: F.length(t) > 0).alias("_toks"))
+        .select("doc_id", F.size("_toks").cast("long").alias("dl"), "_toks"))
+    # (doc, term) term frequencies for the query terms only
+    tf = (toks.select("doc_id", "dl", F.explode("_toks").alias("token"))
+          .filter(F.col("token").isin(want))
+          .groupBy("doc_id", "dl", "token")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    # corpus stats: 1 row (N, avgdl) + |terms| rows (df) — both broadcast
+    stats = toks.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                     F.sum("dl").cast("long").alias("total_dl"))
+    df_t = (tf.groupBy("token")
+            .agg(F.countDistinct("doc_id").cast("long").alias("df")))
+    scored = (tf.join(F.broadcast(df_t), "token")
+              .join(F.broadcast(stats))
+              .withColumn("avgdl_fp", F.expr("total_dl * 1000000L div n_docs"))
+              .withColumn("idf_fp", F.expr(
+                  "(2 * (n_docs - df) + 1) * 1000000L div (2 * df + 1)"))
+              .withColumn("dlq_fp", F.expr(
+                  "dl * 1000000L * 1000000L div avgdl_fp"))
+              .withColumn("k_fp", F.expr(
+                  "6 * (250000L + 3 * dlq_fp div 4) div 5"))
+              .withColumn("tfn_fp", F.expr(
+                  "11 * tf * 1000000L * 1000000L"
+                  " div (5 * (tf * 1000000L + k_fp))"))
+              .withColumn("score_term_fp", F.expr(
+                  "CAST(CAST(idf_fp AS DECIMAL(38,0)) * tfn_fp"
+                  " div 1000000L AS BIGINT)")))
+    per_doc = (scored.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("int").alias("n_terms"),
+                    F.sum("score_term_fp").cast("long").alias("score_fp")))
+    # global top-k via orderBy().limit() -> TakeOrderedAndProject (partial
+    # per-partition top-k, NO single-partition window over the candidate
+    # set); the row_number window then runs over <= top_k rows
+    top = per_doc.orderBy(F.desc("score_fp"), F.asc("doc_id")).limit(top_k)
+    w = Window.orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("doc_id", "n_terms", "score_fp", "rank"))
+
+
 def keyword_search_index(spark, path: str, terms: list[str]) -> DataFrame:
     """AND-semantics keyword search against a persisted inverted index:
     documents containing EVERY term. The term filter includes the

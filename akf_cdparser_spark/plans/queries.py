@@ -3613,6 +3613,87 @@ FROM lik GROUP BY doc_id
 """
 
 
+def q110_pq_recall(spark, sf_dir):
+    """PQ-ADC ANN accuracy gate (Jégou et al. product quantization, the
+    FAISS IVF-PQ building block): recall@5 of the 8x16 product-quantized
+    ADC scan + exact rerank against the float brute-force oracle. The
+    scan ranks by m_sub table lookups over byte-sized codes (a 32x
+    scan-size cut vs float32); the pinned numpy twin gates the codebook
+    sampling, per-subspace argmin encoding, the ADC fold, and the rerank.
+    Pinned at sf0.01 (like q65/q101); mean >= 0.8 asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_recall_vs_bruteforce(emb, [0, 7, 42, 99, 123], k=5)
+
+
+Q110_SQL = (
+    "SELECT CAST(query_id AS BIGINT) AS query_id,\n"
+    "       CAST(recall AS DOUBLE) AS recall\n"
+    "FROM (VALUES\n"
+    + ",\n".join(f"  ({q}, {r!r})" for q, r in _pinned.Q110_EXPECTED)
+    + "\n) AS t(query_id, recall)"
+)
+
+
+def q109_bm25_rank(spark, sf_dir):
+    """BM25 ranked retrieval (the scoring sibling of the q107 AND-probe):
+    fixed-point Robertson saturation with the ln-free ratio idf (q104's
+    documented trade — ln is not correctly-rounded across engines; the
+    ratio is a monotone transform so rankings are preserved). The oracle
+    value-hashes every score AND the top-k rank order, gating
+    tokenization, df/N/avgdl stats, all four integer divisions, and the
+    DECIMAL(38,0)/HUGEINT widening of the score product."""
+    return text.bm25_rank(_t(spark, sf_dir, "documents"),
+                          ["data", "join", "vector"], top_k=20)
+
+
+Q109_SQL = r"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> length(t) > 0) AS t
+  FROM documents),
+dls AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS total_dl FROM dls),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  WHERE tok IN ('data', 'join', 'vector')
+  GROUP BY doc_id, tok),
+dft AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY tok),
+sc AS (
+  SELECT tf.doc_id,
+         ((2 * (s.n_docs - dft.df) + 1) * 1000000)
+           // (2 * dft.df + 1) AS idf_fp,
+         (d.dl * 1000000 * 1000000)
+           // ((s.total_dl * 1000000) // s.n_docs) AS dlq_fp,
+         tf.tf AS tf
+  FROM tf JOIN dft USING (tok)
+  JOIN dls d USING (doc_id) CROSS JOIN stats s),
+sc2 AS (
+  SELECT doc_id, idf_fp,
+         (6 * (250000 + (3 * dlq_fp) // 4)) // 5 AS k_fp, tf
+  FROM sc),
+sc3 AS (
+  SELECT doc_id,
+         CAST((CAST(idf_fp AS HUGEINT)
+               * ((11 * tf * 1000000 * 1000000)
+                  // (5 * (tf * 1000000 + k_fp))))
+              // 1000000 AS BIGINT) AS score_term_fp
+  FROM sc2),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
+         CAST(sum(score_term_fp) AS BIGINT) AS score_fp
+  FROM sc3 GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, n_terms, score_fp,
+         CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id ASC)
+              AS INT) AS rank
+  FROM agg)
+SELECT doc_id, n_terms, score_fp, rank FROM ranked WHERE rank <= 20
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers": (q02_top_customers, Q02_SQL),
@@ -3725,4 +3806,6 @@ REGISTRY: dict[str, tuple] = {
     "q106_quality_canonical": (q106_quality_canonical, Q106_SQL),
     "q107_keyword_search": (q107_keyword_search, Q107_SQL),
     "q108_curated_semantic_mix": (q108_curated_semantic_mix, Q108_SQL),
+    "q109_bm25_rank": (q109_bm25_rank, Q109_SQL),
+    "q110_pq_recall": (q110_pq_recall, Q110_SQL),
 }

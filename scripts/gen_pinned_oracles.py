@@ -233,6 +233,83 @@ def q101_rows(query_ids=(0, 7, 42, 99, 123), k=5, n_lists=16, n_assign=3,
         rows.append((int(qid), recall))
     return rows
 
+def q110_rows(query_ids=(0, 7, 42, 99, 123), k=5, dim=64, m_sub=8, ks=16,
+              rerank_r=150) -> list[tuple[int, float]]:
+    """Numpy twin of the PQ-ADC recall gate (analytics.similarity
+    pq_topk_adc): unit-normalized vectors, codebook = sub-slices of the ks
+    vectors ranked first by (md5('pq:'+vec_id), vec_id), per-subspace
+    argmin of 6 dp squared-L2 (first-min tie), ADC = left-to-right sum of
+    6 dp table entries rounded to 6 dp, shortlist (adist asc, vec_id asc)
+    of rerank_r, exact-cosine rerank (4 dp, desc, vec_id asc) — recall@k
+    vs the float brute force. Pinned AT sf0.01 only."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF001, "embeddings.parquet"))
+    vec_ids = t.column("vec_id").to_numpy()
+    emb = np.array([np.asarray(v, dtype=np.float64)
+                    for v in t.column("embedding").to_pylist()])
+    order = np.argsort(vec_ids)
+    vec_ids, emb = vec_ids[order], emb[order]
+    norms = np.sqrt((emb * emb).sum(axis=1))
+    n = len(emb)
+    u = emb.copy()
+    nz = norms != 0
+    u[nz] = emb[nz] / norms[nz][:, None]
+    d = dim // m_sub
+
+    key = sorted(range(n), key=lambda i: (
+        hashlib.md5(f"pq:{int(vec_ids[i])}".encode()).hexdigest(),
+        vec_ids[i]))
+    books = [[u[key[c]][m * d:(m + 1) * d] for c in range(ks)]
+             for m in range(m_sub)]
+
+    def encode(vi: int) -> list[int]:
+        codes = []
+        for m in range(m_sub):
+            sub = u[vi][m * d:(m + 1) * d]
+            dist = [spark_round(float(((sub - books[m][c]) ** 2).sum()), 6)
+                    for c in range(ks)]
+            codes.append(dist.index(min(dist)))     # first min = lowest code
+        return codes
+
+    all_codes = [encode(i) for i in range(n)]
+
+    def topk_float(qid: int, cand_mask: np.ndarray) -> list[int]:
+        qi = int(np.searchsorted(vec_ids, qid))
+        mask = cand_mask.copy()
+        mask[qi] = False
+        idx = np.nonzero(mask)[0]
+        cos = (emb[idx] @ emb[qi]) / (norms[idx] * norms[qi])
+        cos = np.array([spark_round(c, 4) for c in cos])
+        sel = sorted(range(len(idx)), key=lambda j: (-cos[j], vec_ids[idx[j]]))
+        return [int(vec_ids[idx[j]]) for j in sel[:k]]
+
+    all_mask = np.ones(n, dtype=bool)
+    rows = []
+    for qid in query_ids:
+        qi = int(np.searchsorted(vec_ids, qid))
+        dtab = [[spark_round(
+            float(((u[qi][m * d:(m + 1) * d] - books[m][c]) ** 2).sum()), 6)
+            for c in range(ks)] for m in range(m_sub)]
+        adist = {}
+        for i in range(n):
+            if i == qi:
+                continue
+            acc = 0.0
+            for m in range(m_sub):        # left-to-right fold, like Spark
+                acc = acc + dtab[m][all_codes[i][m]]
+            adist[i] = spark_round(acc, 6)
+        short = sorted(adist, key=lambda i: (adist[i], vec_ids[i]))[:rerank_r]
+        cos = {i: spark_round(float(u[i] @ u[qi]), 4) for i in short}
+        pq_k = [int(vec_ids[i]) for i in
+                sorted(short, key=lambda i: (-cos[i], vec_ids[i]))[:k]]
+        true_k = topk_float(qid, all_mask)
+        rows.append((int(qid),
+                     spark_round(len(set(true_k) & set(pq_k)) / len(true_k),
+                                 4)))
+    return rows
+
+
 def q105_detail(k=8, n_iter=3, threshold=0.4):
     """Twin of analytics.clustering.semdedup rolled up per cluster: the
     q96 kmeans twin provides (vec_id, cluster_id, dist); within each
@@ -561,6 +638,7 @@ def main():
     q48 = q48_rows()
     q65 = q65_rows()
     q101 = q101_rows()
+    q110 = q110_rows()
     q105, q105_removed = q105_detail()
     q29 = q29_rows()
     q50 = q50_rows()
@@ -591,6 +669,9 @@ def main():
             fh.write(f"    {r!r},\n")
         fh.write("]\n\nQ101_EXPECTED = [\n")
         for r in q101:
+            fh.write(f"    {r!r},\n")
+        fh.write("]\n\nQ110_EXPECTED = [\n")
+        for r in q110:
             fh.write(f"    {r!r},\n")
         fh.write("]\n\nQ105_EXPECTED = [\n")
         for r in q105:
@@ -625,6 +706,7 @@ def main():
     print("q48:", q48)
     print("q65:", q65)
     print("q101:", q101)
+    print("q110:", q110)
     print("q105:", q105)
 
 

@@ -1670,3 +1670,110 @@ def test_curate_semantic_dedup_prepass(spark):
         docs, semantic_dedup=emb, semdedup_k=2,
         semdedup_threshold=0.95).collect()}
     assert kept == {10, 12}  # identical pair ties on dist -> min id kept
+
+
+def test_bm25_rank_matches_python_twin(spark):
+    """bm25_rank vs an independent pure-Python fixed-point twin on a
+    hand-sized corpus: every score value, the rank order, and the
+    monotonicity you want from BM25 (higher tf of a rarer term wins;
+    longer docs are penalized at equal tf)."""
+    from akf_cdparser_spark.analytics import text as T
+
+    rows = [
+        (1, "apple banana apple cherry"),             # tf(apple)=2, dl=4
+        (2, "apple banana banana banana"),            # tf(banana)=3, dl=4
+        (3, "apple " + "filler " * 20 + "apple"),     # tf(apple)=2, dl=22
+        (4, "cherry cherry"),                         # rare term only
+        (5, "durian elderberry fig grape"),           # no query terms
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["apple", "cherry"]
+    got = {r.doc_id: (r.n_terms, r.score_fp, r.rank)
+           for r in T.bm25_rank(docs, terms, top_k=10).collect()}
+
+    # independent twin: same fixed-point formulas, plain Python ints
+    S = 1_000_000
+    toks = {d: [t for t in txt.strip().lower().split() if t]
+            for d, txt in rows}
+    n_docs, total_dl = len(toks), sum(len(t) for t in toks.values())
+    avgdl_fp = total_dl * S // n_docs
+    want_terms = sorted(set(terms))
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in want_terms}
+    exp = {}
+    for d, ts in toks.items():
+        score, nt = 0, 0
+        for t in want_terms:
+            tf = ts.count(t)
+            if not tf:
+                continue
+            nt += 1
+            idf_fp = (2 * (n_docs - df[t]) + 1) * S // (2 * df[t] + 1)
+            dlq_fp = len(ts) * S * S // avgdl_fp
+            k_fp = 6 * (250000 + 3 * dlq_fp // 4) // 5
+            tfn_fp = 11 * tf * S * S // (5 * (tf * S + k_fp))
+            score += idf_fp * tfn_fp // S
+        if nt:
+            exp[d] = (nt, score)
+    order = sorted(exp, key=lambda d: (-exp[d][1], d))
+    expected = {d: (exp[d][0], exp[d][1], i + 1)
+                for i, d in enumerate(order)}
+    assert got == expected
+    assert 5 not in got                       # no-match doc absent
+    # length penalty: doc3 has the same tf(apple)=2 as doc1 but dl 22
+    # vs 4, and no other matching term — it must score strictly lower
+    assert got[3][1] < got[1][1]
+    # tf monotonicity at equal dl: doc2 (apple tf=1, dl=4) scores below
+    # doc1 whose apple tf=2 at the same length (doc1 also adds cherry)
+    assert got[2][1] < got[1][1]
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    """PQ encoding invariants: every vector gets exactly m_sub codes in
+    [0, ks); codes are identical across two independent plans (the
+    codebook is a pure function of the corpus, no RNG state)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    enc = similarity.pq_encode(emb, dim=64, m_sub=8, ks=16)
+    rows = enc.select("vec_id", "codes").collect()
+    assert rows and all(len(r.codes) == 8
+                        and all(0 <= c < 16 for c in r.codes) for r in rows)
+    again = {r.vec_id: r.codes for r in
+             similarity.pq_encode(emb, dim=64, m_sub=8, ks=16)
+             .select("vec_id", "codes").collect()}
+    assert {r.vec_id: r.codes for r in rows} == again
+
+
+def test_pq_recall_gate_and_rerank_lever(spark):
+    """The PQ-ADC scale path (q110): 8x16 codes + exact rerank reach mean
+    recall@5 >= 0.8 on the sf0.01 embeddings, and shrinking the rerank
+    shortlist measurably loses recall (the rerank lever is real)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = [0, 7, 42, 99, 123]
+    full = [r.recall for r in
+            similarity.pq_recall_vs_bruteforce(emb, qids, k=5).collect()]
+    assert len(full) == 5 and sum(full) / len(full) >= 0.8, full
+    small = [r.recall for r in similarity.pq_recall_vs_bruteforce(
+        emb, qids, k=5, rerank_r=10).collect()]
+    assert sum(small) / len(small) < sum(full) / len(full)
+
+
+def test_pq_adc_exact_on_clustered_data(spark):
+    """On data WITH cluster structure (PQ's design case) the ADC + rerank
+    pipeline reproduces the exact brute-force top-k: vectors are built
+    from 4 well-separated prototypes per subspace half, so the sampled
+    codebook captures the structure."""
+    import hashlib as _h
+    rows = []
+    for i in range(60):
+        proto = i % 4
+        # four orthogonal block prototypes (distinct DIRECTIONS — scalar
+        # multiples of one direction would collapse under the operator's
+        # unit normalization) + tiny deterministic jitter
+        base = [4.0 if j // 16 == proto else 0.0 for j in range(64)]
+        jitter = [((int(_h.md5(f"{i}:{j}".encode()).hexdigest()[:4], 16)
+                    / 65535.0) - 0.5) * 0.1 for j in range(64)]
+        rows.append((i, [float(b + t) for b, t in zip(base, jitter)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [0, 1, 2, 3]
+    rec = [r.recall for r in similarity.pq_recall_vs_bruteforce(
+        emb, qids, k=5, rerank_r=20).collect()]
+    assert sum(rec) / len(rec) >= 0.95, rec

@@ -100,3 +100,14 @@ def test_q105_semdedup_removes_something_but_not_everything():
     n = sum(m for _, m, _, _, _ in pinned.Q105_EXPECTED)
     r = sum(x for _, _, x, _, _ in pinned.Q105_EXPECTED)
     assert 0 < r < n // 4, (r, n)
+
+
+@pytest.mark.skipif(not os.path.exists(gen.SF001),
+                    reason="driver testdata not present")
+def test_q110_pinned_matches_numpy_twin():
+    assert gen.q110_rows() == pinned.Q110_EXPECTED
+
+
+def test_q110_recall_meets_semantic_gate():
+    vals = [r for _, r in pinned.Q110_EXPECTED]
+    assert sum(vals) / len(vals) >= 0.8
