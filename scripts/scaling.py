@@ -261,8 +261,19 @@ Raw: `python scripts/scaling.py {n_docs} {crawl_mult} {' '.join(str(c) for c in 
         print("experiment mode — skipping BENCH/BASELINE.md write")
         return
     os.makedirs("BENCH", exist_ok=True)
+    # refresh the headline sweep but PRESERVE the per-round narrative
+    # sections ("## ..."): they carry the controls/experiments evidence
+    tail = ""
+    try:
+        with open("BENCH/BASELINE.md", encoding="utf-8") as fh:
+            old = fh.read()
+        cut = old.find("\n## ")
+        if cut != -1:
+            tail = old[cut:]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w", encoding="utf-8") as fh:
-        fh.write(md)
+        fh.write(md + tail)
     print("wrote BENCH/BASELINE.md")
 
 
