@@ -48,6 +48,9 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         # registry call billed the one-time index WRITE to the
         # steady-state probe, hiding the sub-second probe behind 15s)
         "q96_kmeans_int8",
+        # round-6: fixed-point BM25 top-k and PQ-ADC recall (first-
+        # appearance baselines)
+        "q109_bm25_rank", "q110_pq_recall",
     ]
 
     # warm-up: JVM/codegen/parquet-footer/Python-worker startup must not be
