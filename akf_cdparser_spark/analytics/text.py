@@ -1000,6 +1000,17 @@ def bm25_rank(docs: DataFrame, terms: list[str], top_k: int = 20) -> DataFrame:
     # corpus stats: 1 row (N, avgdl) + |terms| rows (df) — both broadcast
     stats = toks.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                      F.sum("dl").cast("long").alias("total_dl"))
+    return _bm25_score_tail(tf, stats, top_k)
+
+
+def _bm25_score_tail(tf: DataFrame, stats: DataFrame,
+                     top_k: int) -> DataFrame:
+    """Shared fixed-point BM25 scoring tail (single-sourced so the
+    corpus-scan path (``bm25_rank``) and the persisted-index path
+    (``bm25_rank_index``) cannot drift): input ``tf(doc_id, dl, token,
+    tf)`` — the query-term candidate frame — and 1-row ``stats(n_docs,
+    total_dl)``. df per term is recomputed from ``tf`` itself (a
+    |terms|-row aggregate of the already-|terms|-bounded frame)."""
     df_t = (tf.groupBy("token")
             .agg(F.countDistinct("doc_id").cast("long").alias("df")))
     scored = (tf.join(F.broadcast(df_t), "token")
@@ -1044,3 +1055,55 @@ def keyword_search_index(spark, path: str, terms: list[str]) -> DataFrame:
         .agg(F.countDistinct("token").cast("int").alias("n_terms_matched"))
         .filter(F.col("n_terms_matched") == len(want)))
     return hits
+
+
+def write_bm25_index(docs: DataFrame, path: str) -> None:
+    """Persist the build-once side of BM25 retrieval (the tf-carrying
+    sibling of ``write_text_index``):
+
+    * ``{path}/postings`` — one (token, doc_id, dl, tf) row per distinct
+      token per doc, ``partitionBy(tkp)`` (token first byte) so a probe
+      for a handful of terms partition-prunes instead of scanning the
+      index. ``dl`` (doc token length) is DENORMALIZED into the posting:
+      the probe then needs NO join against any corpus-sized side table —
+      at 100 TB that join would shuffle the doc-length table on every
+      query.
+    * ``{path}/stats`` — ONE row (n_docs, total_dl), precomputed at build
+      so avgdl/N come from a 1-row read, not an index scan.
+
+    df per query term is NOT persisted: it is a |terms|-row aggregate of
+    the already-pruned candidate postings at probe time (exact, and
+    avoids a second partitioned table)."""
+    toks = (docs.select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                 lambda t: F.length(t) > 0).alias("_toks"))
+        .select("doc_id", F.size("_toks").cast("long").alias("dl"), "_toks"))
+    postings = (toks.select("doc_id", "dl", F.explode("_toks").alias("token"))
+                .groupBy("token", "doc_id", "dl")
+                .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+                .withColumn("tkp", F.substring("token", 1, 1)))
+    postings.write.partitionBy("tkp").mode("overwrite") \
+        .parquet(path + "/postings")
+    stats = toks.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                     F.sum("dl").cast("long").alias("total_dl"))
+    stats.write.mode("overwrite").parquet(path + "/stats")
+
+
+def bm25_rank_index(spark, path: str, terms: list[str],
+                    top_k: int = 20) -> DataFrame:
+    """BM25 top-k against a persisted :func:`write_bm25_index` — the
+    steady-state probe of the build-once/probe-many contract. Reads ONLY
+    the query terms' ``tkp`` partitions (the filter includes the
+    partition column, same pruning contract as ``keyword_search_index``),
+    a 1-row stats read, then the exact :func:`_bm25_score_tail` shared
+    with the corpus-scan path — so both paths return bit-identical
+    (doc_id, n_terms, score_fp, rank) for the same corpus (asserted in
+    tests and by the q111 oracle, which recomputes from the raw table)."""
+    want = sorted(set(t.strip().lower() for t in terms if t.strip()))
+    idx = spark.read.parquet(path + "/postings")
+    tf = (idx.filter(F.col("tkp").isin(sorted({t[:1] for t in want}))
+                     & F.col("token").isin(want))
+          .select("doc_id", "dl", "token", "tf"))
+    stats = spark.read.parquet(path + "/stats")
+    return _bm25_score_tail(tf, stats, top_k)

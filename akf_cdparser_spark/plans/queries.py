@@ -3694,6 +3694,28 @@ SELECT doc_id, n_terms, score_fp, rank FROM ranked WHERE rank <= 20
 """
 
 
+def q111_bm25_index(spark, sf_dir):
+    """BM25 against the persisted tf-carrying index (build-once/
+    probe-many, the q93/q107 contract for ranked retrieval): postings
+    (token, doc_id, dl, tf) partitionBy(token first byte) + a 1-row
+    stats side — the probe partition-prunes to the query terms' bytes,
+    joins nothing corpus-sized (dl is denormalized into the posting),
+    and runs the exact same fixed-point scoring tail as q109. Oracle =
+    Q109's (recomputed from the raw table): proves the index path
+    bit-equals the corpus-scan path."""
+    import os
+
+    docs = _t(spark, sf_dir, "documents")
+    path = ("/tmp/akf_q111_idx_"
+            + os.path.normpath(sf_dir).strip("/").replace("/", "_"))
+    text.write_bm25_index(docs, path)
+    return text.bm25_rank_index(spark, path, ["data", "join", "vector"],
+                                top_k=20)
+
+
+Q111_SQL = Q109_SQL
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers": (q02_top_customers, Q02_SQL),
@@ -3808,4 +3830,5 @@ REGISTRY: dict[str, tuple] = {
     "q108_curated_semantic_mix": (q108_curated_semantic_mix, Q108_SQL),
     "q109_bm25_rank": (q109_bm25_rank, Q109_SQL),
     "q110_pq_recall": (q110_pq_recall, Q110_SQL),
+    "q111_bm25_index": (q111_bm25_index, Q111_SQL),
 }

@@ -1727,6 +1727,30 @@ def test_bm25_rank_matches_python_twin(spark):
     assert got[2][1] < got[1][1]
 
 
+def test_bm25_index_path_bit_equals_corpus_path(spark, tmp_path):
+    """The persisted-index BM25 probe returns bit-identical rows to the
+    corpus-scan path (shared _bm25_score_tail + denormalized dl), and
+    the probe's postings scan carries PartitionFilters on the token
+    first-byte partition column — the O(terms)-partitions probe shape."""
+    from akf_cdparser_spark.analytics import text as T
+
+    rows = [("d%d" % i,
+             " ".join(["apple"] * (i % 4) + ["cherry"] * (i % 3)
+                      + ["filler"] * (i % 7) + ["banana"]))
+            for i in range(1, 30)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    path = str(tmp_path / "bm25idx")
+    T.write_bm25_index(docs, path)
+    terms = ["apple", "cherry"]
+    via_idx = T.bm25_rank_index(spark, path, terms, top_k=10)
+    via_corpus = [tuple(r) for r in
+                  T.bm25_rank(docs, terms, top_k=10).collect()]
+    assert [tuple(r) for r in via_idx.collect()] == via_corpus
+    assert len(via_corpus) == 10
+    plan = via_idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [tkp" in plan and "IN (a,c)" in plan, plan
+
+
 def test_pq_encode_shape_and_determinism(spark):
     """PQ encoding invariants: every vector gets exactly m_sub codes in
     [0, ks); codes are identical across two independent plans (the
