@@ -429,3 +429,104 @@ def metadata_only(media: DataFrame) -> DataFrame:
     the binary column at the scan (verify via .explain ReadSchema)."""
     return media.select("doc_id", "media_ref", "kind", "meta.width",
                         "meta.height", "meta.n_bytes", "meta.mime")
+
+
+def synth_media_pooled(spark: SparkSession, docs: DataFrame,
+                       pool: int = 13) -> DataFrame:
+    """Like :func:`synth_media` but payload bytes come from a POOL of
+    ``pool`` distinct contents (ref -> sha256(ref) mod pool), so the
+    corpus carries real cross-document DUPLICATE media — the surface the
+    media-dedup plane exists for. Deterministic, no RNG state."""
+    refs = (docs.select("doc_id", F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "media")
+            .select("doc_id", F.col("s.media_ref").alias("media_ref")))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                key = int.from_bytes(
+                    hashlib.sha256(ref.encode()).digest()[:8], "big") % pool
+                payload, w, h = synth_ppm(f"pool:{key}")
+                rows.append({
+                    "media_ref": ref, "doc_id": doc_id, "kind": "image",
+                    "content": payload,
+                    "meta": {"width": w, "height": h,
+                             "n_bytes": len(payload),
+                             "mime": "image/x-portable-pixmap"},
+                })
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return refs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def media_dedup(media: DataFrame) -> DataFrame:
+    """Exact content dedup over the interleaved doc store's media table:
+    per-ref mapping to the canonical (min media_ref) holder of each
+    distinct payload.
+
+    100-TB shape: sha2 is computed in the SCAN projection, so the
+    groupBy shuffle carries (ref, 64-hex hash, n_bytes) — never payload
+    bytes; with media payloads ~MB and refs ~100 B that is a ~10^4x
+    shuffle-volume cut, the whole point of hashing before moving. The
+    mapping join is hash-to-hash (equi), no skew beyond genuinely viral
+    payloads (AQE skew-join handles those)."""
+    hashed = media.select(
+        "media_ref",
+        F.sha2("content", 256).alias("content_hash"),
+        F.length("content").cast("long").alias("n_bytes"))
+    canon = (hashed.groupBy("content_hash")
+             .agg(F.min("media_ref").alias("canonical_ref"),
+                  F.count(F.lit(1)).cast("long").alias("n_refs"),
+                  F.min("n_bytes").alias("n_bytes")))
+    return (hashed.select("media_ref", "content_hash")
+            .join(canon, "content_hash")
+            .select("media_ref", "canonical_ref", "content_hash",
+                    "n_bytes", "n_refs"))
+
+
+def media_dedup_stats(mapping: DataFrame) -> DataFrame:
+    """One-row rollup of a :func:`media_dedup` mapping: total refs,
+    distinct payloads, refs that would be rewritten, and the byte
+    saving a deduplicated media store realizes."""
+    uniq = mapping.filter(F.col("media_ref") == F.col("canonical_ref"))
+    return (mapping.agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs"),
+        F.countDistinct("content_hash").cast("long").alias("n_unique"),
+        F.sum(F.when(F.col("media_ref") != F.col("canonical_ref"), 1)
+              .otherwise(0)).cast("long").alias("n_rewritten"),
+        F.sum("n_bytes").cast("long").alias("bytes_total"))
+        .join(uniq.agg(F.sum("n_bytes").cast("long")
+                       .alias("bytes_unique"))))
+
+
+def rewrite_media_refs(docs: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Canonicalize ``media_ref`` INSIDE the spans arrays — without
+    exploding the corpus: the non-identity slice of the mapping
+    (ref != canonical) collapses to a one-row map column, cross-joined
+    (broadcast) onto the docs, and each span rewrites via
+    ``element_at`` + ``coalesce``. Span sequence (kind, text, offset,
+    order) is untouched — the north-rule span invariant holds before and
+    after (tested).
+
+    Scale note: the broadcast side is |changed refs| entries, NOT the
+    corpus — media dedup mappings are dominated by identity rows, which
+    are filtered out first. If the changed slice ever outgrows broadcast
+    (pathological near-total duplication), the fallback is the standard
+    posexplode + equi-join + re-aggregate, one corpus shuffle."""
+    changed = (mapping.filter(F.col("media_ref") != F.col("canonical_ref"))
+               .select("media_ref", "canonical_ref"))
+    remap = changed.agg(F.map_from_entries(F.collect_list(
+        F.struct("media_ref", "canonical_ref"))).alias("_remap"))
+    return (docs.join(F.broadcast(remap))
+            .withColumn("spans", F.transform(
+                "spans",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    F.coalesce(F.element_at(F.col("_remap"),
+                                            s["media_ref"]),
+                               s["media_ref"]).alias("media_ref"),
+                    s["offset"].alias("offset"))))
+            .drop("_remap"))

@@ -738,3 +738,109 @@ def ivf_int8_recall_vs_bruteforce(embeddings: DataFrame,
             .select("query_id",
                     F.round(F.coalesce(F.col("n_hit"), F.lit(0))
                             / F.col("n_true"), 4).alias("recall")))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the full FAISS composition: inverted-file pruning picks WHICH
+# vectors to look at, product quantization shrinks WHAT is read per vector
+# (Jégou et al. 2011 §IV; the two levers are orthogonal and multiply)
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk_ivfpq(embeddings: DataFrame, query_ids: list[int],
+                      k: int = 5, dim: int = 64,
+                      n_lists: int = IVF_N_LISTS,
+                      n_assign: int = IVF_N_ASSIGN,
+                      n_probe: int = IVF_N_PROBE,
+                      m_sub: int = PQ_M, ks: int = PQ_KS,
+                      rerank_r: int = PQ_RERANK_R,
+                      round_to: int = 4) -> DataFrame:
+    """ANN via IVF-PQ: candidates come from the query's ``n_probe``
+    nearest inverted lists (the q65 coarse quantizer, verbatim), are
+    ranked by the PQ asymmetric distance (m_sub byte-code table lookups —
+    the q110 ADC, verbatim), and the ``rerank_r`` shortlist is reranked
+    by exact cosine. Contract matches the other ANN ops ((cosine desc,
+    vec_id asc), 4 dp half-up).
+
+    100-TB shape: the probe equi-joins the broadcast exploded query-probe
+    table against the lists (never a cross product; partition-prunable
+    when parked, cf. ``write_ivf_index``), and the ADC scan reads m_sub
+    small ints per candidate instead of dim floats — pruning cuts the
+    candidate COUNT ~n_probe/n_lists, PQ cuts the BYTES per candidate
+    ~32x vs float32; the levers multiply. The codes join is an
+    id-equi-join here because the demo composes two standalone builds; a
+    parked IVF-PQ index stores codes inside the lists and skips it."""
+    cents = ivf_centroid_row(embeddings, n_lists)
+    inv = ivf_inverted_lists(embeddings, n_lists, n_assign,
+                             centroid_row=cents)
+    books = pq_codebook_row(embeddings, dim, m_sub, ks)
+    enc = pq_encode(embeddings, dim, m_sub, ks, codebook_row=books)
+    inv_enc = inv.select("list_id", "vec_id").join(enc, "vec_id")
+
+    d = dim // m_sub
+    q1 = (embeddings.filter(F.col("vec_id").isin(query_ids))
+          .withColumn("_nrm", _norm(F.col("embedding")))
+          .join(F.broadcast(cents))
+          .withColumn("_probes", F.slice(
+              _list_scores(F.col("embedding"), F.col("cents"),
+                           norm_col=F.col("_nrm")), 1, n_probe))
+          .join(F.broadcast(books))
+          .select(F.col("vec_id").alias("query_id"),
+                  _unit(F.col("embedding")).alias("q_u"),
+                  F.col("books").alias("books"),
+                  F.col("_probes.list_id").alias("_plists")))
+    dtab = F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.transform(
+            F.element_at("books", (m + 1).cast("int")),
+            lambda c: _d2(F.slice(F.col("q_u"), m * d + 1, d), c)))
+    queries = q1.select("query_id", "q_u", dtab.alias("dtab"),
+                        F.explode("_plists").alias("list_id"))
+
+    adist = F.aggregate(
+        F.zip_with("codes", "dtab",
+                   lambda c, row: F.element_at(row, (c + 1).cast("int"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    cands = (inv_enc.join(F.broadcast(queries), "list_id")
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .dropDuplicates(["query_id", "vec_id"])
+             .select("query_id", "q_u", "vec_id", "u",
+                     F.round(adist, 6).alias("adist")))
+    ws = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("vec_id"))
+    short = (cands.withColumn("_r", F.row_number().over(ws))
+             .filter(F.col("_r") <= rerank_r))
+    scored = short.select(
+        "query_id", "vec_id",
+        F.round(_dot("q_u", "u"), round_to).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def ivfpq_recall_vs_bruteforce(embeddings: DataFrame,
+                               query_ids: list[int], k: int = 5,
+                               dim: int = 64,
+                               n_lists: int = IVF_N_LISTS,
+                               n_assign: int = IVF_N_ASSIGN,
+                               n_probe: int = IVF_N_PROBE,
+                               m_sub: int = PQ_M, ks: int = PQ_KS,
+                               rerank_r: int = PQ_RERANK_R) -> DataFrame:
+    """Recall@k of the IVF-PQ pipeline against the float brute-force
+    oracle — one gate covering the coarse-quantizer pruning loss, the PQ
+    ADC shortlist loss, and the rerank (the q65/q110 gates composed)."""
+    brute = (cosine_topk_bruteforce(embeddings, query_ids, k)
+             .select("query_id", "vec_id"))
+    ann = (cosine_topk_ivfpq(embeddings, query_ids, k, dim, n_lists,
+                             n_assign, n_probe, m_sub, ks, rerank_r)
+           .select("query_id", F.col("vec_id").alias("pq_vec_id")))
+    hits = brute.join(ann, (brute.query_id == ann.query_id)
+                      & (brute.vec_id == ann.pq_vec_id), "left_semi")
+    return (brute.groupBy("query_id").agg(F.count("*").alias("n_true"))
+            .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+                  "query_id", "left")
+            .select("query_id",
+                    F.round(F.coalesce(F.col("n_hit"), F.lit(0))
+                            / F.col("n_true"), 4).alias("recall")))

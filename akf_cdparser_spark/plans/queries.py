@@ -3694,6 +3694,58 @@ SELECT doc_id, n_terms, score_fp, rank FROM ranked WHERE rank <= 20
 """
 
 
+def q113_media_dedup(spark, sf_dir):
+    """Exact media dedup over the interleaved doc store (the storage
+    lever of a multimodal training corpus — duplicate images dominate
+    crawled media bytes): pooled synthetic payloads (real P6 images, 13
+    distinct contents across 40 refs), sha256 computed in the scan
+    projection so the dedup shuffle moves (ref, hash, n_bytes) — never
+    payload bytes; canonical = min media_ref per hash. Oracle: pinned
+    table from the sequential pure-Python twin (same spans -> pooled
+    payload -> sha256 -> group walk, no Spark)."""
+    from ..analytics import multimodal
+
+    docs = X.docs_dataframe(spark, EXTRACT_N_DOCS)
+    media = multimodal.synth_media_pooled(spark, docs, pool=13)
+    return (multimodal.media_dedup(media)
+            .select("media_ref", "canonical_ref", "content_hash",
+                    F.col("n_bytes").cast("long").alias("n_bytes"),
+                    F.col("n_refs").cast("long").alias("n_refs")))
+
+
+Q113_SQL = (
+    "SELECT media_ref, canonical_ref, content_hash,\n"
+    "       CAST(n_bytes AS BIGINT) AS n_bytes,\n"
+    "       CAST(n_refs AS BIGINT) AS n_refs\n"
+    "FROM (VALUES\n"
+    + ",\n".join("  (" + ", ".join(repr(v) for v in row) + ")"
+                 for row in _pinned.Q113_EXPECTED)
+    + "\n) AS t(media_ref, canonical_ref, content_hash, n_bytes, n_refs)"
+)
+
+
+def q112_ivfpq_recall(spark, sf_dir):
+    """IVF-PQ ANN accuracy gate — the full FAISS composition (Jégou et
+    al. 2011 §IV): the q65 coarse quantizer picks WHICH vectors to rank
+    (n_probe inverted lists), the q110 product quantizer shrinks WHAT is
+    read per candidate (8x16 byte codes, ADC table lookups), exact-cosine
+    rerank on the shortlist. The pinned numpy twin composes the q65 mask
+    and q110 ADC verbatim, so it gates both pruning losses and the
+    rerank at once. Pinned at sf0.01 (like q65/q101/q110)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_recall_vs_bruteforce(emb, [0, 7, 42, 99, 123],
+                                                 k=5)
+
+
+Q112_SQL = (
+    "SELECT CAST(query_id AS BIGINT) AS query_id,\n"
+    "       CAST(recall AS DOUBLE) AS recall\n"
+    "FROM (VALUES\n"
+    + ",\n".join(f"  ({q}, {r!r})" for q, r in _pinned.Q112_EXPECTED)
+    + "\n) AS t(query_id, recall)"
+)
+
+
 def q111_bm25_index(spark, sf_dir):
     """BM25 against the persisted tf-carrying index (build-once/
     probe-many, the q93/q107 contract for ranked retrieval): postings
@@ -3831,4 +3883,6 @@ REGISTRY: dict[str, tuple] = {
     "q109_bm25_rank": (q109_bm25_rank, Q109_SQL),
     "q110_pq_recall": (q110_pq_recall, Q110_SQL),
     "q111_bm25_index": (q111_bm25_index, Q111_SQL),
+    "q112_ivfpq_recall": (q112_ivfpq_recall, Q112_SQL),
+    "q113_media_dedup": (q113_media_dedup, Q113_SQL),
 }

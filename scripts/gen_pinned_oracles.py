@@ -310,6 +310,130 @@ def q110_rows(query_ids=(0, 7, 42, 99, 123), k=5, dim=64, m_sub=8, ks=16,
     return rows
 
 
+def q112_rows(query_ids=(0, 7, 42, 99, 123), k=5, dim=64, n_lists=16,
+              n_assign=3, n_probe=4, m_sub=8, ks=16,
+              rerank_r=150) -> list[tuple[int, float]]:
+    """Numpy twin of the IVF-PQ recall gate (analytics.similarity
+    cosine_topk_ivfpq): the q65 coarse-quantizer candidate mask verbatim
+    (md5(vec_id) centroid sample, 6 dp ccos, top n_assign / n_probe
+    lists), then the q110 PQ pipeline verbatim WITHIN the mask (md5
+    'pq:'-keyed codebook, 6 dp argmin encode, left-to-right ADC fold,
+    rerank_r exact-cosine rerank) — recall@k vs the all-corpus float
+    brute force. Pinned AT sf0.01 only."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF001, "embeddings.parquet"))
+    vec_ids = t.column("vec_id").to_numpy()
+    emb = np.array([np.asarray(v, dtype=np.float64)
+                    for v in t.column("embedding").to_pylist()])
+    order = np.argsort(vec_ids)
+    vec_ids, emb = vec_ids[order], emb[order]
+    norms = np.sqrt((emb * emb).sum(axis=1))
+    n = len(emb)
+
+    # --- q65 coarse quantizer: candidate mask ---
+    key = sorted(range(n), key=lambda i: (
+        hashlib.md5(str(int(vec_ids[i])).encode()).hexdigest(), vec_ids[i]))
+    cents = emb[key[:n_lists]]
+    c_norms = np.sqrt((cents * cents).sum(axis=1))
+    ccos = (emb @ cents.T) / np.outer(norms, c_norms)
+    ccos = np.vectorize(lambda c: spark_round(c, 6))(ccos)
+
+    def top_lists(i: int, m: int) -> list[int]:
+        return sorted(range(n_lists), key=lambda l: (-ccos[i, l], l))[:m]
+
+    assign_sets = [set(top_lists(i, n_assign)) for i in range(n)]
+
+    # --- q110 PQ: unit vectors, codebook, codes ---
+    u = emb.copy()
+    nz = norms != 0
+    u[nz] = emb[nz] / norms[nz][:, None]
+    d = dim // m_sub
+    pkey = sorted(range(n), key=lambda i: (
+        hashlib.md5(f"pq:{int(vec_ids[i])}".encode()).hexdigest(),
+        vec_ids[i]))
+    books = [[u[pkey[c]][m * d:(m + 1) * d] for c in range(ks)]
+             for m in range(m_sub)]
+
+    def encode(vi: int) -> list[int]:
+        codes = []
+        for m in range(m_sub):
+            sub = u[vi][m * d:(m + 1) * d]
+            dist = [spark_round(float(((sub - books[m][c]) ** 2).sum()), 6)
+                    for c in range(ks)]
+            codes.append(dist.index(min(dist)))
+        return codes
+
+    all_codes = [encode(i) for i in range(n)]
+
+    def topk_float(qid: int) -> list[int]:
+        qi = int(np.searchsorted(vec_ids, qid))
+        mask = np.ones(n, dtype=bool)
+        mask[qi] = False
+        idx = np.nonzero(mask)[0]
+        cos = (emb[idx] @ emb[qi]) / (norms[idx] * norms[qi])
+        cos = np.array([spark_round(c, 4) for c in cos])
+        sel = sorted(range(len(idx)), key=lambda j: (-cos[j], vec_ids[idx[j]]))
+        return [int(vec_ids[idx[j]]) for j in sel[:k]]
+
+    rows = []
+    for qid in query_ids:
+        qi = int(np.searchsorted(vec_ids, qid))
+        probes = set(top_lists(qi, n_probe))
+        dtab = [[spark_round(
+            float(((u[qi][m * d:(m + 1) * d] - books[m][c]) ** 2).sum()), 6)
+            for c in range(ks)] for m in range(m_sub)]
+        adist = {}
+        for i in range(n):
+            if i == qi or not (assign_sets[i] & probes):
+                continue
+            acc = 0.0
+            for m in range(m_sub):
+                acc = acc + dtab[m][all_codes[i][m]]
+            adist[i] = spark_round(acc, 6)
+        short = sorted(adist, key=lambda i: (adist[i], vec_ids[i]))[:rerank_r]
+        cos = {i: spark_round(float(u[i] @ u[qi]), 4) for i in short}
+        got_k = [int(vec_ids[i]) for i in
+                 sorted(short, key=lambda i: (-cos[i], vec_ids[i]))[:k]]
+        true_k = topk_float(qid)
+        rows.append((int(qid),
+                     spark_round(len(set(true_k) & set(got_k)) / len(true_k),
+                                 4)))
+    return rows
+
+
+def q113_rows(pool: int = 13) -> list[tuple]:
+    """Sequential twin of q113 (media dedup over the interleaved store):
+    per doc, the media refs from the synthetic spans; payloads from the
+    POOLED synthesizer (sha256(ref) mod pool — the synth_media_pooled
+    rule); exact dedup = group by sha256(payload), canonical = min ref.
+    No Spark anywhere."""
+    import hashlib as _h
+
+    from akf_cdparser_spark import fixtures
+    from akf_cdparser_spark.analytics import multimodal as mm
+    from akf_cdparser_spark.plans.queries import EXTRACT_N_DOCS
+
+    refs = []
+    for i in range(EXTRACT_N_DOCS):
+        spans = fixtures.html_to_spans(fixtures.synth_html(i, EXTRACT_N_DOCS))
+        refs.extend(s["media_ref"] for s in spans if s["kind"] == "media")
+    per_ref = {}
+    for ref in refs:
+        key = int.from_bytes(_h.sha256(ref.encode()).digest()[:8],
+                             "big") % pool
+        payload, _w, _h2 = mm.synth_ppm(f"pool:{key}")
+        per_ref[ref] = (_h.sha256(payload).hexdigest(), len(payload))
+    by_hash: dict[str, list[str]] = {}
+    for ref, (hx, _n) in per_ref.items():
+        by_hash.setdefault(hx, []).append(ref)
+    rows = []
+    for ref, (hx, nb) in per_ref.items():
+        members = by_hash[hx]
+        rows.append((ref, min(members), hx, nb, len(members)))
+    return sorted(rows)
+
+
 def q105_detail(k=8, n_iter=3, threshold=0.4):
     """Twin of analytics.clustering.semdedup rolled up per cluster: the
     q96 kmeans twin provides (vec_id, cluster_id, dist); within each
@@ -639,6 +763,8 @@ def main():
     q65 = q65_rows()
     q101 = q101_rows()
     q110 = q110_rows()
+    q112 = q112_rows()
+    q113 = q113_rows()
     q105, q105_removed = q105_detail()
     q29 = q29_rows()
     q50 = q50_rows()
@@ -672,6 +798,12 @@ def main():
             fh.write(f"    {r!r},\n")
         fh.write("]\n\nQ110_EXPECTED = [\n")
         for r in q110:
+            fh.write(f"    {r!r},\n")
+        fh.write("]\n\nQ112_EXPECTED = [\n")
+        for r in q112:
+            fh.write(f"    {r!r},\n")
+        fh.write("]\n\nQ113_EXPECTED = [\n")
+        for r in q113:
             fh.write(f"    {r!r},\n")
         fh.write("]\n\nQ105_EXPECTED = [\n")
         for r in q105:
@@ -707,6 +839,9 @@ def main():
     print("q65:", q65)
     print("q101:", q101)
     print("q110:", q110)
+    print("q112:", q112)
+    print("q113:", len(q113), "rows,",
+          len({h for _, _, h, _, _ in q113}), "unique payloads")
     print("q105:", q105)
 
 

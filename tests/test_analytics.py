@@ -1780,6 +1780,19 @@ def test_pq_recall_gate_and_rerank_lever(spark):
     assert sum(small) / len(small) < sum(full) / len(full)
 
 
+def test_ivfpq_recall_matches_pinned_twin(spark):
+    """The distributed IVF-PQ pipeline (q112) reproduces the pinned
+    numpy twin value-for-value at sf0.01 — gating the coarse-quantizer
+    mask, the PQ codes, the ADC shortlist, and the rerank in one shot."""
+    from akf_cdparser_spark.plans import pinned
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = sorted((r.query_id, r.recall) for r in
+                 similarity.ivfpq_recall_vs_bruteforce(
+                     emb, [0, 7, 42, 99, 123], k=5).collect())
+    assert got == sorted(pinned.Q112_EXPECTED)
+
+
 def test_pq_adc_exact_on_clustered_data(spark):
     """On data WITH cluster structure (PQ's design case) the ADC + rerank
     pipeline reproduces the exact brute-force top-k: vectors are built

@@ -274,3 +274,50 @@ def test_fulltext_matches_kernel(spark):
     for i in range(4):
         assert got[fixtures.doc_id_for(i)] == build_fulltext(
             fixtures.synth_html(i, 4))
+
+
+def test_media_dedup_and_span_preserving_rewrite(spark):
+    """media_dedup canonicalizes duplicate payloads (pooled synth: 13
+    distinct contents across the corpus's refs) and rewrite_media_refs
+    canonicalizes media_ref INSIDE the spans arrays while preserving the
+    north-rule span invariant (kind, text, offset, order) exactly;
+    rewriting twice is a fixpoint."""
+    from akf_cdparser_spark.analytics import multimodal
+
+    docs = X.docs_dataframe(spark, 12).cache()
+    media = multimodal.synth_media_pooled(spark, docs, pool=3)
+    mapping = multimodal.media_dedup(media).cache()
+    m = {r.media_ref: r for r in mapping.collect()}
+    assert len({r.content_hash for r in m.values()}) == 3
+    # canonical is the min member of its hash group, and is a fixpoint
+    for r in m.values():
+        assert m[r.canonical_ref].canonical_ref == r.canonical_ref
+        assert r.canonical_ref <= r.media_ref
+
+    before = {r.doc_id: r.spans for r in docs.collect()}
+    out = multimodal.rewrite_media_refs(docs, mapping).cache()
+    after = {r.doc_id: r.spans for r in out.collect()}
+    assert set(before) == set(after)
+    rewrote = 0
+    for did, spans in before.items():
+        got = after[did]
+        assert len(got) == len(spans)
+        for s0, s1 in zip(spans, got):
+            assert (s0.kind, s0.text, s0.offset) == \
+                (s1.kind, s1.text, s1.offset)
+            if s0.kind == "media":
+                assert s1.media_ref == m[s0.media_ref].canonical_ref
+                rewrote += s1.media_ref != s0.media_ref
+            else:
+                assert s1.media_ref == s0.media_ref
+    assert rewrote > 0  # the pool actually collapsed something
+    # fixpoint: a second rewrite changes nothing
+    again = {r.doc_id: r.spans for r in
+             multimodal.rewrite_media_refs(out, mapping).collect()}
+    assert again == after
+    # stats rollup is consistent with the mapping
+    st = multimodal.media_dedup_stats(mapping).collect()[0]
+    assert st.n_refs == len(m) and st.n_unique == 3
+    assert st.n_rewritten == sum(1 for r in m.values()
+                                 if r.media_ref != r.canonical_ref)
+    assert st.bytes_total > st.bytes_unique > 0

@@ -111,3 +111,14 @@ def test_q110_pinned_matches_numpy_twin():
 def test_q110_recall_meets_semantic_gate():
     vals = [r for _, r in pinned.Q110_EXPECTED]
     assert sum(vals) / len(vals) >= 0.8
+
+
+@pytest.mark.skipif(not os.path.exists(gen.SF001),
+                    reason="driver testdata not present")
+def test_q112_pinned_matches_numpy_twin():
+    assert gen.q112_rows() == pinned.Q112_EXPECTED
+
+
+def test_q112_ivfpq_recall_meets_semantic_gate():
+    vals = [r for _, r in pinned.Q112_EXPECTED]
+    assert sum(vals) / len(vals) >= 0.8
