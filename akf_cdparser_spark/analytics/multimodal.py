@@ -431,12 +431,38 @@ def metadata_only(media: DataFrame) -> DataFrame:
                         "meta.height", "meta.n_bytes", "meta.mime")
 
 
+def synth_ppm_pooled(ref: str, pool: int,
+                     jitter: int = 0) -> tuple[bytes, int, int]:
+    """Pooled payload rule, single-sourced for the Spark synthesizer AND
+    the pinned twins: the base image is ``synth_ppm('pool:<k>')`` with
+    ``k = sha256(ref) mod pool`` (so refs share payloads — exact-dup
+    surface); with ``jitter > 0``, ``1 + sha256(ref)[8] mod jitter``
+    raster bytes at ref-derived positions are overwritten (so same-pool
+    refs become distinct NEAR-duplicates — the perceptual-dup
+    surface)."""
+    seed = hashlib.sha256(ref.encode()).digest()
+    key = int.from_bytes(seed[:8], "big") % pool
+    payload, w, h = synth_ppm(f"pool:{key}")
+    if jitter > 0:
+        raster_len = w * h * 3
+        head = len(payload) - raster_len
+        buf = bytearray(payload)
+        for j in range(1 + seed[8] % jitter):
+            js = hashlib.sha256(f"{ref}:{j}".encode()).digest()
+            pos = head + int.from_bytes(js[:4], "big") % raster_len
+            buf[pos] = js[4]
+        payload = bytes(buf)
+    return payload, w, h
+
+
 def synth_media_pooled(spark: SparkSession, docs: DataFrame,
-                       pool: int = 13) -> DataFrame:
+                       pool: int = 13, jitter: int = 0) -> DataFrame:
     """Like :func:`synth_media` but payload bytes come from a POOL of
     ``pool`` distinct contents (ref -> sha256(ref) mod pool), so the
     corpus carries real cross-document DUPLICATE media — the surface the
-    media-dedup plane exists for. Deterministic, no RNG state."""
+    media-dedup plane exists for; ``jitter`` perturbs raster bytes
+    per ref (near-duplicates instead of exact ones — the perceptual
+    plane's surface). Deterministic, no RNG state."""
     refs = (docs.select("doc_id", F.explode("spans").alias("s"))
             .filter(F.col("s.kind") == "media")
             .select("doc_id", F.col("s.media_ref").alias("media_ref")))
@@ -445,9 +471,7 @@ def synth_media_pooled(spark: SparkSession, docs: DataFrame,
         for pdf in batches:
             rows = []
             for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
-                key = int.from_bytes(
-                    hashlib.sha256(ref.encode()).digest()[:8], "big") % pool
-                payload, w, h = synth_ppm(f"pool:{key}")
+                payload, w, h = synth_ppm_pooled(ref, pool, jitter)
                 rows.append({
                     "media_ref": ref, "doc_id": doc_id, "kind": "image",
                     "content": payload,
@@ -530,3 +554,82 @@ def rewrite_media_refs(docs: DataFrame, mapping: DataFrame) -> DataFrame:
                                s["media_ref"]).alias("media_ref"),
                     s["offset"].alias("offset"))))
             .drop("_remap"))
+
+
+def dhash64(content: bytes) -> int:
+    """64-bit difference hash (dHash) of a netpbm payload —
+    integer-exact and SINGLE-SOURCED: the Spark operator and the pinned
+    twin both call this function. Luma comes from the shared
+    ``_netpbm_decode``; the image is sampled (not averaged) onto a 9x8
+    grid at ``(c*w//9, r*h//8)`` — total for any geometry, duplicates
+    columns/rows when the image is smaller than the grid; bit (r, c) =
+    1 iff sample[r][c+1] > sample[r][c], packed MSB-first row-major;
+    returned as a SIGNED 64-bit int (what a BIGINT column stores)."""
+    w, h, _mx, px = _netpbm_decode(content)
+    xs = [c * w // 9 for c in range(9)]
+    ys = [r * h // 8 for r in range(8)]
+    bits = 0
+    for r in range(8):
+        row = ys[r] * w
+        for c in range(8):
+            bits = (bits << 1) | (1 if px[row + xs[c + 1]]
+                                  > px[row + xs[c]] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+DHASH_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("dhash", T.LongType()),
+])
+
+
+def media_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual 64-bit dHash per media row, Arrow-batched (decode +
+    hash run inside ``mapInPandas`` — the payload never leaves the
+    executor; only (ref, 8-byte hash) moves downstream, same
+    hash-before-shuffle discipline as ``media_dedup``)."""
+    slim = media.select("media_ref", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"],
+                "dhash": [dhash64(bytes(c)) for c in pdf["content"]],
+            })
+
+    return slim.mapInPandas(run, DHASH_SCHEMA)
+
+
+def media_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate media pairs by dHash Hamming distance,
+    candidate-bucketed on four 16-bit bands — the simhash_near_dups
+    banding verbatim (pigeonhole: distance <= 3 leaves at least one of
+    4 bands intact, so the band equi-join loses NOTHING vs all-pairs;
+    completeness asserted against the all-pairs twin in tests). Returns
+    (ref_a, ref_b, hamming), ref_a < ref_b.
+
+    100-TB shape: decode+hash in the scan stage, band join on 16-bit
+    keys (bounded fanout per bucket for natural images; a degenerate
+    bucket — e.g. a constant-color internet-wide banner — is exact-dup
+    territory and should be removed by media_dedup first)."""
+    dh = media_dhash(media)
+    band_cols = [
+        F.concat(F.lit(f"b{j}:"),
+                 (F.shiftright("dhash", 16 * j)
+                  .bitwiseAND(F.lit(0xFFFF))).cast("string"))
+        for j in range(4)]
+    bands = dh.select(
+        "media_ref", "dhash",
+        F.explode(F.array(*band_cols)).alias("bucket"))
+    cand = (bands.alias("a").join(bands.alias("b"), "bucket")
+            .filter(F.col("a.media_ref") < F.col("b.media_ref"))
+            .select(F.col("a.media_ref").alias("ref_a"),
+                    F.col("b.media_ref").alias("ref_b"),
+                    F.col("a.dhash").alias("dh_a"),
+                    F.col("b.dhash").alias("dh_b"))
+            .distinct())
+    return (cand
+            .withColumn("hamming", F.bit_count(
+                F.col("dh_a").bitwiseXOR(F.col("dh_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("ref_a", "ref_b", "hamming"))

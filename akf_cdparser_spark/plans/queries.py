@@ -3724,6 +3724,33 @@ Q113_SQL = (
 )
 
 
+def q114_media_near_dups(spark, sf_dir):
+    """Perceptual near-duplicate media (the dedup catch that exact
+    hashing misses: re-encoded / lightly-edited images): pooled payloads
+    with per-ref raster jitter (every content hash DISTINCT — q113's
+    exact dedup finds nothing here), 64-bit dHash computed next to the
+    decode in the scan stage, 4x16-bit band join (pigeonhole-complete
+    for hamming <= 3), bit_count verify. Oracle: pinned all-pairs twin
+    (single-sourced synth + dhash64) — which also proves the banding
+    lost no pair."""
+    from ..analytics import multimodal
+
+    docs = X.docs_dataframe(spark, EXTRACT_N_DOCS)
+    media = multimodal.synth_media_pooled(spark, docs, pool=13, jitter=3)
+    return (multimodal.media_near_dups(media, max_hamming=3)
+            .select("ref_a", "ref_b",
+                    F.col("hamming").cast("int").alias("hamming")))
+
+
+Q114_SQL = (
+    "SELECT ref_a, ref_b, CAST(hamming AS INT) AS hamming\n"
+    "FROM (VALUES\n"
+    + ",\n".join("  (" + ", ".join(repr(v) for v in row) + ")"
+                 for row in _pinned.Q114_EXPECTED)
+    + "\n) AS t(ref_a, ref_b, hamming)"
+)
+
+
 def q112_ivfpq_recall(spark, sf_dir):
     """IVF-PQ ANN accuracy gate — the full FAISS composition (Jégou et
     al. 2011 §IV): the q65 coarse quantizer picks WHICH vectors to rank
@@ -3885,4 +3912,5 @@ REGISTRY: dict[str, tuple] = {
     "q111_bm25_index": (q111_bm25_index, Q111_SQL),
     "q112_ivfpq_recall": (q112_ivfpq_recall, Q112_SQL),
     "q113_media_dedup": (q113_media_dedup, Q113_SQL),
+    "q114_media_near_dups": (q114_media_near_dups, Q114_SQL),
 }

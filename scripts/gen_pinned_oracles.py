@@ -420,9 +420,7 @@ def q113_rows(pool: int = 13) -> list[tuple]:
         refs.extend(s["media_ref"] for s in spans if s["kind"] == "media")
     per_ref = {}
     for ref in refs:
-        key = int.from_bytes(_h.sha256(ref.encode()).digest()[:8],
-                             "big") % pool
-        payload, _w, _h2 = mm.synth_ppm(f"pool:{key}")
+        payload, _w, _h2 = mm.synth_ppm_pooled(ref, pool)
         per_ref[ref] = (_h.sha256(payload).hexdigest(), len(payload))
     by_hash: dict[str, list[str]] = {}
     for ref, (hx, _n) in per_ref.items():
@@ -431,6 +429,38 @@ def q113_rows(pool: int = 13) -> list[tuple]:
     for ref, (hx, nb) in per_ref.items():
         members = by_hash[hx]
         rows.append((ref, min(members), hx, nb, len(members)))
+    return sorted(rows)
+
+
+def q114_rows(pool: int = 13, jitter: int = 3,
+              max_hamming: int = 3) -> list[tuple]:
+    """Sequential twin of q114 (perceptual media near-dups): the q113
+    refs with POOLED + JITTERED payloads (mm.synth_ppm_pooled — the same
+    single-sourced rule the Spark synthesizer runs), dhash64 on each
+    (also single-sourced), then ALL-PAIRS Hamming <= max_hamming — which
+    equals the banded candidate set exactly (pigeonhole: 4 x 16-bit
+    bands, distance <= 3 leaves one band intact), so pinning the
+    all-pairs answer gates the banding for completeness too."""
+    from akf_cdparser_spark import fixtures
+    from akf_cdparser_spark.analytics import multimodal as mm
+    from akf_cdparser_spark.plans.queries import EXTRACT_N_DOCS
+
+    refs = []
+    for i in range(EXTRACT_N_DOCS):
+        spans = fixtures.html_to_spans(fixtures.synth_html(i, EXTRACT_N_DOCS))
+        refs.extend(s["media_ref"] for s in spans if s["kind"] == "media")
+    dh = {}
+    for ref in refs:
+        payload, _w, _h = mm.synth_ppm_pooled(ref, pool, jitter)
+        dh[ref] = mm.dhash64(payload)
+    rows = []
+    srefs = sorted(dh)
+    for ai, a in enumerate(srefs):
+        for b in srefs[ai + 1:]:
+            x = (dh[a] ^ dh[b]) & ((1 << 64) - 1)
+            ham = bin(x).count("1")
+            if ham <= max_hamming:
+                rows.append((a, b, ham))
     return sorted(rows)
 
 
@@ -765,6 +795,7 @@ def main():
     q110 = q110_rows()
     q112 = q112_rows()
     q113 = q113_rows()
+    q114 = q114_rows()
     q105, q105_removed = q105_detail()
     q29 = q29_rows()
     q50 = q50_rows()
@@ -805,6 +836,9 @@ def main():
         fh.write("]\n\nQ113_EXPECTED = [\n")
         for r in q113:
             fh.write(f"    {r!r},\n")
+        fh.write("]\n\nQ114_EXPECTED = [\n")
+        for r in q114:
+            fh.write(f"    {r!r},\n")
         fh.write("]\n\nQ105_EXPECTED = [\n")
         for r in q105:
             fh.write(f"    {r!r},\n")
@@ -842,6 +876,7 @@ def main():
     print("q112:", q112)
     print("q113:", len(q113), "rows,",
           len({h for _, _, h, _, _ in q113}), "unique payloads")
+    print("q114:", len(q114), "near-dup pairs")
     print("q105:", q105)
 
 

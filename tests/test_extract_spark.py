@@ -321,3 +321,17 @@ def test_media_dedup_and_span_preserving_rewrite(spark):
     assert st.n_rewritten == sum(1 for r in m.values()
                                  if r.media_ref != r.canonical_ref)
     assert st.bytes_total > st.bytes_unique > 0
+
+
+def test_media_near_dups_matches_allpairs_twin(spark):
+    """The banded dHash near-dup join returns EXACTLY the pinned
+    all-pairs twin result — completeness of the 4x16-bit pigeonhole
+    banding AND the single-sourced decode/dhash, in one check."""
+    from akf_cdparser_spark.analytics import multimodal
+    from akf_cdparser_spark.plans import pinned
+
+    docs = X.docs_dataframe(spark, 40)
+    media = multimodal.synth_media_pooled(spark, docs, pool=13, jitter=3)
+    got = sorted(tuple(r) for r in
+                 multimodal.media_near_dups(media, max_hamming=3).collect())
+    assert got == sorted(pinned.Q114_EXPECTED)

@@ -122,3 +122,15 @@ def test_q112_pinned_matches_numpy_twin():
 def test_q112_ivfpq_recall_meets_semantic_gate():
     vals = [r for _, r in pinned.Q112_EXPECTED]
     assert sum(vals) / len(vals) >= 0.8
+
+
+def test_q114_pinned_matches_sequential_twin():
+    assert gen.q114_rows() == pinned.Q114_EXPECTED
+
+
+def test_q114_jitter_defeats_exact_dedup_but_not_perceptual():
+    """The q114 corpus is built so every payload is byte-distinct (exact
+    dedup finds zero groups) yet 60+ perceptual pairs survive — the
+    operator's reason to exist, pinned."""
+    assert len(pinned.Q114_EXPECTED) > 20
+    assert all(h <= 3 for _, _, h in pinned.Q114_EXPECTED)
