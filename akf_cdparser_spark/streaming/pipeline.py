@@ -140,3 +140,24 @@ def stream_curation_gate(docs: DataFrame) -> DataFrame:
         c["has_pii"].alias("has_pii"),
         g["n_tokens"].alias("n_tokens"),
         g["quality_ok"].alias("quality_ok"))
+
+
+def stream_media_dedup(media: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Ingestion-time exact MEDIA dedup — the streaming twin of
+    ``analytics.multimodal.media_dedup``: one kept row per payload sha256
+    (the SAME hash expression as the batch mapping), first arrival wins;
+    later refs to an already-held payload are routed through the batch
+    mapping at the next compaction (``rewrite_media_refs``).
+
+    State bounds follow ``stream_exact_dedup``: the store holds one
+    32-byte hash per distinct payload inside the watermark horizon —
+    NOT the payloads (the hash is computed in a stateless projection
+    before the stateful operator, so content bytes never enter state).
+    On a batch frame the call degrades to plain ``dropDuplicates``."""
+    keyed = media.withColumn("content_hash", F.sha2("content", 256))
+    if not keyed.isStreaming:
+        return keyed.dropDuplicates(["content_hash"])
+    return (keyed
+            .withColumn("ingest_ts", F.current_timestamp())
+            .withWatermark("ingest_ts", watermark)
+            .dropDuplicatesWithinWatermark(["content_hash"]))

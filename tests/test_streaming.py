@@ -163,3 +163,40 @@ def test_stream_gate_rounding_edge_agrees_with_batch(spark):
     stream = {r.doc_id: r.quality_ok
               for r in pipeline.stream_curation_gate(base).collect()}
     assert batch == stream == {"edge": False, "below": True}
+
+
+def test_stream_media_dedup_matches_batch_mapping(spark, tmp_path):
+    """Streaming media dedup keeps exactly one row per payload hash and
+    agrees with the batch media_dedup canonical set on hashes (first
+    arrival may pick a different holder ref; the HASH set may not
+    differ). Content bytes never enter streaming state — only the
+    32-byte hash keys the dedup."""
+    from akf_cdparser_spark.analytics import multimodal
+    from akf_cdparser_spark.operators import extract as X
+
+    docs = X.docs_dataframe(spark, 12)
+    media = multimodal.synth_media_pooled(spark, docs, pool=3)
+    media_dir = str(tmp_path / "media_pool")
+    media.write.parquet(media_dir)
+
+    batch_hashes = {r.content_hash for r in
+                    multimodal.media_dedup(media).collect()}
+    assert len(batch_hashes) == 3
+
+    stream = (spark.readStream
+              .schema(multimodal.MEDIA_SCHEMA)
+              .option("maxFilesPerTrigger", 2)
+              .parquet(media_dir))
+    q = (pipeline.stream_media_dedup(stream)
+         .select("media_ref", "content_hash")
+         .writeStream.outputMode("append")
+         .format("memory").queryName("t_media_dedup").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT content_hash FROM t_media_dedup").collect()
+        assert len(got) == 3
+        assert {r.content_hash for r in got} == batch_hashes
+    finally:
+        q.stop()
+    # batch fallback: same operator, exact
+    assert pipeline.stream_media_dedup(media).count() == 3
