@@ -155,3 +155,33 @@ def test_crawl_fetch_join_broadcasts_keys(spark):
     # the docs side feeds the join directly (its only exchange is the
     # broadcast of the key side)
     assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_media_dedup_shuffle_excludes_payload_bytes(spark):
+    """media_dedup's whole point at 100 TB: the sha256 is computed in the
+    scan-side projection, so every Exchange in the plan moves
+    (ref, hash, n_bytes) — the binary content column must appear in NO
+    Exchange input. The plan string prints each Exchange's child output
+    schema; assert 'content' is absent from all of them."""
+    import re as _re
+
+    from akf_cdparser_spark.analytics import multimodal
+
+    docs = X.docs_dataframe(spark, 12)
+    media = multimodal.synth_media_pooled(spark, docs, pool=3)
+    df = multimodal.media_dedup(media)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    blocks = _re.findall(
+        r"\(\d+\) (?:Broadcast)?Exchange\n((?:.+\n)+?)\n", p)
+    assert blocks, p                              # the dedup shuffle exists
+    for b in blocks:
+        # the binary column is content#<id>; content_hash#<id> is the
+        # 64-hex digest and is exactly what SHOULD move
+        assert not _re.search(r"\bcontent#\d", b), b
+    assert "sha2" in p and "content_hash" in p, p
