@@ -566,6 +566,12 @@ def dhash64(content: bytes) -> int:
     1 iff sample[r][c+1] > sample[r][c], packed MSB-first row-major;
     returned as a SIGNED 64-bit int (what a BIGINT column stores)."""
     w, h, _mx, px = _netpbm_decode(content)
+    return _grid_dhash(px, w, h)
+
+
+def _grid_dhash(px: list[int], w: int, h: int) -> int:
+    """The shared 9x8 sampled-grid difference-hash core (image dHash and
+    the video keyframe hash)."""
     xs = [c * w // 9 for c in range(9)]
     ys = [r * h // 8 for r in range(8)]
     bits = 0
@@ -577,24 +583,64 @@ def dhash64(content: bytes) -> int:
     return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
+def audio_dhash64(content: bytes) -> int:
+    """64-bit energy-contour dHash of a PCM16 WAV — the audio analogue
+    of the image grid hash, integer-exact: the sample stream is index-
+    partitioned into 65 windows (``k*n//65`` bounds — total for any
+    length), each window's energy is the exact integer sum of squared
+    samples, and bit k = energy[k+1] > energy[k]. Signed 64-bit."""
+    _rate, _ch, samples = _wav_decode(content)
+    n = len(samples)
+    ws = [k * n // 65 for k in range(66)]
+    e = [sum(s * s for s in samples[ws[k]:ws[k + 1]]) for k in range(65)]
+    bits = 0
+    for k in range(64):
+        bits = (bits << 1) | (1 if e[k + 1] > e[k] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def video_dhash64(content: bytes) -> int:
+    """64-bit dHash of the FIRST frame's luma plane (the keyframe
+    identity — re-encodes and container edits keep it; a true
+    shot-level signature would hash every k-th sampled frame and band
+    per frame) — the image grid rule verbatim on the luma bytes."""
+    w, h, _fn, _fd, frames = _y4m_decode(content)
+    return _grid_dhash(list(frames[0]), w, h)
+
+
 DHASH_SCHEMA = T.StructType([
     T.StructField("media_ref", T.StringType()),
+    T.StructField("kind", T.StringType()),
     T.StructField("dhash", T.LongType()),
 ])
+
+_DHASHERS = {"image": dhash64, "audio": audio_dhash64,
+             "video": video_dhash64}
 
 
 def media_dhash(media: DataFrame) -> DataFrame:
     """Perceptual 64-bit dHash per media row, Arrow-batched (decode +
     hash run inside ``mapInPandas`` — the payload never leaves the
-    executor; only (ref, 8-byte hash) moves downstream, same
-    hash-before-shuffle discipline as ``media_dedup``)."""
-    slim = media.select("media_ref", "content")
+    executor; only (ref, kind, 8-byte hash) moves downstream, same
+    hash-before-shuffle discipline as ``media_dedup``). The hasher
+    dispatches on ``kind`` (the ``extract_features`` pattern): image ->
+    grid dHash, audio -> energy-contour dHash, video -> keyframe
+    dHash."""
+    slim = media.select("media_ref", "kind", "content")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            hashes = []
+            for k, c in zip(pdf["kind"], pdf["content"]):
+                try:
+                    hasher = _DHASHERS[k]
+                except KeyError:
+                    raise ValueError(f"no perceptual hasher for kind {k!r}")
+                hashes.append(hasher(bytes(c)))
             yield pd.DataFrame({
                 "media_ref": pdf["media_ref"],
-                "dhash": [dhash64(bytes(c)) for c in pdf["content"]],
+                "kind": pdf["kind"],
+                "dhash": hashes,
             })
 
     return slim.mapInPandas(run, DHASH_SCHEMA)
@@ -613,18 +659,21 @@ def media_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     bucket — e.g. a constant-color internet-wide banner — is exact-dup
     territory and should be removed by media_dedup first)."""
     dh = media_dhash(media)
+    # the bucket key includes KIND: hash spaces of different modalities
+    # are incomparable, so cross-kind candidates are never generated
     band_cols = [
-        F.concat(F.lit(f"b{j}:"),
+        F.concat(F.col("kind"), F.lit(f":b{j}:"),
                  (F.shiftright("dhash", 16 * j)
                   .bitwiseAND(F.lit(0xFFFF))).cast("string"))
         for j in range(4)]
     bands = dh.select(
-        "media_ref", "dhash",
+        "media_ref", "kind", "dhash",
         F.explode(F.array(*band_cols)).alias("bucket"))
     cand = (bands.alias("a").join(bands.alias("b"), "bucket")
             .filter(F.col("a.media_ref") < F.col("b.media_ref"))
             .select(F.col("a.media_ref").alias("ref_a"),
                     F.col("b.media_ref").alias("ref_b"),
+                    F.col("a.kind").alias("kind"),
                     F.col("a.dhash").alias("dh_a"),
                     F.col("b.dhash").alias("dh_b"))
             .distinct())
@@ -632,4 +681,93 @@ def media_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
             .withColumn("hamming", F.bit_count(
                 F.col("dh_a").bitwiseXOR(F.col("dh_b"))))
             .filter(F.col("hamming") <= max_hamming)
-            .select("ref_a", "ref_b", "hamming"))
+            .select("ref_a", "ref_b", "kind", "hamming"))
+
+
+def synth_wav_pooled(ref: str, pool: int,
+                     jitter: int = 0) -> tuple[bytes, int, int]:
+    """Pooled WAV payload rule (the audio twin of
+    :func:`synth_ppm_pooled`): base clip from the ref's pool key; with
+    ``jitter > 0``, ``1 + sha256(ref)[8] mod jitter`` DATA-region bytes
+    at ref-derived positions are overwritten (the container header is
+    never touched, so the payload always parses)."""
+    seed = hashlib.sha256(ref.encode()).digest()
+    key = int.from_bytes(seed[:8], "big") % pool
+    payload, rate, n = synth_wav(f"pool:{key}")
+    if jitter > 0:
+        data_len = 2 * n
+        head = len(payload) - data_len
+        buf = bytearray(payload)
+        for j in range(1 + seed[8] % jitter):
+            js = hashlib.sha256(f"{ref}:{j}".encode()).digest()
+            buf[head + int.from_bytes(js[:4], "big") % data_len] = js[4]
+        payload = bytes(buf)
+    return payload, rate, n
+
+
+def synth_y4m_pooled(ref: str, pool: int,
+                     jitter: int = 0) -> tuple[bytes, int, int, int]:
+    """Pooled y4m payload rule: base clip from the ref's pool key; with
+    ``jitter > 0``, jittered bytes land INSIDE frame luma planes only
+    (frame chosen per byte by hash mod n_frames, offset mod w*h — the
+    stream header and the FRAME markers are never touched)."""
+    seed = hashlib.sha256(ref.encode()).digest()
+    key = int.from_bytes(seed[:8], "big") % pool
+    payload, w, h, n_frames = synth_y4m(f"pool:{key}")
+    if jitter > 0:
+        head = payload.find(b"\n") + 1
+        fsz = w * h
+        buf = bytearray(payload)
+        for j in range(1 + seed[8] % jitter):
+            js = hashlib.sha256(f"{ref}:{j}".encode()).digest()
+            fk = js[5] % n_frames
+            off = int.from_bytes(js[:4], "big") % fsz
+            buf[head + (6 + fsz) * fk + 6 + off] = js[4]
+        payload = bytes(buf)
+    return payload, w, h, n_frames
+
+
+def synth_pooled_mixed_row(ref: str, pool: int, jitter: int = 0) -> dict:
+    """One MEDIA_SCHEMA row for a ref in the MIXED pooled corpus,
+    single-sourced for the Spark synthesizer and the pinned twins: the
+    ref's modality is ``sha256(ref)[9] mod 3`` (image/audio/video), the
+    payload the corresponding pooled rule."""
+    seed = hashlib.sha256(ref.encode()).digest()
+    kind = ("image", "audio", "video")[seed[9] % 3]
+    if kind == "image":
+        payload, w, h = synth_ppm_pooled(ref, pool, jitter)
+        meta = {"width": w, "height": h, "n_bytes": len(payload),
+                "mime": "image/x-portable-pixmap"}
+    elif kind == "audio":
+        payload, _rate, _n = synth_wav_pooled(ref, pool, jitter)
+        meta = {"width": None, "height": None, "n_bytes": len(payload),
+                "mime": "audio/wav"}
+    else:
+        payload, w, h, _n = synth_y4m_pooled(ref, pool, jitter)
+        meta = {"width": w, "height": h, "n_bytes": len(payload),
+                "mime": "video/x-yuv4mpeg"}
+    return {"media_ref": ref, "kind": kind, "content": payload,
+            "meta": meta}
+
+
+def synth_media_pooled_mixed(spark: SparkSession, docs: DataFrame,
+                             pool: int = 5, jitter: int = 0) -> DataFrame:
+    """MIXED-modality pooled media table: each ref becomes an image,
+    audio clip or video (ref-hash-assigned) drawn from a per-kind pool
+    of ``pool`` base payloads, optionally jittered — the corpus the
+    cross-modal perceptual plane (q115) runs on."""
+    refs = (docs.select("doc_id", F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "media")
+            .select("doc_id", F.col("s.media_ref").alias("media_ref")))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                row = synth_pooled_mixed_row(ref, pool, jitter)
+                row["doc_id"] = doc_id
+                rows.append(row)
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return refs.mapInPandas(gen, MEDIA_SCHEMA)

@@ -3742,6 +3742,33 @@ def q114_media_near_dups(spark, sf_dir):
                     F.col("hamming").cast("int").alias("hamming")))
 
 
+def q115_crossmodal_near_dups(spark, sf_dir):
+    """Cross-modal perceptual near-dups: the corpus's media refs become
+    a MIX of image/audio/video payloads (per-kind pools + jitter — all
+    byte-distinct), each hashed by its modality's dHash (grid /
+    energy-contour / keyframe, all integer-exact), banded with the kind
+    in the bucket key so modalities never cross. Oracle: pinned
+    all-same-kind-pairs twin over the single-sourced synth + hashers —
+    completeness of the kind-scoped banding included."""
+    from ..analytics import multimodal
+
+    docs = X.docs_dataframe(spark, EXTRACT_N_DOCS)
+    media = multimodal.synth_media_pooled_mixed(spark, docs, pool=5,
+                                                jitter=3)
+    return (multimodal.media_near_dups(media, max_hamming=3)
+            .select("ref_a", "ref_b", "kind",
+                    F.col("hamming").cast("int").alias("hamming")))
+
+
+Q115_SQL = (
+    "SELECT ref_a, ref_b, kind, CAST(hamming AS INT) AS hamming\n"
+    "FROM (VALUES\n"
+    + ",\n".join("  (" + ", ".join(repr(v) for v in row) + ")"
+                 for row in _pinned.Q115_EXPECTED)
+    + "\n) AS t(ref_a, ref_b, kind, hamming)"
+)
+
+
 Q114_SQL = (
     "SELECT ref_a, ref_b, CAST(hamming AS INT) AS hamming\n"
     "FROM (VALUES\n"
@@ -3913,4 +3940,5 @@ REGISTRY: dict[str, tuple] = {
     "q112_ivfpq_recall": (q112_ivfpq_recall, Q112_SQL),
     "q113_media_dedup": (q113_media_dedup, Q113_SQL),
     "q114_media_near_dups": (q114_media_near_dups, Q114_SQL),
+    "q115_crossmodal_near_dups": (q115_crossmodal_near_dups, Q115_SQL),
 }

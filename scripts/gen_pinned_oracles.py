@@ -464,6 +464,42 @@ def q114_rows(pool: int = 13, jitter: int = 3,
     return sorted(rows)
 
 
+def q115_rows(pool: int = 5, jitter: int = 3,
+              max_hamming: int = 3) -> list[tuple]:
+    """Sequential twin of q115 (cross-modal perceptual near-dups): the
+    corpus refs become image/audio/video payloads via the single-sourced
+    mixed pooled rule (mm.synth_pooled_mixed_row), hashed by the
+    kind-dispatched dHash family (grid / energy-contour / keyframe), and
+    near-dups are ALL same-kind pairs with Hamming <= max_hamming —
+    equal to the kind-scoped banded join by pigeonhole."""
+    from akf_cdparser_spark import fixtures
+    from akf_cdparser_spark.analytics import multimodal as mm
+    from akf_cdparser_spark.plans.queries import EXTRACT_N_DOCS
+
+    hashers = {"image": mm.dhash64, "audio": mm.audio_dhash64,
+               "video": mm.video_dhash64}
+    refs = []
+    for i in range(EXTRACT_N_DOCS):
+        spans = fixtures.html_to_spans(fixtures.synth_html(i, EXTRACT_N_DOCS))
+        refs.extend(s["media_ref"] for s in spans if s["kind"] == "media")
+    info = {}
+    for ref in refs:
+        row = mm.synth_pooled_mixed_row(ref, pool, jitter)
+        info[ref] = (row["kind"], hashers[row["kind"]](row["content"]))
+    rows = []
+    srefs = sorted(info)
+    for ai, a in enumerate(srefs):
+        for b in srefs[ai + 1:]:
+            ka, da = info[a]
+            kb, db = info[b]
+            if ka != kb:
+                continue
+            ham = bin((da ^ db) & ((1 << 64) - 1)).count("1")
+            if ham <= max_hamming:
+                rows.append((a, b, ka, ham))
+    return sorted(rows)
+
+
 def q105_detail(k=8, n_iter=3, threshold=0.4):
     """Twin of analytics.clustering.semdedup rolled up per cluster: the
     q96 kmeans twin provides (vec_id, cluster_id, dist); within each
@@ -796,6 +832,7 @@ def main():
     q112 = q112_rows()
     q113 = q113_rows()
     q114 = q114_rows()
+    q115 = q115_rows()
     q105, q105_removed = q105_detail()
     q29 = q29_rows()
     q50 = q50_rows()
@@ -839,6 +876,9 @@ def main():
         fh.write("]\n\nQ114_EXPECTED = [\n")
         for r in q114:
             fh.write(f"    {r!r},\n")
+        fh.write("]\n\nQ115_EXPECTED = [\n")
+        for r in q115:
+            fh.write(f"    {r!r},\n")
         fh.write("]\n\nQ105_EXPECTED = [\n")
         for r in q105:
             fh.write(f"    {r!r},\n")
@@ -877,6 +917,7 @@ def main():
     print("q113:", len(q113), "rows,",
           len({h for _, _, h, _, _ in q113}), "unique payloads")
     print("q114:", len(q114), "near-dup pairs")
+    print("q115:", len(q115), "cross-modal near-dup pairs")
     print("q105:", q105)
 
 

@@ -332,6 +332,30 @@ def test_media_near_dups_matches_allpairs_twin(spark):
 
     docs = X.docs_dataframe(spark, 40)
     media = multimodal.synth_media_pooled(spark, docs, pool=13, jitter=3)
+    out = multimodal.media_near_dups(media, max_hamming=3)
+    got = sorted(tuple(r) for r in
+                 out.select("ref_a", "ref_b", "hamming").collect())
+    assert got == sorted(pinned.Q114_EXPECTED)
+    assert {r.kind for r in out.select("kind").collect()} == {"image"}
+
+
+def test_crossmodal_near_dups_matches_twin_and_never_crosses_kinds(spark):
+    """Mixed-modality perceptual near-dups == the pinned same-kind
+    all-pairs twin; every payload is byte-distinct (exact dedup finds
+    nothing); no pair crosses modalities."""
+    import hashlib
+
+    from akf_cdparser_spark.analytics import multimodal
+    from akf_cdparser_spark.plans import pinned
+
+    docs = X.docs_dataframe(spark, 40)
+    media = multimodal.synth_media_pooled_mixed(spark, docs, pool=5,
+                                                jitter=3).cache()
     got = sorted(tuple(r) for r in
                  multimodal.media_near_dups(media, max_hamming=3).collect())
-    assert got == sorted(pinned.Q114_EXPECTED)
+    assert got == sorted(pinned.Q115_EXPECTED)
+    rows = media.select("media_ref", "kind", "content").collect()
+    assert len({hashlib.sha256(bytes(r.content)).hexdigest()
+                for r in rows}) == len(rows)
+    kind_of = {r.media_ref: r.kind for r in rows}
+    assert all(kind_of[a] == kind_of[b] == k for a, b, k, _ in got)

@@ -134,3 +134,12 @@ def test_q114_jitter_defeats_exact_dedup_but_not_perceptual():
     operator's reason to exist, pinned."""
     assert len(pinned.Q114_EXPECTED) > 20
     assert all(h <= 3 for _, _, h in pinned.Q114_EXPECTED)
+
+
+def test_q115_pinned_matches_sequential_twin():
+    assert gen.q115_rows() == pinned.Q115_EXPECTED
+
+
+def test_q115_covers_all_three_modalities():
+    kinds = {k for _, _, k, _ in pinned.Q115_EXPECTED}
+    assert kinds == {"image", "audio", "video"}
