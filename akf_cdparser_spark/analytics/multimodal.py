@@ -539,21 +539,32 @@ def rewrite_media_refs(docs: DataFrame, mapping: DataFrame) -> DataFrame:
     are filtered out first. If the changed slice ever outgrows broadcast
     (pathological near-total duplication), the fallback is the standard
     posexplode + equi-join + re-aggregate, one corpus shuffle."""
+    return (docs.join(F.broadcast(_changed_ref_map(mapping)))
+            .withColumn("spans", _rewritten_spans_expr())
+            .drop("_remap"))
+
+
+def _changed_ref_map(mapping: DataFrame) -> DataFrame:
+    """One-row frame holding the NON-IDENTITY slice of a media_dedup
+    mapping as a ``_remap`` map column — the broadcast side of the
+    in-array rewrite (|changed refs| entries, not the corpus)."""
     changed = (mapping.filter(F.col("media_ref") != F.col("canonical_ref"))
                .select("media_ref", "canonical_ref"))
-    remap = changed.agg(F.map_from_entries(F.collect_list(
+    return changed.agg(F.map_from_entries(F.collect_list(
         F.struct("media_ref", "canonical_ref"))).alias("_remap"))
-    return (docs.join(F.broadcast(remap))
-            .withColumn("spans", F.transform(
-                "spans",
-                lambda s: F.struct(
-                    s["kind"].alias("kind"),
-                    s["text"].alias("text"),
-                    F.coalesce(F.element_at(F.col("_remap"),
-                                            s["media_ref"]),
-                               s["media_ref"]).alias("media_ref"),
-                    s["offset"].alias("offset"))))
-            .drop("_remap"))
+
+
+def _rewritten_spans_expr(spans_col: str = "spans") -> "F.Column":
+    """spans array with each media_ref routed through the ``_remap`` map
+    (identity when absent); kind/text/offset untouched."""
+    return F.transform(
+        spans_col,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            F.coalesce(F.element_at(F.col("_remap"), s["media_ref"]),
+                       s["media_ref"]).alias("media_ref"),
+            s["offset"].alias("offset")))
 
 
 def dhash64(content: bytes) -> int:
@@ -771,3 +782,59 @@ def synth_media_pooled_mixed(spark: SparkSession, docs: DataFrame,
                                columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return refs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def curate_interleaved_store(docs: DataFrame, media: DataFrame) -> DataFrame:
+    """The INTERLEAVED-STORE curation capstone: one composed pass over
+    the (doc_id, spans) store and its media table —
+
+    1. media plane: exact payload dedup (:func:`media_dedup`, hash in
+       the scan projection) + in-array ref canonicalization (broadcast
+       changed-ref map, span sequence untouched);
+    2. text plane: doc text = newline-join of the text spans, the
+       single-sourced quality gate (analytics.text.quality_gate_exprs)
+       and exact text dedup (md5 of the normalized text, canonical =
+       min doc_id — the analytics.dedup.exact_dedup rule).
+
+    Returns one row per doc: span/media/rewrite counts, the quality
+    signals, the dup group, and ``is_kept = quality_ok AND
+    is_canonical`` — what a training-data export would keep.
+
+    100-TB shape: the docs table is touched ONCE (the rewrite and every
+    text signal are projections over the same scan); the only shuffles
+    are the media-hash groupBy (slim rows), the text-fingerprint
+    groupBy (16-byte keys), and the fingerprint rejoin — nothing moves
+    payload bytes or span arrays."""
+    from .dedup import _norm_text
+    from .text import quality_gate_exprs
+
+    mapping = media_dedup(media)
+    g = quality_gate_exprs()
+    enriched = (docs.join(F.broadcast(_changed_ref_map(mapping)))
+                .select(
+                    "doc_id",
+                    F.size("spans").cast("int").alias("n_spans"),
+                    F.size(F.filter("spans", lambda s: s["kind"] == "media"))
+                    .cast("int").alias("n_media"),
+                    F.size(F.filter("spans", lambda s: F.element_at(
+                        F.col("_remap"), s["media_ref"]).isNotNull()))
+                    .cast("int").alias("n_media_rewritten"),
+                    _rewritten_spans_expr().alias("spans"),
+                    F.array_join(F.transform(
+                        F.filter("spans", lambda s: s["kind"] == "text"),
+                        lambda s: s["text"]), "\n").alias("text")))
+    scored = (enriched
+              .withColumn("n_tokens", g["n_tokens"].cast("int"))
+              .withColumn("punct_ratio", g["punct_ratio"])
+              .withColumn("quality_ok", g["quality_ok"])
+              .withColumn("fingerprint", F.md5(_norm_text())))
+    groups = (scored.groupBy("fingerprint")
+              .agg(F.min("doc_id").alias("_canon"),
+                   F.count(F.lit(1)).cast("int").alias("dup_group_size")))
+    return (scored.join(groups, "fingerprint")
+            .withColumn("is_canonical", F.col("doc_id") == F.col("_canon"))
+            .withColumn("is_kept",
+                        F.col("quality_ok") & F.col("is_canonical"))
+            .select("doc_id", "n_spans", "n_media", "n_media_rewritten",
+                    "n_tokens", "punct_ratio", "quality_ok",
+                    "dup_group_size", "is_canonical", "is_kept"))

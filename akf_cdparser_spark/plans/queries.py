@@ -3778,6 +3778,70 @@ Q114_SQL = (
 )
 
 
+def q116_planted_rows() -> list[tuple]:
+    """Planted mutants that make every q116 gate observable on the
+    otherwise-clean synthetic corpus (single-sourced for the query AND
+    the pinned twin): an exact text duplicate of doc 0 under a larger
+    doc_id (dedup victim — canonical rule keeps the original), a
+    punct-heavy doc (>= 0.3 punct ratio, fails quality), and a 4-token
+    doc (fails the n_tokens >= 5 gate)."""
+    dup_spans = [dict(s) for s in
+                 fixtures.html_to_spans(fixtures.synth_html(0,
+                                                            EXTRACT_N_DOCS))]
+    punct = ".,;:!? .,;:!? .,;:!? kurz und knapp"
+    tiny = "nur vier kurze worte"
+    mk = lambda t: [{"kind": "text", "text": t, "media_ref": None,
+                     "offset": 0}]
+    return [("zzzz/dup-of-first", dup_spans),
+            ("zzzz/punct-heavy", mk(punct)),
+            ("zzzz/tiny", mk(tiny))]
+
+
+def q116_interleaved_curation(spark, sf_dir):
+    """The INTERLEAVED curation capstone: media dedup + in-array ref
+    canonicalization composed with the text quality gate and exact text
+    dedup, one row per doc with is_kept — the export rule of a
+    multimodal training corpus. Corpus = the synthetic spans docs +
+    three planted mutants (q116_planted_rows) so every gate fires.
+    Oracle: pinned sequential twin (fixtures spans -> pooled payload
+    dedup walk -> Java-semantics tokenize/normalize in pure Python)."""
+    from ..analytics import multimodal
+
+    docs = X.docs_dataframe(spark, EXTRACT_N_DOCS)
+    planted = spark.createDataFrame(q116_planted_rows(), X.DOCS_SCHEMA)
+    full = docs.unionByName(planted)
+    media = multimodal.synth_media_pooled(spark, full, pool=13)
+    return (multimodal.curate_interleaved_store(full, media)
+            .select("doc_id", "n_spans", "n_media", "n_media_rewritten",
+                    "n_tokens",
+                    F.col("punct_ratio").cast("double").alias("punct_ratio"),
+                    "quality_ok", "dup_group_size", "is_canonical",
+                    "is_kept"))
+
+
+Q116_SQL_COLS = ("doc_id, n_spans, n_media, n_media_rewritten, n_tokens, "
+                 "punct_ratio, quality_ok, dup_group_size, is_canonical, "
+                 "is_kept")
+
+
+def _q116_sql() -> str:
+    return (
+        "SELECT doc_id, CAST(n_spans AS INT) AS n_spans,\n"
+        "       CAST(n_media AS INT) AS n_media,\n"
+        "       CAST(n_media_rewritten AS INT) AS n_media_rewritten,\n"
+        "       CAST(n_tokens AS INT) AS n_tokens,\n"
+        "       CAST(punct_ratio AS DOUBLE) AS punct_ratio,\n"
+        "       CAST(quality_ok AS BOOLEAN) AS quality_ok,\n"
+        "       CAST(dup_group_size AS INT) AS dup_group_size,\n"
+        "       CAST(is_canonical AS BOOLEAN) AS is_canonical,\n"
+        "       CAST(is_kept AS BOOLEAN) AS is_kept\n"
+        "FROM (VALUES\n"
+        + ",\n".join("  (" + ", ".join(repr(v) for v in row) + ")"
+                     for row in _pinned.Q116_EXPECTED)
+        + f"\n) AS t({Q116_SQL_COLS})"
+    )
+
+
 def q112_ivfpq_recall(spark, sf_dir):
     """IVF-PQ ANN accuracy gate — the full FAISS composition (Jégou et
     al. 2011 §IV): the q65 coarse quantizer picks WHICH vectors to rank
@@ -3941,4 +4005,5 @@ REGISTRY: dict[str, tuple] = {
     "q113_media_dedup": (q113_media_dedup, Q113_SQL),
     "q114_media_near_dups": (q114_media_near_dups, Q114_SQL),
     "q115_crossmodal_near_dups": (q115_crossmodal_near_dups, Q115_SQL),
+    "q116_interleaved_curation": (q116_interleaved_curation, _q116_sql()),
 }

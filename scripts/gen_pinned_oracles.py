@@ -500,6 +500,64 @@ def q115_rows(pool: int = 5, jitter: int = 3,
     return sorted(rows)
 
 
+def q116_rows(pool: int = 13) -> list[tuple]:
+    """Sequential twin of q116 (interleaved curation capstone): fixtures
+    spans + the planted mutants, the q113 pooled-payload dedup walk for
+    the media plane, and JAVA-SEMANTICS text ops in pure Python — the
+    corpus contains NBSP (\\xa0), which Java's \\s does NOT match and
+    Spark's trim does NOT strip, so the twin uses the explicit Java
+    whitespace class [ \\t\\n\\x0b\\f\\r] and strips ' ' only (probed
+    against the engine: trim('\\xa0x\\xa0') is unchanged, split keeps
+    'a\\xa0b' whole)."""
+    import hashlib as _h
+    import re
+
+    from akf_cdparser_spark import fixtures
+    from akf_cdparser_spark.analytics import multimodal as mm
+    from akf_cdparser_spark.plans.queries import (EXTRACT_N_DOCS,
+                                                  q116_planted_rows)
+
+    jws = re.compile(r"[ \t\n\x0b\f\r]+")
+    docs = [(fixtures.doc_id_for(i),
+             fixtures.html_to_spans(fixtures.synth_html(i, EXTRACT_N_DOCS)))
+            for i in range(EXTRACT_N_DOCS)]
+    docs += list(q116_planted_rows())
+
+    all_refs = [s["media_ref"] for _d, spans in docs for s in spans
+                if s["kind"] == "media"]
+    hx = {}
+    for ref in all_refs:
+        payload, _w, _hh = mm.synth_ppm_pooled(ref, pool)
+        hx[ref] = _h.sha256(payload).hexdigest()
+    members: dict[str, list] = {}
+    for ref, hv in hx.items():
+        members.setdefault(hv, []).append(ref)
+    canon = {ref: min(members[hv]) for ref, hv in hx.items()}
+
+    per_doc, fp_groups = {}, {}
+    for doc_id, spans in docs:
+        text = "\n".join(s["text"] for s in spans if s["kind"] == "text")
+        trimmed = text.strip(" ")
+        n_tokens = len(jws.split(trimmed))
+        n_punct = sum(1 for ch in text if ch in ".,;:!?")
+        pr = spark_round(n_punct / max(len(text), 1), 6)
+        quality_ok = bool(n_tokens >= 5 and pr < 0.3)
+        fp = _h.md5(jws.sub(" ", trimmed.lower()).encode()).hexdigest()
+        media_refs = [s["media_ref"] for s in spans if s["kind"] == "media"]
+        per_doc[doc_id] = (len(spans), len(media_refs),
+                           sum(1 for r in media_refs if canon[r] != r),
+                           n_tokens, pr, quality_ok, fp)
+        fp_groups.setdefault(fp, []).append(doc_id)
+    rows = []
+    for doc_id, (n_spans, n_media, n_rw, n_tok, pr, q, fp) in \
+            per_doc.items():
+        grp = fp_groups[fp]
+        is_c = doc_id == min(grp)
+        rows.append((doc_id, n_spans, n_media, n_rw, n_tok, pr, q,
+                     len(grp), is_c, bool(q and is_c)))
+    return sorted(rows)
+
+
 def q105_detail(k=8, n_iter=3, threshold=0.4):
     """Twin of analytics.clustering.semdedup rolled up per cluster: the
     q96 kmeans twin provides (vec_id, cluster_id, dist); within each
@@ -833,6 +891,7 @@ def main():
     q113 = q113_rows()
     q114 = q114_rows()
     q115 = q115_rows()
+    q116 = q116_rows()
     q105, q105_removed = q105_detail()
     q29 = q29_rows()
     q50 = q50_rows()
@@ -879,6 +938,9 @@ def main():
         fh.write("]\n\nQ115_EXPECTED = [\n")
         for r in q115:
             fh.write(f"    {r!r},\n")
+        fh.write("]\n\nQ116_EXPECTED = [\n")
+        for r in q116:
+            fh.write(f"    {r!r},\n")
         fh.write("]\n\nQ105_EXPECTED = [\n")
         for r in q105:
             fh.write(f"    {r!r},\n")
@@ -918,6 +980,8 @@ def main():
           len({h for _, _, h, _, _ in q113}), "unique payloads")
     print("q114:", len(q114), "near-dup pairs")
     print("q115:", len(q115), "cross-modal near-dup pairs")
+    print("q116:", len(q116), "docs,",
+          sum(1 for r in q116 if r[9]), "kept")
     print("q105:", q105)
 
 

@@ -143,3 +143,18 @@ def test_q115_pinned_matches_sequential_twin():
 def test_q115_covers_all_three_modalities():
     kinds = {k for _, _, k, _ in pinned.Q115_EXPECTED}
     assert kinds == {"image", "audio", "video"}
+
+
+def test_q116_pinned_matches_sequential_twin():
+    assert gen.q116_rows() == pinned.Q116_EXPECTED
+
+
+def test_q116_every_gate_fires():
+    by_id = {r[0]: r for r in pinned.Q116_EXPECTED}
+    dup = by_id["zzzz/dup-of-first"]
+    assert dup[7] == 2 and not dup[8] and not dup[9]   # dedup victim
+    assert by_id["1999/0000"][8] and by_id["1999/0000"][9]
+    assert not by_id["zzzz/punct-heavy"][6]            # quality fail
+    assert by_id["zzzz/tiny"][4] == 4 and not by_id["zzzz/tiny"][6]
+    kept = sum(1 for r in pinned.Q116_EXPECTED if r[9])
+    assert kept == len(pinned.Q116_EXPECTED) - 3
