@@ -2470,7 +2470,13 @@ PINNED_SF01 = {"q29_lse_grouped", "q48_ann_recall", "q50_lse_coupled",
                "q65_ivf_recall", "q94_learn_bpe", "q96_kmeans_int8",
                "q97_bpe_tokenize_corpus",
                "q101_ivf_int8_recall",
-               "q105_semdedup"}
+               "q105_semdedup",
+               # sf0.01-pinned additions: q108 splices the pinned
+               # semdedup removal set into its oracle; q110/q112 pin
+               # PQ / IVF-PQ recall vectors computed at sf0.01
+               "q108_curated_semantic_mix",
+               "q110_pq_recall",
+               "q112_ivfpq_recall"}
 
 
 def q65_ivf_recall(spark, sf_dir):
