@@ -1814,3 +1814,76 @@ def test_pq_adc_exact_on_clustered_data(spark):
     rec = [r.recall for r in similarity.pq_recall_vs_bruteforce(
         emb, qids, k=5, rerank_r=20).collect()]
     assert sum(rec) / len(rec) >= 0.95, rec
+
+
+def _bm25_fp_parts(tf, dl, df, n_docs, total_dl):
+    """The exact integer formulas of bm25_rank/_bm25_score_tail, in
+    plain Python — for property tests (no Spark)."""
+    S = 1_000_000
+    avgdl_fp = total_dl * S // n_docs
+    idf_fp = (2 * (n_docs - df) + 1) * S // (2 * df + 1)
+    dlq_fp = dl * S * S // avgdl_fp
+    k_fp = 6 * (250000 + 3 * dlq_fp // 4) // 5
+    tfn_fp = 11 * tf * S * S // (5 * (tf * S + k_fp))
+    return idf_fp, tfn_fp, idf_fp * tfn_fp // S
+
+
+def test_bm25_fixed_point_rank_preservation_properties():
+    """The documented ln-free trade holds mechanically: idf_fp strictly
+    decreases in df (same order as ln((N-df+.5)/(df+.5))); for a fixed
+    term, the per-doc score is non-decreasing in tf and non-increasing
+    in dl — randomized over wide integer ranges (hypothesis)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(2, 10**9), st.data())
+    def idf_order(n_docs, data):
+        df1 = data.draw(st.integers(1, n_docs - 1))
+        df2 = data.draw(st.integers(1, n_docs - 1))
+        i1 = _bm25_fp_parts(1, 100, df1, n_docs, 100 * n_docs)[0]
+        i2 = _bm25_fp_parts(1, 100, df2, n_docs, 100 * n_docs)[0]
+        l1 = math.log((n_docs - df1 + 0.5) / (df1 + 0.5))
+        l2 = math.log((n_docs - df2 + 0.5) / (df2 + 0.5))
+        if df1 != df2:
+            assert (i1 > i2) == (l1 > l2)      # strictly monotone map
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(2, 10**6), st.integers(1, 10**5),
+           st.integers(1, 8 * 10**5), st.integers(1, 9 * 10**6))
+    def tf_dl_monotone(n_docs, df0, tf, dl):
+        df = min(df0, n_docs - 1)
+        total = max(dl, 50) * n_docs
+        _, _, s = _bm25_fp_parts(tf, dl, df, n_docs, total)
+        _, _, s_tf = _bm25_fp_parts(tf + 1, dl, df, n_docs, total)
+        _, _, s_dl = _bm25_fp_parts(tf, dl + 50, df, n_docs, total)
+        assert s_tf >= s and s_dl <= s
+
+    idf_order()
+    tf_dl_monotone()
+
+
+def test_dhash_invariant_to_unsampled_pixels():
+    """The sampled-grid dHash touches only the 9x8 sample points: a
+    perturbation at any NON-sampled pixel leaves the hash bit-identical
+    (the locality that makes jittered near-dups hash close)."""
+    from akf_cdparser_spark.analytics import multimodal as mm
+
+    payload, w, h = mm.synth_ppm("prop:base")      # w,h >= 9x8 not needed
+    head = len(payload) - w * h * 3
+    base = mm.dhash64(payload)
+    xs = {c * w // 9 for c in range(9)}
+    ys = {r * h // 8 for r in range(8)}
+    changed = 0
+    for y in range(h):
+        for x in range(w):
+            if x in xs and y in ys:
+                continue                            # sampled: may flip
+            buf = bytearray(payload)
+            for ch in range(3):
+                buf[head + (y * w + x) * 3 + ch] ^= 0x55
+            if mm.dhash64(bytes(buf)) != base:
+                changed += 1
+    assert changed == 0
