@@ -108,6 +108,24 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
             spreads[leg] = [round(runs[0], 3), round(runs[1], 3),
                             round(runs[-1], 3)]
 
+    # PQ operator-only leg (the q93 lesson applied proactively): the
+    # registry's q110_pq_recall times the recall HARNESS — PQ scan plus
+    # the float brute-force oracle it is graded against. This leg times
+    # the OPERATOR alone: codebook + encode + ADC scan + exact rerank.
+    from akf_cdparser_spark.analytics import similarity as SIM
+
+    q110_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    runs = []
+    for _rep in range(3):
+        t0 = time.time()
+        SIM.pq_topk_adc(q110_emb, [0, 7, 42, 99, 123], k=5) \
+            .write.format("noop").mode("overwrite").save()
+        runs.append(time.time() - t0)
+    runs.sort()
+    timings["q110_adc_scan"] = round(runs[1], 3)
+    spreads["q110_adc_scan"] = [round(runs[0], 3), round(runs[1], 3),
+                                round(runs[-1], 3)]
+
     # extraction throughput over the synthetic spans corpus (warm single
     # shot: the corpus synthesis dominates a repeat, medians would measure
     # the cache instead of the operator)
