@@ -838,3 +838,42 @@ def curate_interleaved_store(docs: DataFrame, media: DataFrame) -> DataFrame:
             .select("doc_id", "n_spans", "n_media", "n_media_rewritten",
                     "n_tokens", "punct_ratio", "quality_ok",
                     "dup_group_size", "is_canonical", "is_kept"))
+
+
+def media_canonical(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual media dedup KEEP-LIST: near-dup pairs -> connected
+    components (:func:`analytics.dedup.dup_clusters` — the exact
+    pairwise->cluster machinery the text plane uses, type-agnostic on
+    string refs) -> one kept copy per cluster. For media the best copy
+    is the LARGEST payload (the least-recompressed / highest-resolution
+    encounter of the same perceptual content), tie-broken by min ref —
+    the media analogue of the text plane's quality-aware canonical
+    (q106). Returns every media row with (cluster_id, cluster_size,
+    n_bytes, is_kept); singletons are their own kept cluster.
+
+    Scale shape: the pair graph is band-join-bounded, the component
+    resolution never materializes clusters on the driver, and the
+    keeper window partitions BY CLUSTER (cluster-bounded rank, not a
+    corpus-wide sort)."""
+    from pyspark.sql import Window
+
+    from .dedup import dup_clusters
+
+    pairs = media_near_dups(media, max_hamming)
+    clusters = dup_clusters(pairs.select(F.col("ref_a").alias("doc_a"),
+                                         F.col("ref_b").alias("doc_b")))
+    base = media.select("media_ref", "kind",
+                        F.length("content").cast("long").alias("n_bytes"))
+    full = (base.join(clusters.select(F.col("doc_id").alias("media_ref"),
+                                      "cluster_id", "cluster_size"),
+                      "media_ref", "left")
+            .withColumn("cluster_id",
+                        F.coalesce("cluster_id", F.col("media_ref")))
+            .withColumn("cluster_size",
+                        F.coalesce("cluster_size",
+                                   F.lit(1).cast("long"))))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_bytes"), F.asc("media_ref"))
+    return (full.withColumn("is_kept", F.row_number().over(w) == 1)
+            .select("media_ref", "kind", "cluster_id", "cluster_size",
+                    "n_bytes", "is_kept"))

@@ -3848,6 +3848,39 @@ def _q116_sql() -> str:
     )
 
 
+def q117_media_canonical(spark, sf_dir):
+    """Perceptual media keep-list (the media q106): q115's cross-modal
+    near-dup pairs resolved into connected components by the SHARED
+    dup_clusters machinery (string refs, lexicographic-min cluster id),
+    keeper = largest payload per cluster (the least-recompressed copy),
+    singletons kept. Oracle: pinned union-find twin over the q115 pair
+    twin + the single-sourced payload sizes."""
+    from ..analytics import multimodal
+
+    docs = X.docs_dataframe(spark, EXTRACT_N_DOCS)
+    media = multimodal.synth_media_pooled_mixed(spark, docs, pool=5,
+                                                jitter=3)
+    return (multimodal.media_canonical(media, max_hamming=3)
+            .select("media_ref", "kind", "cluster_id",
+                    F.col("cluster_size").cast("long").alias("cluster_size"),
+                    F.col("n_bytes").cast("long").alias("n_bytes"),
+                    "is_kept"))
+
+
+def _q117_sql() -> str:
+    return (
+        "SELECT media_ref, kind, cluster_id,\n"
+        "       CAST(cluster_size AS BIGINT) AS cluster_size,\n"
+        "       CAST(n_bytes AS BIGINT) AS n_bytes,\n"
+        "       CAST(is_kept AS BOOLEAN) AS is_kept\n"
+        "FROM (VALUES\n"
+        + ",\n".join("  (" + ", ".join(repr(v) for v in row) + ")"
+                     for row in _pinned.Q117_EXPECTED)
+        + "\n) AS t(media_ref, kind, cluster_id, cluster_size, n_bytes,"
+          " is_kept)"
+    )
+
+
 def q112_ivfpq_recall(spark, sf_dir):
     """IVF-PQ ANN accuracy gate — the full FAISS composition (Jégou et
     al. 2011 §IV): the q65 coarse quantizer picks WHICH vectors to rank
@@ -4012,4 +4045,5 @@ REGISTRY: dict[str, tuple] = {
     "q114_media_near_dups": (q114_media_near_dups, Q114_SQL),
     "q115_crossmodal_near_dups": (q115_crossmodal_near_dups, Q115_SQL),
     "q116_interleaved_curation": (q116_interleaved_curation, _q116_sql()),
+    "q117_media_canonical": (q117_media_canonical, _q117_sql()),
 }

@@ -558,6 +558,49 @@ def q116_rows(pool: int = 13) -> list[tuple]:
     return sorted(rows)
 
 
+def q117_rows(pool: int = 5, jitter: int = 3,
+              max_hamming: int = 3) -> list[tuple]:
+    """Sequential twin of q117 (perceptual media keep-list): union-find
+    over the q115 pair set, cluster_id = lexicographic-min member,
+    keeper = (max n_bytes, min ref) per cluster, singletons kept."""
+    from akf_cdparser_spark import fixtures
+    from akf_cdparser_spark.analytics import multimodal as mm
+    from akf_cdparser_spark.plans.queries import EXTRACT_N_DOCS
+
+    refs = []
+    for i in range(EXTRACT_N_DOCS):
+        spans = fixtures.html_to_spans(fixtures.synth_html(i, EXTRACT_N_DOCS))
+        refs.extend(s["media_ref"] for s in spans if s["kind"] == "media")
+    info = {}
+    for ref in refs:
+        row = mm.synth_pooled_mixed_row(ref, pool, jitter)
+        info[ref] = (row["kind"], len(row["content"]))
+
+    parent = {r: r for r in refs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _k, _h in q115_rows(pool, jitter, max_hamming):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict[str, list] = {}
+    for r in refs:
+        members.setdefault(find(r), []).append(r)
+    rows = []
+    for root, mem in members.items():
+        cid = min(mem)
+        keeper = min(mem, key=lambda r: (-info[r][1], r))
+        for r in mem:
+            rows.append((r, info[r][0], cid, len(mem), info[r][1],
+                         r == keeper))
+    return sorted(rows)
+
+
 def q105_detail(k=8, n_iter=3, threshold=0.4):
     """Twin of analytics.clustering.semdedup rolled up per cluster: the
     q96 kmeans twin provides (vec_id, cluster_id, dist); within each
@@ -892,6 +935,7 @@ def main():
     q114 = q114_rows()
     q115 = q115_rows()
     q116 = q116_rows()
+    q117 = q117_rows()
     q105, q105_removed = q105_detail()
     q29 = q29_rows()
     q50 = q50_rows()
@@ -941,6 +985,9 @@ def main():
         fh.write("]\n\nQ116_EXPECTED = [\n")
         for r in q116:
             fh.write(f"    {r!r},\n")
+        fh.write("]\n\nQ117_EXPECTED = [\n")
+        for r in q117:
+            fh.write(f"    {r!r},\n")
         fh.write("]\n\nQ105_EXPECTED = [\n")
         for r in q105:
             fh.write(f"    {r!r},\n")
@@ -982,6 +1029,8 @@ def main():
     print("q115:", len(q115), "cross-modal near-dup pairs")
     print("q116:", len(q116), "docs,",
           sum(1 for r in q116 if r[9]), "kept")
+    print("q117:", len(q117), "media rows,",
+          sum(1 for r in q117 if r[5]), "kept")
     print("q105:", q105)
 
 

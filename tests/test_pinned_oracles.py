@@ -158,3 +158,20 @@ def test_q116_every_gate_fires():
     assert by_id["zzzz/tiny"][4] == 4 and not by_id["zzzz/tiny"][6]
     kept = sum(1 for r in pinned.Q116_EXPECTED if r[9])
     assert kept == len(pinned.Q116_EXPECTED) - 3
+
+
+def test_q117_pinned_matches_sequential_twin():
+    assert gen.q117_rows() == pinned.Q117_EXPECTED
+
+
+def test_q117_keeper_is_biggest_copy():
+    by_cluster: dict = {}
+    for ref, _k, cid, _n, nb, kept in pinned.Q117_EXPECTED:
+        by_cluster.setdefault(cid, []).append((ref, nb, kept))
+    assert len(by_cluster) == sum(1 for r in pinned.Q117_EXPECTED if r[5])
+    for cid, mem in by_cluster.items():
+        keepers = [m for m in mem if m[2]]
+        assert len(keepers) == 1
+        best = min(mem, key=lambda m: (-m[1], m[0]))
+        assert keepers[0] == best
+        assert cid == min(m[0] for m in mem)
