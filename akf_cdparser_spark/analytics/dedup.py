@@ -40,6 +40,22 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
                         F.col("doc_id") == F.col("canonical_doc_id")))
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor for heavy per-row compute: when the
+    input arrives NARROWER than the cluster (a small parquet file is one
+    row group = one unsplittable scan task, so every per-doc HOF/gram pass
+    downstream would run single-threaded), hash-repartition on doc_id to
+    defaultParallelism. When the scan is already at least cluster-wide —
+    the normal case at scale — this is the identity, so no shuffle is ever
+    added to a large input (guide §2.5: no blanket repartition-for-
+    parallelism; the condition is derived from the actual plan width)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, "doc_id")
+    return df
+
+
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct token n-gram shingles per document (posexplode + window
     join-free construction via transform over token array).
@@ -51,8 +67,10 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     elimination does not reach into lambda bodies. Binding it to a column
     (non-cheap alias with two consumers, so CollapseProject keeps it)
     makes the split run once per doc: measured 5.8s -> 0.8s over the
-    sf0.1 corpus. Same trick as lse_elements / the q26 md5 binding."""
-    toksed = docs.select("doc_id", tokens_col().alias("_toks"))
+    sf0.1 corpus. Same trick as lse_elements / the q26 md5 binding.
+    Narrow inputs are widened first (``_widen``) so the per-doc gram pass
+    parallelizes even when the scan is one row group."""
+    toksed = _widen(docs).select("doc_id", tokens_col().alias("_toks"))
     toks = F.col("_toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
@@ -62,14 +80,18 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, k: int = DEFAULT_MINHASH_K,
-                       n: int = 3) -> DataFrame:
+                       n: int = 3,
+                       shingle_df: DataFrame | None = None) -> DataFrame:
     """MinHash with the two-hash family h_i = md5_lo + i*md5_hi (one md5
     per shingle); signature_i = min over the doc's shingles. All k hashes
     are computed as COLUMNS of one shingle row and aggregated with k
     element-wise mins in a single groupBy — the explode-by-hash-id
     alternative multiplies shuffle row volume by k, which is the dominant
-    cost at corpus scale. Engine-portable (md5 + exact integer ops)."""
-    sh = shingles(docs, n)
+    cost at corpus scale. Engine-portable (md5 + exact integer ops).
+    ``shingle_df`` lets callers that consume the shingle table for several
+    planes (the persisted index build/probe) pass ONE materialized copy
+    instead of re-running the gram pass per consumer."""
+    sh = shingle_df if shingle_df is not None else shingles(docs, n)
     # ONE md5 per shingle; the k hash family is h_i = h1 + i*h2 over the
     # two 32-bit md5 halves (Kirsch-Mitzenmacher construction). Values stay
     # < 2^36 so there is no wrap anywhere — bit-identical in the DuckDB
@@ -84,13 +106,14 @@ def minhash_signatures(docs: DataFrame, k: int = DEFAULT_MINHASH_K,
 
 
 def lsh_band_keys(docs: DataFrame, k: int = DEFAULT_MINHASH_K,
-                  bands: int = DEFAULT_BANDS, n: int = 3) -> DataFrame:
+                  bands: int = DEFAULT_BANDS, n: int = 3,
+                  shingle_df: DataFrame | None = None) -> DataFrame:
     """LSH banding: concatenate rows-per-band minhashes -> band_key.
     Documents sharing any (band, band_key) are near-dup candidates. The
     band keys derive from the wide signature row (no second shuffle); only
     the final tiny (doc, band) explode leaves the aggregated row."""
     rows_per_band = k // bands
-    wide = minhash_signatures(docs, k, n)
+    wide = minhash_signatures(docs, k, n, shingle_df=shingle_df)
     entries = [
         F.struct(
             F.lit(b).alias("band"),
@@ -519,11 +542,21 @@ def write_minhash_index(docs: DataFrame, path: str,
     partition column triggers dynamic partition pruning — a small batch
     touches only the directories its own band keys land in, not the whole
     index; plus the distinct shingle table and per-doc set sizes the exact
-    verifier needs."""
-    keys = lsh_band_keys(docs, k, bands, n).withColumn(
+    verifier needs.
+
+    The shingle table feeds all three outputs (band keys, the stored
+    shingles, the per-doc sizes), so it is materialized ONCE via
+    localCheckpoint instead of re-running the gram pass per output (3
+    scans -> 1; on a fault-tolerant cluster swap for persist or reuse the
+    written shingle parquet). The band write hash-distributes on the
+    partition column first (guide §6: cluster by partition key before a
+    partitioned write), so each ``bkp`` directory is written by one task
+    — 256 files instead of tasks x directories."""
+    sh = shingles(docs, n).localCheckpoint()
+    keys = lsh_band_keys(docs, k, bands, n, shingle_df=sh).withColumn(
         "bkp", F.substring("band_key", 1, 2))
-    keys.write.partitionBy("bkp").mode("overwrite").parquet(f"{path}/bands")
-    sh = shingles(docs, n)
+    (keys.repartition("bkp")
+     .write.partitionBy("bkp").mode("overwrite").parquet(f"{path}/bands"))
     sh.write.mode("overwrite").parquet(f"{path}/shingles")
     (sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
      .write.mode("overwrite").parquet(f"{path}/sizes"))
@@ -543,8 +576,12 @@ def probe_minhash_index(spark, path: str, new_docs: DataFrame,
     index-side scans never shuffle — the band join prunes partitions via
     the bkp join key, the shingle verification joins
     broadcast(candidate-pair x batch-shingles) against the stored shingle
-    table, and only generation-sized frames ever move."""
-    new_keys = (lsh_band_keys(new_docs, k, bands, n)
+    table, and only generation-sized frames ever move. The batch shingle
+    table has three consumers (band keys, the verification fan-out, the
+    batch sizes), so it is materialized once via localCheckpoint instead
+    of re-running the batch gram pass per consumer."""
+    batch_sh = shingles(new_docs, n).localCheckpoint()
+    new_keys = (lsh_band_keys(new_docs, k, bands, n, shingle_df=batch_sh)
                 .withColumn("bkp", F.substring("band_key", 1, 2))
                 .withColumnRenamed("doc_id", "new_doc"))
     idx = spark.read.parquet(f"{path}/bands")
@@ -552,7 +589,7 @@ def probe_minhash_index(spark, path: str, new_docs: DataFrame,
             .filter(F.col("doc_id") != F.col("new_doc"))
             .select("new_doc", F.col("doc_id").alias("idx_doc"))
             .distinct())
-    new_sh = shingles(new_docs, n).withColumnRenamed("doc_id", "new_doc")
+    new_sh = batch_sh.withColumnRenamed("doc_id", "new_doc")
     probe_fan = cand.join(new_sh, "new_doc").alias("p")
     idx_sh = spark.read.parquet(f"{path}/shingles").alias("s")
     inter = (idx_sh.join(F.broadcast(probe_fan),
