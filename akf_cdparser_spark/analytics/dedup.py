@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import tokens_col
 
@@ -211,59 +212,76 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
 SIMHASH_BITS = 64
 
 
+# Java-exact tokenization twins of tokens_col() for Python-side kernels:
+# String.trim strips every char <= U+0020 from both ends; Java regex \s is
+# the ASCII class [ \t\n\x0B\f\r]. Python str.strip()/\s are Unicode-wide,
+# so the Python side must use these explicit twins or exotic-whitespace
+# documents would tokenize differently than the Catalyst/DuckDB planes.
+_JAVA_TRIM_CHARS = "".join(chr(i) for i in range(0x21))
+
+
+def _java_tokens(text: str) -> list[str]:
+    import re
+    return re.split(r"[ \t\n\x0B\f\r]+", text.strip(_JAVA_TRIM_CHARS))
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash: per token, a 64-bit md5-derived hash (two 32-bit hex halves
     — no signed-overflow parsing) votes ±1 on each bit; the sign vector is
     the document's simhash, packed into a SIGNED long (bit 63 contributes
     -2^63, two's complement — identical arithmetic in the DuckDB oracle).
-    The per-bit votes are COLUMNS of one token row aggregated by ``bits``
-    sums in a single groupBy — exploding by bit id would multiply shuffle
-    rows x64. Engine-portable (md5 + integer ops only)."""
-    # bind the md5-derived 64-bit hash to ONE projected column: the lane
-    # expressions below each reference it, and relying on Catalyst CSE to
-    # dedupe repeated textual F.md5("token")/F.conv subtrees is fragile
-    # (q26 carried measurable slack from it). CollapseProject will not
-    # inline a non-cheap alias referenced 32 times, so ``h`` is computed
-    # exactly once per token row.
-    toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
-    hashed_md = toks.select("doc_id", F.md5("token").alias("md"))
-    lo = F.conv(F.substring("md", 1, 8), 16, 10).cast("long")
-    hi = F.conv(F.substring("md", 9, 8), 16, 10).cast("long")
-    hashed = hashed_md.select("doc_id",
-                              F.shiftleft(hi, 32).bitwiseOR(lo).alias("h"))
-    h = F.col("h")
-    # lane-packed bit counting: (h >> g) & 0x0000000100000001 accumulates
-    # the per-doc ONES count of bits g and g+32 in two 32-BIT lanes of one
-    # long — 32 sum columns instead of 64 vote columns, ONE aggregation.
-    # 32-bit lanes are overflow-exact for ANY representable document: a
-    # Spark string caps at 2 GiB, so a doc has < 2^31 tokens, the low lane
-    # stays below 2^31 and the packed sum below n*(2^32+1) < 2^63 — no
-    # 16-bit-lane carry hazard (ADVICE r4) and no ANSI long overflow. The
-    # 16-lane/4-per-long packing needed a second chunked aggregation level
-    # to stay exact, whose extra exchange cost ~25% on q26 at bench scale;
-    # per-row cost is md5-dominated, so doubling the lane columns is the
-    # cheaper trade. Arithmetic shift is lane-safe for g<32:
-    # sign-extension only reaches bit positions >= 64-g > 32, above the
-    # top lane's bit 32.
-    lane_mask = F.lit(0x0000000100000001).cast("long")
-    per_token = hashed.select(
-        "doc_id",
-        *[(F.shiftright(h, g).bitwiseAND(lane_mask)).alias(f"g{g}")
-          for g in range(32)])
-    summed = per_token.groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"),
-        *[F.sum(f"g{g}").alias(f"c{g}") for g in range(32)])
-    acc = None
-    for b in range(bits):
-        g, lane = b % 32, b // 32
-        ones = F.shiftright(F.col(f"c{g}"), 32 * lane)             .bitwiseAND(F.lit(0xFFFFFFFF))
-        weight = -(1 << 63) if b == 63 else (1 << b)
-        # votes = ones - (n - ones) > 0  <=>  2*ones > n
-        bitval = F.when(ones * 2 > F.col("n_tok"),
-                        F.lit(weight).cast("long")) \
-            .otherwise(F.lit(0).cast("long"))
-        acc = bitval if acc is None else acc + bitval
-    return summed.select("doc_id", acc.alias("simhash"))
+
+    Implementation: SimHash is a PURE PER-DOCUMENT function of the token
+    list, so it runs as ``mapInArrow`` + NumPy with NO shuffle at all —
+    the previous single-groupBy formulation (explode to token rows, 32
+    lane-packed vote columns, one aggregation) still exchanged a 33-column
+    summary per document; this exchanges nothing (guide §2.4: remove the
+    shuffle outright, and §4.2: batch native code over Arrow). Arithmetic
+    is bit-identical: same md5-derived h = (hi<<32)|lo per token, same
+    2*ones > n majority vote per bit, same two's-complement packing; the
+    tokenizer is the Java-exact twin of tokens_col() (trim <= U+0020,
+    ASCII \\s+), so null text emits no row and empty text tokenizes to
+    the single empty token, exactly as explode(split(trim(text))).
+    Measured 2.0s -> 0.8s on the q26 noop leg at sf0.1."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    if bits != 64:
+        raise ValueError("simhash packs into one signed long; bits must be 64")
+    id_field = docs.schema["doc_id"]
+    out_schema = T.StructType([id_field,
+                               T.StructField("simhash", T.LongType())])
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def run(batches):
+        for b in batches:
+            texts = b.column("text").to_pylist()
+            take_idx: list[int] = []
+            out: list[int] = []
+            for i, txt in enumerate(texts):
+                if txt is None:
+                    continue  # explode(split(trim(null))) emits no row
+                toks = _java_tokens(txt)
+                # h = (hi << 32) | lo with lo = first 8 hex chars (digest
+                # bytes 0..3), hi = next 8 (bytes 4..7) — the conv/substring
+                # order of the relational formulation and the DuckDB twin
+                hs = np.array(
+                    [(int.from_bytes(d[4:8], "big") << 32)
+                     | int.from_bytes(d[:4], "big")
+                     for d in (hashlib.md5(t.encode("utf-8")).digest()
+                               for t in toks)], dtype=np.uint64)
+                ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                sign = (2 * ones > len(toks)).astype(np.uint64)
+                packed = np.bitwise_or.reduce(sign << shifts)
+                take_idx.append(i)
+                out.append(int(packed.astype(np.int64)))
+            ids = b.column("doc_id").take(pa.array(take_idx, pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, pa.int64())], ["doc_id", "simhash"])
+
+    return docs.select("doc_id", "text").mapInArrow(run, out_schema)
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -63,20 +63,19 @@ def test_multimodal_binary_pruned(spark):
     assert out and "content" not in out.group(0)
 
 
-def test_q26_simhash_single_exchange(spark):
-    """The simhash overflow guard must stay FREE: one aggregation pair
-    (partial + final) around exactly ONE shuffle, scan pruned to
-    (doc_id, text). Regression guard for the 32-bit-lane design — the
-    chunked two-level variants all cost a measurable extra exchange
-    (BENCH/BASELINE.md round-5 control table)."""
+def test_q26_simhash_shuffle_free(spark):
+    """SimHash is a pure per-document function, so the plan must carry NO
+    Exchange at all (round-7: the single-groupBy lane formulation became a
+    per-partition mapInArrow kernel — the one shuffle it still paid was
+    removed outright, guide §2.4) and the scan must stay pruned to
+    (doc_id, text)."""
     from akf_cdparser_spark.analytics import dedup
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = _plan(spark, dedup.simhash(docs))
     # formatted mode prints each node in the tree AND a detail section —
     # count the detail headers "(N) Exchange"
-    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
-    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2  # partial+final
 
 
 def test_q61_media_features_plan(spark):
