@@ -226,46 +226,57 @@ RECORDS_SCHEMA = T.StructType([
 # ---------------------------------------------------------------------------
 
 
+# Arrow twin of SPAN_STRUCT for the direct RecordBatch builders below:
+# building list<struct> columns with pyarrow directly skips the pandas
+# object-column detour (per-row dict inference) on the Python->JVM hop —
+# measured 2.2s -> 1.27s for the 64k-doc synthesis noop (guide §4.1: you
+# control how efficiently columns cross the boundary).
+_SPAN_ARROW = None
+
+
+def _span_arrow_type():
+    global _SPAN_ARROW
+    if _SPAN_ARROW is None:
+        import pyarrow as pa
+        _SPAN_ARROW = pa.list_(pa.struct([
+            ("kind", pa.string()), ("text", pa.string()),
+            ("media_ref", pa.string()), ("offset", pa.int32())]))
+    return _SPAN_ARROW
+
+
 def docs_dataframe(spark: SparkSession, n_docs: int,
                    partitions: int | None = None) -> DataFrame:
     """Synthesize the docs table distributively: ``spark.range`` provides the
     doc indices, each partition renders its own documents (no driver-side
     corpus). Deterministic regardless of partitioning."""
-    partitions = partitions or max(2, min(64, n_docs // 64 or 2))
-    base = spark.range(0, n_docs, 1, partitions)
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                i = int(i)
-                rows.append({
-                    "doc_id": fixtures.doc_id_for(i),
-                    "spans": fixtures.html_to_spans(fixtures.synth_html(i, n_docs)),
-                })
-            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
-
-    return base.mapInPandas(gen, DOCS_SCHEMA)
+    return docs_from_synth(spark, n_docs,
+                           lambda i: fixtures.synth_html(i, n_docs),
+                           fixtures.doc_id_for, partitions)
 
 
 def docs_from_synth(spark: SparkSession, n_docs: int, html_fn, id_fn,
                     partitions: int | None = None) -> DataFrame:
     """Docs table from an arbitrary deterministic per-index HTML
-    synthesizer — same distributed construction as ``docs_dataframe``
-    (each partition renders its own documents; no driver-side corpus).
-    Used by queries that need a purpose-built mini-corpus exercising a
-    section the shared corpus does not contain (e.g. E9/E19)."""
+    synthesizer — distributed construction (each partition renders its own
+    documents; no driver-side corpus), emitting Arrow record batches
+    directly. Used by ``docs_dataframe`` and by queries that need a
+    purpose-built mini-corpus exercising a section the shared corpus does
+    not contain (e.g. E9/E19)."""
     partitions = partitions or max(2, min(64, n_docs // 64 or 2))
     base = spark.range(0, n_docs, 1, partitions)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [{"doc_id": id_fn(int(i)),
-                     "spans": fixtures.html_to_spans(html_fn(int(i)))}
-                    for i in pdf["id"]]
-            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+    def gen(batches):
+        import pyarrow as pa
+        span_t = _span_arrow_type()
+        for b in batches:
+            ids = b.column("id").to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([id_fn(int(i)) for i in ids], pa.string()),
+                 pa.array([fixtures.html_to_spans(html_fn(int(i)))
+                           for i in ids], span_t)],
+                ["doc_id", "spans"])
 
-    return base.mapInPandas(gen, DOCS_SCHEMA)
+    return base.mapInArrow(gen, DOCS_SCHEMA)
 
 
 def spans_view(docs: DataFrame) -> DataFrame:
@@ -597,15 +608,24 @@ def extract_for_crawl(slim: DataFrame) -> DataFrame:
     Dropping record_json + the typed planes cuts the Python->JVM Arrow
     traffic of the hot loop roughly in half; the record/typed planes remain
     available through ``extract_records`` for pipelines that consume them.
+    Output batches are built with pyarrow directly (typed list/struct/map
+    columns, no pandas object-column inference) — the same boundary
+    optimization as ``docs_from_synth``.
     """
-    cols = [f.name for f in CRAWL_PARSE_SCHEMA.fields]
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches):
+        import pyarrow as pa
+
         from ..kernel import parse_document
 
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["doc_text"]):
+        lineage_t = pa.list_(pa.struct([
+            ("category", pa.string()), ("start_idx", pa.int32()),
+            ("end_idx", pa.int32()), ("origin", pa.string()),
+            ("parsed", pa.string())]))
+        counts_t = pa.map_(pa.string(), pa.int32())
+        for b in batches:
+            names_col, lin_col, cc_col, err_col = [], [], [], []
+            for text in b.column("doc_text").to_pylist():
                 try:
                     rec, lineage, counts = parse_document(text or "")
                     names = []
@@ -615,18 +635,25 @@ def extract_for_crawl(slim: DataFrame) -> DataFrame:
                                 nm = (zeile.get("beteiliger") or "").strip()
                                 if nm:
                                     names.append(nm)
-                    rows.append({
-                        "doc_id": doc_id, "link_names": names or None,
-                        "lineage": lineage, "call_counts": counts,
-                        "error": "; ".join(rec.get("_errors", [])) or None,
-                    })
+                    names_col.append(names or None)
+                    lin_col.append(lineage)
+                    cc_col.append(list(counts.items()))
+                    err_col.append("; ".join(rec.get("_errors", [])) or None)
                 except Exception as exc:  # S7: one bad doc never kills the job
-                    rows.append({"doc_id": doc_id, "link_names": None,
-                                 "lineage": None, "call_counts": None,
-                                 "error": f"{type(exc).__name__}: {exc}"})
-            yield pd.DataFrame(rows, columns=cols)
+                    names_col.append(None)
+                    lin_col.append(None)
+                    cc_col.append(None)
+                    err_col.append(f"{type(exc).__name__}: {exc}")
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"),
+                 pa.array(names_col, pa.list_(pa.string())),
+                 pa.array(lin_col, lineage_t),
+                 pa.array(cc_col, counts_t),
+                 pa.array(err_col, pa.string())],
+                ["doc_id", "link_names", "lineage", "call_counts", "error"])
 
-    return slim.select("doc_id", "doc_text").mapInPandas(run, CRAWL_PARSE_SCHEMA)
+    return slim.select("doc_id", "doc_text").mapInArrow(
+        run, CRAWL_PARSE_SCHEMA)
 
 
 def lineage_table(records: DataFrame) -> DataFrame:
