@@ -141,6 +141,27 @@ def cosine_topk_lsh_banded(embeddings: DataFrame, query_ids: list[int],
             .select("query_id", "vec_id", "cosine", "rank"))
 
 
+def _recall_vs(brute: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall@k of an approximate (query_id, vec_id) result
+    against the brute-force oracle, computed in ONE consumption of each
+    side: left-join the oracle pairs to the approximate pairs and
+    aggregate hits and totals together. The previous semi-join + two
+    groupBys referenced the ``brute`` subtree twice, so the whole
+    brute-force scan/score/window chain executed twice per gate (visible
+    as a duplicated subtree in the q48/q65/q101/q110/q112 plans).
+    Identical values: count(_hit) is 0 when no pair matches, top-k sides
+    are distinct per (query, vec), so the join multiplicity is 1."""
+    ap = approx.select("query_id", "vec_id").withColumn("_hit", F.lit(1))
+    return (brute.select("query_id", "vec_id")
+            .join(ap, ["query_id", "vec_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_true"),
+                 F.count("_hit").alias("n_hit"))
+            .select("query_id",
+                    F.round(F.col("n_hit") / F.col("n_true"), 4)
+                    .alias("recall")))
+
+
 def ann_recall_vs_bruteforce(embeddings: DataFrame, query_ids: list[int],
                              k: int = 5, n_bands: int = 8,
                              planes_per_band: int = 3,
@@ -148,19 +169,10 @@ def ann_recall_vs_bruteforce(embeddings: DataFrame, query_ids: list[int],
     """Continuous gate for the ANN scale path: per-query recall@k of the
     banded-LSH top-k against the brute-force oracle. ``dim`` is a plan-time
     constant (pass it from config; no driver action inside the operator)."""
-    brute = (cosine_topk_bruteforce(embeddings, query_ids, k)
-             .select("query_id", "vec_id"))
-    ann = (cosine_topk_lsh_banded(embeddings, query_ids, dim, k,
-                                  n_bands, planes_per_band)
-           .select("query_id", F.col("vec_id").alias("ann_vec_id")))
-    hits = brute.join(ann, (brute.query_id == ann.query_id)
-                      & (brute.vec_id == ann.ann_vec_id), "left_semi")
-    return (brute.groupBy("query_id").agg(F.count("*").alias("n_true"))
-            .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
-                  "query_id", "left")
-            .select("query_id",
-                    F.round(F.coalesce(F.col("n_hit"), F.lit(0))
-                            / F.col("n_true"), 4).alias("recall")))
+    return _recall_vs(
+        cosine_topk_bruteforce(embeddings, query_ids, k),
+        cosine_topk_lsh_banded(embeddings, query_ids, dim, k,
+                               n_bands, planes_per_band))
 
 
 # ---------------------------------------------------------------------------
@@ -292,19 +304,10 @@ def ivf_recall_vs_bruteforce(embeddings: DataFrame, query_ids: list[int],
     """Continuous gate for the IVF scale path: per-query recall@k of the
     IVF top-k against the brute-force oracle (same contract as
     ``ann_recall_vs_bruteforce``)."""
-    brute = (cosine_topk_bruteforce(embeddings, query_ids, k)
-             .select("query_id", "vec_id"))
-    ivf = (cosine_topk_ivf(embeddings, query_ids, k, n_lists, n_assign,
-                           n_probe)
-           .select("query_id", F.col("vec_id").alias("ivf_vec_id")))
-    hits = brute.join(ivf, (brute.query_id == ivf.query_id)
-                      & (brute.vec_id == ivf.ivf_vec_id), "left_semi")
-    return (brute.groupBy("query_id").agg(F.count("*").alias("n_true"))
-            .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
-                  "query_id", "left")
-            .select("query_id",
-                    F.round(F.coalesce(F.col("n_hit"), F.lit(0))
-                            / F.col("n_true"), 4).alias("recall")))
+    return _recall_vs(
+        cosine_topk_bruteforce(embeddings, query_ids, k),
+        cosine_topk_ivf(embeddings, query_ids, k, n_lists, n_assign,
+                        n_probe))
 
 
 def write_ivf_index(embeddings: DataFrame, path: str,
@@ -707,18 +710,9 @@ def pq_recall_vs_bruteforce(embeddings: DataFrame, query_ids: list[int],
     """Recall@k of the PQ-ADC + rerank pipeline against the float
     brute-force oracle — one gate covering codebook quality, the ADC
     shortlist loss, and the rerank (same contract as the IVF gates)."""
-    brute = (cosine_topk_bruteforce(embeddings, query_ids, k)
-             .select("query_id", "vec_id"))
-    pq = (pq_topk_adc(embeddings, query_ids, k, dim, m_sub, ks, rerank_r)
-          .select("query_id", F.col("vec_id").alias("pq_vec_id")))
-    hits = brute.join(pq, (brute.query_id == pq.query_id)
-                      & (brute.vec_id == pq.pq_vec_id), "left_semi")
-    return (brute.groupBy("query_id").agg(F.count("*").alias("n_true"))
-            .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
-                  "query_id", "left")
-            .select("query_id",
-                    F.round(F.coalesce(F.col("n_hit"), F.lit(0))
-                            / F.col("n_true"), 4).alias("recall")))
+    return _recall_vs(
+        cosine_topk_bruteforce(embeddings, query_ids, k),
+        pq_topk_adc(embeddings, query_ids, k, dim, m_sub, ks, rerank_r))
 
 
 def ivf_int8_recall_vs_bruteforce(embeddings: DataFrame,
@@ -729,19 +723,10 @@ def ivf_int8_recall_vs_bruteforce(embeddings: DataFrame,
     """Recall@k of the int8 IVF probe against the FLOAT brute-force oracle
     — one gate covering both the IVF pruning loss and the int8
     quantization loss (same contract as ``ivf_recall_vs_bruteforce``)."""
-    brute = (cosine_topk_bruteforce(embeddings, query_ids, k)
-             .select("query_id", "vec_id"))
-    ivf = (cosine_topk_ivf_int8(embeddings, query_ids, k, n_lists,
-                                n_assign, n_probe)
-           .select("query_id", F.col("vec_id").alias("ivf_vec_id")))
-    hits = brute.join(ivf, (brute.query_id == ivf.query_id)
-                      & (brute.vec_id == ivf.ivf_vec_id), "left_semi")
-    return (brute.groupBy("query_id").agg(F.count("*").alias("n_true"))
-            .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
-                  "query_id", "left")
-            .select("query_id",
-                    F.round(F.coalesce(F.col("n_hit"), F.lit(0))
-                            / F.col("n_true"), 4).alias("recall")))
+    return _recall_vs(
+        cosine_topk_bruteforce(embeddings, query_ids, k),
+        cosine_topk_ivf_int8(embeddings, query_ids, k, n_lists,
+                             n_assign, n_probe))
 
 
 # ---------------------------------------------------------------------------
@@ -837,16 +822,7 @@ def ivfpq_recall_vs_bruteforce(embeddings: DataFrame,
     """Recall@k of the IVF-PQ pipeline against the float brute-force
     oracle — one gate covering the coarse-quantizer pruning loss, the PQ
     ADC shortlist loss, and the rerank (the q65/q110 gates composed)."""
-    brute = (cosine_topk_bruteforce(embeddings, query_ids, k)
-             .select("query_id", "vec_id"))
-    ann = (cosine_topk_ivfpq(embeddings, query_ids, k, dim, n_lists,
-                             n_assign, n_probe, m_sub, ks, rerank_r)
-           .select("query_id", F.col("vec_id").alias("pq_vec_id")))
-    hits = brute.join(ann, (brute.query_id == ann.query_id)
-                      & (brute.vec_id == ann.pq_vec_id), "left_semi")
-    return (brute.groupBy("query_id").agg(F.count("*").alias("n_true"))
-            .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
-                  "query_id", "left")
-            .select("query_id",
-                    F.round(F.coalesce(F.col("n_hit"), F.lit(0))
-                            / F.col("n_true"), 4).alias("recall")))
+    return _recall_vs(
+        cosine_topk_bruteforce(embeddings, query_ids, k),
+        cosine_topk_ivfpq(embeddings, query_ids, k, dim, n_lists,
+                          n_assign, n_probe, m_sub, ks, rerank_r))
