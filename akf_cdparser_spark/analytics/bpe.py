@@ -88,7 +88,8 @@ def _apply_merge(syms_col, left: str, right: str) -> "F.Column":
                        F.array().cast("array<string>"), step)
 
 
-def _select_batch(rows, max_m: int, top_k: int | None = None):
+def _select_batch(rows, max_m: int, top_k: int | None = None,
+                  merged_so_far: frozenset[str] = frozenset()):
     """Greedy EXACT batch selection over one round's ranked pair counts
     (``rows``: Row(left, right, pair_count) in (count DESC, left, right)
     order — the sequential tie-break). Returns the longest prefix of the
@@ -110,7 +111,18 @@ def _select_batch(rows, max_m: int, top_k: int | None = None):
       strictly exceeds the bound, so no created pair could have outranked
       it in strict sequential order.
 
-    Both guards together make batch_m > 1 bit-identical to sequential
+    * SYMBOL-COLLISION STOP — the new-pair bound counts only CREATED
+      occurrences. If a selected merge's string l+r equals a symbol that
+      ALREADY EXISTS in the vocabulary, created (x, M) occurrences
+      accumulate onto pre-existing (x, l+r) counts, and the combined
+      count can exceed the bound (ADVICE r6). Initial symbols are single
+      characters, so a merged string (length >= 2) can only collide with
+      a PREVIOUSLY MERGED symbol — all of which the driver knows
+      (``merged_so_far``). On collision the batch stops right after the
+      colliding selection; the first selection is always the true argmax
+      and stays exact.
+
+    All guards together make batch_m > 1 bit-identical to sequential
     (tested: test_analytics.py batched-vs-sequential equality)."""
     if not rows:
         return []
@@ -120,6 +132,8 @@ def _select_batch(rows, max_m: int, top_k: int | None = None):
                    if top_k is not None and len(rows) >= top_k else 0)
     selected = [(rows[0].left, rows[0].right, int(rows[0].pair_count))]
     used = {rows[0].left, rows[0].right, rows[0].left + rows[0].right}
+    if (rows[0].left + rows[0].right) in merged_so_far:
+        return selected
 
     def created_bound(l, r):
         # No self-exclusion: for l != r the (l, r) pair itself can never
@@ -141,6 +155,8 @@ def _select_batch(rows, max_m: int, top_k: int | None = None):
             break
         selected.append((l, r, pc))
         used.update((l, r, l + r))
+        if (l + r) in merged_so_far:
+            break  # symbol collision: later counts are no longer bounded
         bound = max(bound, created_bound(l, r))
     return selected
 
@@ -172,7 +188,9 @@ def learn_bpe(docs: DataFrame, n_merges: int = 12,
                 .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
                 .limit(top_k).collect())
         batch = _select_batch(rows, min(batch_m, n_merges - len(merges)),
-                              top_k=top_k)
+                              top_k=top_k,
+                              merged_so_far=frozenset(
+                                  m[1] + m[2] for m in merges))
         if not batch:
             break
         nxt = cur

@@ -549,7 +549,14 @@ def _changed_ref_map(mapping: DataFrame) -> DataFrame:
     mapping as a ``_remap`` map column — the broadcast side of the
     in-array rewrite (|changed refs| entries, not the corpus)."""
     changed = (mapping.filter(F.col("media_ref") != F.col("canonical_ref"))
-               .select("media_ref", "canonical_ref"))
+               .select("media_ref", "canonical_ref")
+               # media_dedup emits one mapping row per media OCCURRENCE
+               # (doc x ref); a shared non-canonical ref therefore appears
+               # once per referencing doc, and duplicate map keys throw
+               # under the default spark.sql.mapKeyDedupPolicy=EXCEPTION
+               # (ADVICE r6). The mapping is functional per media_ref, so
+               # distinct() collapses the copies without changing the map.
+               .distinct())
     return changed.agg(F.map_from_entries(F.collect_list(
         F.struct("media_ref", "canonical_ref"))).alias("_remap"))
 
@@ -669,6 +676,13 @@ def media_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     keys (bounded fanout per bucket for natural images; a degenerate
     bucket — e.g. a constant-color internet-wide banner — is exact-dup
     territory and should be removed by media_dedup first)."""
+    if max_hamming >= 4:
+        # 4 flipped bits can hit all 4 bands — the equi-join would
+        # silently drop qualifying pairs (ADVICE r6). The 4x16-bit
+        # banding is pigeonhole-complete only for max_hamming <= 3.
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-band completeness "
+            "bound (<= 3); raise the band count for larger radii")
     dh = media_dhash(media)
     # the bucket key includes KIND: hash spaces of different modalities
     # are incomparable, so cross-kind candidates are never generated

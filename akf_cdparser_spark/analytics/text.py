@@ -1006,9 +1006,11 @@ def bm25_rank(docs: DataFrame, terms: list[str], top_k: int = 20) -> DataFrame:
     value-hashable by the DuckDB twin (q109).
 
     Overflow bounds (documented, not silently wrong): dl < 9.2e6 tokens
-    and tf < 8.3e5 keep the BIGINT intermediates exact; the one product
-    that scales with corpus size (idf_fp * tfn_fp, idf_fp <= 2N*S) is
-    widened to DECIMAL(38,0) (HUGEINT in the twin) so N is unbounded.
+    and tf < 8.3e5 keep the BIGINT intermediates exact; both products
+    that scale with corpus size — idf_fp * tfn_fp (idf_fp <= 2N*S) and
+    total_dl * S in the avgdl quotient (total_dl is corpus-wide token
+    volume; ADVICE r6) — are widened to DECIMAL(38,0) (HUGEINT in the
+    twin) so N and total corpus volume are unbounded.
 
     100-TB shape: one corpus scan -> explode ONLY the query terms (the
     per-(doc,term) frame is |terms|-bounded per doc), df/N/avgdl are a
@@ -1045,7 +1047,13 @@ def _bm25_score_tail(tf: DataFrame, stats: DataFrame,
             .agg(F.countDistinct("doc_id").cast("long").alias("df")))
     scored = (tf.join(F.broadcast(df_t), "token")
               .join(F.broadcast(stats))
-              .withColumn("avgdl_fp", F.expr("total_dl * 1000000L div n_docs"))
+              # DECIMAL(38,0) widening: total_dl is corpus-wide token
+              # volume, so total_dl * 1e6 wraps BIGINT past ~9.2e12 total
+              # tokens (ADVICE r6) — exactly the 100-TB shape. Identical
+              # quotient wherever the narrow product was in range.
+              .withColumn("avgdl_fp", F.expr(
+                  "CAST(CAST(total_dl AS DECIMAL(38,0)) * 1000000"
+                  " div n_docs AS BIGINT)"))
               .withColumn("idf_fp", F.expr(
                   "(2 * (n_docs - df) + 1) * 1000000L div (2 * df + 1)"))
               .withColumn("dlq_fp", F.expr(

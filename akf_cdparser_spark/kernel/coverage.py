@@ -94,9 +94,12 @@ def unparsed_text(record: dict, replace_values: str = " ",
 
 def coverage_stats(record: dict) -> tuple[int, int]:
     """(unparsed_chars, fulltext_chars): non-filler characters left after the
-    subtraction vs total non-space characters of the cleaned fulltext."""
+    subtraction vs total non-space characters of the cleaned fulltext.
+    Counting via str.count (C speed) — the strikes only ever substitute
+    ' '/'*' for other characters, so len - count(' ') - count('*') equals
+    the old per-char generator count exactly."""
     full = clean_text(record.get("_fulltext") or "")
     remaining = unparsed_text(record)
-    unparsed = sum(1 for c in remaining if c not in " *")
-    total = sum(1 for c in full if c != " ")
+    unparsed = len(remaining) - remaining.count(" ") - remaining.count("*")
+    total = len(full) - full.count(" ")
     return unparsed, total

@@ -109,6 +109,13 @@ def _gram_index(entries: tuple[str, ...]):
     return index, always
 
 
+# the index is a pure function of the (hashable) entries tuple and there
+# are only a handful of dictionaries per process — memoize instead of
+# rebuilding it on every candidate scan (hot path: thousands of calls/doc
+# batch inside the extraction operator)
+_gram_index = lru_cache(maxsize=16)(_gram_index)
+
+
 def _candidate_positions(filtered: str, entries: tuple[str, ...]) -> list[int]:
     index, always = _gram_index(entries)
     grams = {filtered[i:i + 2] for i in range(len(filtered) - 1)}

@@ -1532,8 +1532,8 @@ def test_learn_bpe_batching_engages(spark):
     calls = []
     orig = bpe._select_batch
 
-    def spy(rows, max_m, top_k=None):
-        out = orig(rows, max_m, top_k=top_k)
+    def spy(rows, max_m, top_k=None, merged_so_far=frozenset()):
+        out = orig(rows, max_m, top_k=top_k, merged_so_far=merged_so_far)
         calls.append(len(out))
         return out
 

@@ -359,3 +359,48 @@ def test_crossmodal_near_dups_matches_twin_and_never_crosses_kinds(spark):
                 for r in rows}) == len(rows)
     kind_of = {r.media_ref: r.kind for r in rows}
     assert all(kind_of[a] == kind_of[b] == k for a, b, k, _ in got)
+
+
+def test_rewrite_media_refs_shared_ref_mapping(spark):
+    """A non-canonical ref referenced by SEVERAL docs yields one mapping
+    row per occurrence; the broadcast remap must collapse the copies
+    instead of throwing 'Duplicate map key' under the default
+    mapKeyDedupPolicy=EXCEPTION (ADVICE r6)."""
+    from pyspark.sql import Row
+
+    from akf_cdparser_spark.analytics import multimodal
+
+    spans = [Row(kind="media", text="", media_ref="img_b.pbm", offset=0)]
+    docs = spark.createDataFrame(
+        [("d1", spans), ("d2", spans)], X.DOCS_SCHEMA)
+    # per-occurrence mapping rows: img_b appears once per referencing doc
+    mapping = spark.createDataFrame(
+        [("img_b.pbm", "img_a.pbm"), ("img_b.pbm", "img_a.pbm")],
+        "media_ref string, canonical_ref string")
+    out = {r.doc_id: r.spans for r in
+           multimodal.rewrite_media_refs(docs, mapping).collect()}
+    assert out["d1"][0].media_ref == "img_a.pbm"
+    assert out["d2"][0].media_ref == "img_a.pbm"
+
+
+def test_bpe_batch_stops_on_merged_symbol_collision():
+    """_select_batch must stop a batch right after a merge whose l+r
+    string equals an ALREADY MERGED symbol: created (x, M) occurrences
+    accumulate onto pre-existing (x, l+r) counts, so later candidates'
+    counts are no longer bounded by the new-pair bound (ADVICE r6)."""
+    from collections import namedtuple
+
+    from akf_cdparser_spark.analytics import bpe
+
+    R = namedtuple("R", "left right pair_count")
+    rows = [R("l", "r", 100), R("p", "q", 50), R("x", "y", 40)]
+    # no collision: all three disjoint pairs batch together
+    assert len(bpe._select_batch(rows, 8, top_k=32)) == 3
+    # 'lr' already exists as a merged symbol: batch stops after (l, r)
+    assert bpe._select_batch(
+        rows, 8, top_k=32, merged_so_far=frozenset({"lr"})) \
+        == [("l", "r", 100)]
+    # collision on the SECOND selection stops after it
+    assert bpe._select_batch(
+        rows, 8, top_k=32, merged_so_far=frozenset({"pq"})) \
+        == [("l", "r", 100), ("p", "q", 50)]
