@@ -488,17 +488,23 @@ def fingerprint_containment_pairs(docs: DataFrame, k: int = 8, w: int = 4,
     bounded by (distinct stop hashes) x max df, tiny next to ``fp`` —
     keeping scores bit-identical to the uncapped definition for every
     surviving pair."""
-    from .text import rolling_fingerprints
+    from .text import fingerprint_doc_sets
 
-    fp = (rolling_fingerprints(docs, k, w)
-          .select("doc_id", "fp_hash").distinct().localCheckpoint())
-    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    # distinct (doc, hash) rows + per-doc set size straight from the
+    # winnowing kernel (text.fingerprint_doc_sets): the corpus-wide
+    # distinct Exchange, the sizes aggregation, and the two final size
+    # joins all disappear — n_fp rides the fingerprint rows through the
+    # candidate join and is recovered with a first()-style min() in the
+    # pair aggregation (every row of a pair group carries the same value).
+    fp = fingerprint_doc_sets(docs, k, w).localCheckpoint()
     if max_doc_freq is None:
         inter = (fp.alias("x").join(fp.alias("y"), "fp_hash")
                  .filter(F.col("x.doc_id") < F.col("y.doc_id"))
                  .groupBy(F.col("x.doc_id").alias("doc_a"),
                           F.col("y.doc_id").alias("doc_b"))
-                 .agg(F.count("*").alias("n_shared")))
+                 .agg(F.count("*").alias("n_shared"),
+                      F.min(F.col("x.n_fp")).alias("n_a"),
+                      F.min(F.col("y.n_fp")).alias("n_b")))
     else:
         freq = fp.groupBy("fp_hash").agg(F.count("*").alias("df"))
         rare = freq.filter(F.col("df") <= max_doc_freq).select("fp_hash")
@@ -509,7 +515,9 @@ def fingerprint_containment_pairs(docs: DataFrame, k: int = 8, w: int = 4,
                       .filter(F.col("x.doc_id") < F.col("y.doc_id"))
                       .groupBy(F.col("x.doc_id").alias("doc_a"),
                                F.col("y.doc_id").alias("doc_b"))
-                      .agg(F.count("*").alias("n_rare")))
+                      .agg(F.count("*").alias("n_rare"),
+                           F.min(F.col("x.n_fp")).alias("n_a"),
+                           F.min(F.col("y.n_fp")).alias("n_b")))
         # stop-hash overlap, computed only for pairs already admitted by
         # a rare hash. Each doc's stop hashes collapse to ONE array row
         # (bounded by the distinct-stop-hash count, ~100 entries here),
@@ -533,16 +541,12 @@ def fingerprint_containment_pairs(docs: DataFrame, k: int = 8, w: int = 4,
                  .select("doc_a", "doc_b",
                          (F.col("n_rare")
                           + F.coalesce("n_stop", F.lit(0)))
-                         .alias("n_shared")))
-    scored = (inter
-              .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                    .withColumnRenamed("n_fp", "n_a"), "doc_a")
-              .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                    .withColumnRenamed("n_fp", "n_b"), "doc_b")
-              .select("doc_a", "doc_b", "n_shared",
-                      F.round(F.col("n_shared")
-                              / F.least("n_a", "n_b"), 6)
-                      .alias("containment")))
+                         .alias("n_shared"),
+                         "n_a", "n_b"))
+    scored = inter.select(
+        "doc_a", "doc_b", "n_shared",
+        F.round(F.col("n_shared") / F.least("n_a", "n_b"), 6)
+        .alias("containment"))
     return scored.filter(F.col("containment") >= threshold)
 
 

@@ -140,6 +140,65 @@ def rolling_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     return docs.select("doc_id", "text").mapInArrow(run, out_schema)
 
 
+def fingerprint_doc_sets(docs: DataFrame, k: int = 8,
+                         w: int = 4) -> DataFrame:
+    """Per-document DISTINCT winnowing fingerprint sets with their size:
+    one row per distinct (doc_id, fp_hash) carrying ``n_fp`` = the doc's
+    distinct-fingerprint count. Semantically identical to
+    ``rolling_fingerprints(...).select(doc_id, fp_hash).distinct()``
+    joined with its per-doc counts — but both the distinct and the count
+    happen INSIDE the selection kernel (np.unique of the selected hashes),
+    so the containment pipeline (q74) skips one corpus-wide distinct
+    Exchange, the sizes aggregation, and the two final size joins."""
+    import numpy as np
+    import pyarrow as pa
+
+    id_field = docs.schema["doc_id"]
+    out_schema = T.StructType([
+        id_field,
+        T.StructField("fp_hash", T.LongType()),
+        T.StructField("n_fp", T.IntegerType()),
+    ])
+
+    def run(batches):
+        for b in batches:
+            texts = b.column("text").to_pylist()
+            take_idx: list[int] = []
+            hash_parts: list[np.ndarray] = []
+            n_parts: list[np.ndarray] = []
+            for i, txt in enumerate(texts):
+                if not txt or len(txt) < k:
+                    continue
+                c = np.frombuffer(txt.lower().encode("utf-32-le"),
+                                  dtype=np.uint32).astype(np.int64)
+                m = c.size - k + 1
+                h = np.zeros(m, dtype=np.int64)
+                for j in range(k):
+                    h = (h * FP_BASE + c[j:j + m]) % FP_MOD
+                packed = (h << FP_POS_BITS) + np.arange(m, dtype=np.int64)
+                if m <= w:
+                    sel = packed.min(keepdims=True)
+                else:
+                    sel = np.unique(
+                        np.lib.stride_tricks.sliding_window_view(packed, w)
+                        .min(axis=1))
+                hashes = np.unique(sel >> FP_POS_BITS)
+                take_idx.extend([i] * hashes.size)
+                hash_parts.append(hashes)
+                n_parts.append(np.full(hashes.size, hashes.size,
+                                       dtype=np.int32))
+            ids = b.column("doc_id").take(pa.array(take_idx, pa.int32()))
+            hsh = (np.concatenate(hash_parts)
+                   if hash_parts else np.array([], dtype=np.int64))
+            nfp = (np.concatenate(n_parts)
+                   if n_parts else np.array([], dtype=np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(hsh, pa.int64()), pa.array(nfp, pa.int32())],
+                ["doc_id", "fp_hash", "n_fp"])
+
+    return docs.select("doc_id", "text").mapInArrow(run, out_schema)
+
+
 def repeated_spans(docs: DataFrame, k: int = 20,
                    min_count: int = 2) -> DataFrame:
     """ExactSubstr-style repeated-substring statistics (the dedup axis of
