@@ -273,7 +273,11 @@ def cosine_topk_ivf(embeddings: DataFrame, query_ids: list[int],
     cosine ranks the candidates. The probe is an equi-join on ``list_id``
     against the (tiny, broadcast) exploded query-probe table — never a cross
     product. Same candidate-then-exact contract as the LSH variants."""
-    cents = ivf_centroid_row(embeddings, n_lists)
+    # the one-row centroid frame feeds TWO broadcast consumers (inverted
+    # lists + query probes); localCheckpoint materializes the corpus-wide
+    # TakeOrdered sample once instead of once per consumer (the PQ
+    # codebook-row precedent)
+    cents = ivf_centroid_row(embeddings, n_lists).localCheckpoint()
     inv = ivf_inverted_lists(embeddings, n_lists, n_assign, centroid_row=cents)
     queries = (embeddings.filter(F.col("vec_id").isin(query_ids))
                .withColumn("_nrm", _norm(F.col("embedding")))
@@ -503,7 +507,7 @@ def cosine_topk_ivf_int8(embeddings: DataFrame, query_ids: list[int],
     corpus scan (the codes are derived in the same select chain, no
     self-join back to the corpus). Accuracy gate = recall vs the FLOAT
     brute-force oracle, so quantization noise is inside the gate."""
-    cents = ivf_centroid_row(embeddings, n_lists)
+    cents = ivf_centroid_row(embeddings, n_lists).localCheckpoint()  # 2 consumers
 
     def with_codes_and_lists(df, m, out_key):
         base = (df.select(
@@ -759,7 +763,7 @@ def cosine_topk_ivfpq(embeddings: DataFrame, query_ids: list[int],
     ~32x vs float32; the levers multiply. The codes join is an
     id-equi-join here because the demo composes two standalone builds; a
     parked IVF-PQ index stores codes inside the lists and skips it."""
-    cents = ivf_centroid_row(embeddings, n_lists)
+    cents = ivf_centroid_row(embeddings, n_lists).localCheckpoint()  # 2 consumers
     inv = ivf_inverted_lists(embeddings, n_lists, n_assign,
                              centroid_row=cents)
     # materialized for the same reason as in pq_topk_adc: the codebook
