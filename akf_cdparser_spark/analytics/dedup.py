@@ -134,7 +134,11 @@ def minhash_candidates(docs: DataFrame, k: int = DEFAULT_MINHASH_K,
     each pair once), then EXACT Jaccard verification over shingle sets —
     LSH is a prefilter, the verdict is exact (same discipline as the crawl
     bloom filter: approximate structures never decide membership)."""
-    keys = lsh_band_keys(docs, k, bands, n)
+    # one materialized shingle table feeds the band keys, both sides of
+    # the verification join and the sizes (the write_minhash_index lesson:
+    # without it the gram pass re-executes once per plan reference)
+    sh = shingles(docs, n).localCheckpoint()
+    keys = lsh_band_keys(docs, k, bands, n, shingle_df=sh)
     a = keys.alias("a")
     b = keys.alias("b")
     cand = (a.join(b, ["band", "band_key"])
@@ -142,7 +146,6 @@ def minhash_candidates(docs: DataFrame, k: int = DEFAULT_MINHASH_K,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    sh = shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (cand
              .join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -174,8 +177,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     cap are excluded from CANDIDATE GENERATION only — the Jaccard of the
     surviving pairs still counts every shingle, so scores stay exact; only
     pairs whose overlap is exclusively stop-shingles are missed (such pairs
-    sit far below any useful threshold). ``None`` disables the cap."""
-    sh = shingles(docs, n)
+    sit far below any useful threshold). ``None`` disables the cap.
+    The shingle table feeds five plan references (sizes, df filter, both
+    candidate sides, both verification sides) — materialized once."""
+    sh = shingles(docs, n).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cand_sh = sh
     if max_doc_freq is not None:
