@@ -579,14 +579,25 @@ def write_minhash_index(docs: DataFrame, path: str,
     partition column first (guide §6: cluster by partition key before a
     partitioned write), so each ``bkp`` directory is written by one task
     — 256 files instead of tasks x directories."""
+    from concurrent.futures import ThreadPoolExecutor
+
     sh = shingles(docs, n).localCheckpoint()
     keys = lsh_band_keys(docs, k, bands, n, shingle_df=sh).withColumn(
         "bkp", F.substring("band_key", 1, 2))
-    (keys.repartition("bkp")
-     .write.partitionBy("bkp").mode("overwrite").parquet(f"{path}/bands"))
-    sh.write.mode("overwrite").parquet(f"{path}/shingles")
-    (sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-     .write.mode("overwrite").parquet(f"{path}/sizes"))
+    # the three outputs are independent once ``sh`` is materialized —
+    # submit them concurrently so the tail of one write back-fills the
+    # others' executors (guide §2.6 overlap-independent-jobs; Spark's
+    # scheduler runs the jobs side by side, the pool just issues them)
+    writes = (
+        lambda: (keys.repartition("bkp").write.partitionBy("bkp")
+                 .mode("overwrite").parquet(f"{path}/bands")),
+        lambda: sh.write.mode("overwrite").parquet(f"{path}/shingles"),
+        lambda: (sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+                 .write.mode("overwrite").parquet(f"{path}/sizes")),
+    )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [pool.submit(w) for w in writes]:
+            fut.result()
 
 
 def probe_minhash_index(spark, path: str, new_docs: DataFrame,
