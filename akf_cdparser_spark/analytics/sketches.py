@@ -134,23 +134,29 @@ def profile_table(df: DataFrame, cols: list[str], k: int = 256) -> DataFrame:
     ``(column, n_rows, n_nulls, min_value, max_value, est_distinct)`` —
     min/max rendered as strings for a uniform schema, distinct counts via
     the portable KMV sketch (exact below k). The statistics a planner or
-    a data-quality gate reads before touching 100 TB; each column costs
-    one agg pass + the sketch's distinct/top-k, all rows-to-driver
-    bounded by k."""
-    out = None
-    for c in cols:
-        base = df.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
-            F.min(c).cast("string").alias("min_value"),
-            F.max(c).cast("string").alias("max_value"),
-        ).select(F.lit(c).alias("column"), "n_rows", "n_nulls",
-                 "min_value", "max_value")
-        est = kmv_distinct(df.filter(F.col(c).isNotNull()), [c], k) \
-            .select("column", "est_distinct")
-        row = base.join(est, "column")
-        out = row if out is None else out.unionByName(row)
-    return out
+    a data-quality gate reads before touching 100 TB. The base stats for
+    EVERY column come from ONE aggregation pass (per-column min/max/null
+    counters of a single agg row, exploded back to rows) — the previous
+    shape scanned the table once per column; only the KMV sketches still
+    need their per-column distinct top-k. Rows-to-driver stays bounded
+    by k."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, c in enumerate(cols):
+        aggs += [F.sum(F.col(c).isNull().cast("long")).alias(f"_nn{i}"),
+                 F.min(c).cast("string").alias(f"_mn{i}"),
+                 F.max(c).cast("string").alias(f"_mx{i}")]
+    entries = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(f"_nn{i}").alias("n_nulls"),
+                 F.col(f"_mn{i}").alias("min_value"),
+                 F.col(f"_mx{i}").alias("max_value"))
+        for i, c in enumerate(cols)])
+    base = (df.agg(*aggs)
+            .select("n_rows", F.explode(entries).alias("e"))
+            .select("e.column", "n_rows", "e.n_nulls",
+                    "e.min_value", "e.max_value"))
+    est = kmv_distinct(df, cols, k).select("column", "est_distinct")
+    return base.join(est, "column")
 
 
 def kmv_distinct(df: DataFrame, cols: list[str], k: int = 256) -> DataFrame:
