@@ -362,7 +362,8 @@ class CrawlEngine:
                  bloom_rebuild_every: int = 2,
                  shuffle_partitions: int | None = None,
                  catalog: str | None = None, namespace: str = "crawl",
-                 wake_tiering: bool = True):
+                 wake_tiering: bool = True,
+                 adaptive_in_run: bool = False):
         from concurrent.futures import ThreadPoolExecutor
 
         self.spark = spark
@@ -377,6 +378,10 @@ class CrawlEngine:
         # generation's merge/window passes — the pre-tier behavior; output
         # is identical, scheduling cost becomes frontier-proportional).
         self.wake_tiering = wake_tiering
+        # see run(): AQE off during the loop by default — the engine
+        # manages width/skew itself and AQE's query-stage jobs are pure
+        # per-generation latency here
+        self.adaptive_in_run = adaptive_in_run
         # (generation, phase_label, seconds) per _generation pass — always
         # recorded (append to a list, negligible), read by the scaling/
         # phase-evidence scripts without parsing debug stdout
@@ -631,6 +636,19 @@ class CrawlEngine:
         if start_gen is None:
             raise RuntimeError("bootstrap() first")
         prev_shuffle = self.spark.conf.get("spark.sql.shuffle.partitions")
+        # The engine is its own adaptive manager: shuffle width is derived
+        # per generation from the last scheduled count (_auto_width), skew
+        # is handled structurally (salted politeness slices, uniform
+        # md5-derived url_hash keys), and join sides are chosen explicitly
+        # (broadcast keys / cogrouped shards). On top of that, AQE only
+        # re-plans each of the ~dozen per-generation materializations into
+        # extra query-stage jobs — measured 10-15% of generation wall in
+        # pure orchestration latency (interleaved ABAB, 64k and 8k legs).
+        # ``adaptive_in_run=True`` restores AQE for deployments that want
+        # runtime re-planning anyway (e.g. un-salted foreign frontiers).
+        prev_aqe = self.spark.conf.get("spark.sql.adaptive.enabled")
+        if not self.adaptive_in_run:
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         robots = self.store.read("robots", 0)
         # Crawl-delay budgets are bootstrap-time DATA (written once at gen
         # 0), so resume always schedules under the exact budgets in force
@@ -708,6 +726,7 @@ class CrawlEngine:
                 self._adopt_rebuild(block=True)
                 self.spark.conf.set("spark.sql.shuffle.partitions",
                                     prev_shuffle)
+                self.spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         return totals
 
     def _load_frontier(self, gen: int) -> tuple[DataFrame | None, DataFrame]:
