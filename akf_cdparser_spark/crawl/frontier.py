@@ -515,17 +515,23 @@ class CrawlEngine:
                            "n_salts": self.n_salts})
 
     def _auto_width(self, last_scheduled: int | None) -> int:
-        """Shuffle width sized to generation row counts, floored at the
-        cluster width: never fewer partitions than cores (the parse stage
-        inherits this width from the scheduling join and must keep every
-        core busy), never so many that tiny frames pay per-task overhead
-        on near-empty partitions."""
+        """Shuffle width derived from generation row counts. The old
+        cluster-width FLOOR existed "so the parse stage keeps every core
+        busy", but parse parallelism actually comes from the cached docs
+        store's own partitioning (resolve_docs is a broadcast join on the
+        store side — no shuffle reaches parse), so scheduling frames were
+        paying cores-wide task overhead for generation-sized data. Width
+        now grows with the generation (small generations get small
+        shuffles ON ANY CLUSTER — the frames are generation-sized, not
+        corpus-sized) and still scales to 4x cluster width for large
+        generations. With AQE disabled in run(), this IS the adaptive
+        coalescing for the scheduling plane."""
         if self.shuffle_partitions:
             return self.shuffle_partitions
         cores = self.spark.sparkContext.defaultParallelism
         if not last_scheduled:
             return cores
-        return max(cores, min(4 * cores, last_scheduled // 2000 + cores))
+        return max(8, min(4 * cores, last_scheduled // 2000 + 8))
 
     # -- shard / delta lifecycle ---------------------------------------------
 
