@@ -153,7 +153,11 @@ def global_sequence(df: DataFrame, order_cols: list[str], start: int,
     free from the offsets pass. The materialized sorted input stays cached
     and is exposed as ``result._ordered_cache`` for the caller to unpersist.
     """
-    n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
+    # range width follows the session's CURRENT shuffle width — inside the
+    # crawl loop that is the generation-size-derived _auto_width, so small
+    # generations sort in a handful of ranges instead of half the cluster
+    n_parts = max(2, int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")) // 2)
     ordered = (df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
                .sortWithinPartitions(*[F.col(c) for c in order_cols])
                .withColumn("_pid", F.spark_partition_id())
