@@ -154,10 +154,15 @@ def global_sequence(df: DataFrame, order_cols: list[str], start: int,
     and is exposed as ``result._ordered_cache`` for the caller to unpersist.
     """
     # range width follows the session's CURRENT shuffle width — inside the
-    # crawl loop that is the generation-size-derived _auto_width, so small
-    # generations sort in a handful of ranges instead of half the cluster
-    n_parts = max(2, int(df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions")) // 2)
+    # crawl loop that is the generation-size-derived _auto_width (width
+    # tracks ~rows/2000), so width//8 targets ~16k rows per range task:
+    # sorting 16k rows is trivial per task, and FEWER, LARGER range
+    # partitions cut the per-generation job latency. At n_parts == 1 the
+    # RangePartitioner computes no bounds at all (rangeBounds is empty for
+    # <= 1 partition), so the separate range-SAMPLING job disappears —
+    # one fewer job per small generation.
+    n_parts = max(1, int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")) // 8)
     ordered = (df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
                .sortWithinPartitions(*[F.col(c) for c in order_cols])
                .withColumn("_pid", F.spark_partition_id())
