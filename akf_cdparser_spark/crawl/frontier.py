@@ -865,6 +865,22 @@ class CrawlEngine:
         cached.append(scheduled)
         _mark("schedule+sequence")
 
+        # seen is APPEND-ONLY: only this generation's delta is written.
+        # deferred_next and newly_seen depend only on the schedule-phase
+        # caches (tagged / gated / scheduled), NOT on the parse output, so
+        # their localCheckpoints are submitted NOW and run concurrently
+        # with the parse job below (guide §2.6: the checkpoint jobs
+        # back-fill executors the parse stage leaves idle) instead of
+        # serializing after it. Only pending_next — derived from parsed —
+        # must wait. Both jobs may race the parse job on materializing the
+        # ``scheduled`` cache; duplicated partitions are computed from the
+        # cached sort (cheap) and the cache layer keeps one copy.
+        newly_seen = (scheduled.select("url_hash", "url")
+                      .unionByName(disallowed.select("url_hash", "url"))
+                      .withColumn("generation", F.lit(gen)))
+        ck_early = [self._submit_fg(df.localCheckpoint)
+                    for df in (deferred_next, newly_seen)]
+
         # 6. fetch + parse + discover (docs side stays put: broadcast keys);
         # the crawl-plane parse ships only link names + lineage + counts
         fetched = resolve_docs(scheduled, docs)
@@ -880,10 +896,6 @@ class CrawlEngine:
                         .withColumn("depth", F.lit(gen))
                         .select(_FCOLS))
 
-        # seen is APPEND-ONLY: only this generation's delta is written
-        newly_seen = (scheduled.select("url_hash", "url")
-                      .unionByName(disallowed.select("url_hash", "url"))
-                      .withColumn("generation", F.lit(gen)))
         fetch_log_new = (scheduled
                          .withColumn("doc_id", _doc_id_from_url())
                          .select("scheduled_seq", "url_hash", "url", "doc_id")
@@ -899,13 +911,14 @@ class CrawlEngine:
         # sits on the critical path — every table write drains in the
         # background and the commit record waits for all of them
         # (_drain_commits), so resume only ever sees complete generations.
-        # Checkpoint blocks are freed by the ContextCleaner when the Python
-        # refs die (each generation replaces the previous trio); heap
-        # pressure triggers the JVM GC that drives it, so steady-state
-        # storage stays bounded.
-        ck = [self._submit_fg(df.localCheckpoint)
-              for df in (deferred_next, pending_next, newly_seen)]
-        deferred_ck, pending_ck, seen_ck = [f.result() for f in ck]
+        # deferred_next/newly_seen checkpoints were submitted BEFORE the
+        # parse job (see above) and have been running alongside it; only
+        # pending_next starts here. Checkpoint blocks are freed by the
+        # ContextCleaner when the Python refs die (each generation replaces
+        # the previous trio); heap pressure triggers the JVM GC that drives
+        # it, so steady-state storage stays bounded.
+        pending_ck = pending_next.localCheckpoint()
+        deferred_ck, seen_ck = [f.result() for f in ck_early]
         frontier_snapshot = (
             deferred_ck.withColumn("validated", F.lit(True))
             .unionByName(pending_ck.withColumn("validated", F.lit(False))
