@@ -423,6 +423,9 @@ class CrawlEngine:
         self._docs_ref: DataFrame | None = None
         self._docs_slim: DataFrame | None = None
         self._index: DataFrame | None = None
+        # async cache-warm futures for the two frames above (run() submits,
+        # the first generation's parse drains)
+        self._warm_futs: list = []
 
     def _submit_bg(self, fn, *args):
         """Submit a BACKGROUND Spark job (durable writes, shard rebuilds)
@@ -685,6 +688,15 @@ class CrawlEngine:
             width = self.spark.sparkContext.defaultParallelism
             self._index = (page_index_df(self.spark, self.n_docs)
                            .repartition(width, "name").persist())
+            # warm both engine-lifetime caches ASYNCHRONOUSLY: their first
+            # consumer is gen-1's parse, but gen-1's schedule phase —
+            # generation-sized frames, latency-bound, cores mostly idle —
+            # runs first, so the store-wide slim/index scans back-fill
+            # under it (guide §2.6) instead of serializing into the first
+            # parse. _generation drains the futures before resolve_docs,
+            # so no job ever races the caches' first materialization.
+            self._warm_futs = [self._submit_bg(self._docs_slim.count),
+                               self._submit_bg(self._index.count)]
         self._load_shards(start_gen)
         self._load_recent(start_gen)
         deferred, pending_links = self._load_frontier(start_gen)
@@ -882,7 +894,15 @@ class CrawlEngine:
                     for df in (deferred_next, newly_seen)]
 
         # 6. fetch + parse + discover (docs side stays put: broadcast keys);
-        # the crawl-plane parse ships only link names + lineage + counts
+        # the crawl-plane parse ships only link names + lineage + counts.
+        # Drain the async cache-warm first (run() submitted it; by now the
+        # schedule phase has been covering its wall) so the parse job reads
+        # fully-cached docs/index frames instead of racing their first
+        # materialization.
+        if self._warm_futs:
+            for f in self._warm_futs:
+                f.result()
+            self._warm_futs = []
         fetched = resolve_docs(scheduled, docs)
         parsed = X.extract_for_crawl(
             fetched.select("doc_id", "doc_text")).persist()
